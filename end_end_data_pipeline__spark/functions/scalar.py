@@ -1,0 +1,81 @@
+"""Scalar expression helpers (SURVEY.md §2.8, F1-F13).
+
+All JVM-side Catalyst expressions — no Python UDFs.  The two families:
+
+- oracle-parity numeric aggregation (``dec_sum``/``dec_avg``): doubles
+  are accumulated as exact decimals so the result is independent of
+  partition/association order, then cast back to double.  This makes
+  Spark's parallel aggregation bit-identical to any sequential engine
+  (the DuckDB oracle), and at cluster scale it is also *more* correct
+  than naive double summation (no catastrophic cancellation drift).
+- CDC decimal policy (``to_money``/``micros_to_ts``/``round_down``):
+  the reference transports NUMERIC(18,2) as double and timestamptz as
+  epoch-micros (reference ``Connector_post_and_generate.py:29``,
+  envelope shape ``consumer/consumer.py:66-67``); the silver layer
+  restores lake types with these, and ``round_down`` reproduces the
+  generator's ROUND_DOWN quantize (reference ``generator.py:78-80``)
+  which differs from Spark's HALF_UP ``round``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Money / numeric ------------------------------------------------------------
+
+MONEY = "decimal(18,2)"
+# Wide-enough accumulator for sums of row-level money expressions; scale 6
+# keeps product expressions (price * (1-discount)) exact to the microcent.
+ACC = "decimal(25,6)"
+
+
+def dec_sum(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Order-independent SUM of a double column: exact-decimal accumulate,
+    double result. Mirror SQL: ``sqlgen.dec_sum_sql``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(25,{scale})")).cast("double").alias(alias)
+
+
+def dec_avg(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Order-independent AVG: exact-decimal sum divided by count, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(f"decimal(25,{scale})")).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+def to_money(col: Column | str) -> Column:
+    """CDC double -> DECIMAL(18,2) at the silver layer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def round_down(col: Column | str, places: int = 2) -> Column:
+    """Truncate toward zero at ``places`` decimals (ROUND_DOWN quantize,
+    reference ``generator.py:78-80``) — Spark's ``round`` is HALF_UP, so
+    this is floor(x * 10^p) / 10^p on the decimal-cast value."""
+    c = F.col(col) if isinstance(col, str) else col
+    factor = 10**places
+    return (F.floor(c.cast(ACC) * factor) / factor).cast(MONEY)
+
+
+def micros_to_ts(col: Column | str) -> Column:
+    """Debezium epoch-micros long -> TimestampType."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros(c)
+
+
+# Banking semantics ----------------------------------------------------------
+
+# Sign convention for running-balance reconstruction (SURVEY.md A9):
+# credits add, debits subtract, per the generator's type ranges
+# (reference generator.py:38-46).
+_CREDIT_TYPES = ("DEPOSIT", "REFUND", "INTEREST")
+_DEBIT_TYPES = ("WITHDRAWAL", "TRANSFER", "PAYMENT", "FEE")
+
+
+def signed_amount(amount: Column | str = "amount", txn_type: Column | str = "txn_type") -> Column:
+    a = F.col(amount) if isinstance(amount, str) else amount
+    t = F.col(txn_type) if isinstance(txn_type, str) else txn_type
+    return F.when(t.isin(*_CREDIT_TYPES), a).otherwise(-a)

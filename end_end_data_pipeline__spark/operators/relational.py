@@ -1,0 +1,175 @@
+"""Relational operators: joins (incl. as-of), top-k, set ops, FK audits.
+
+Covers SURVEY.md §2.3 (J1-J8), §2.6 (O1-O3), §2.7 (U1-U4).  All pure
+DataFrame compositions — Catalyst picks broadcast vs sort-merge, AQE
+handles skew; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Fact ⋈ small dimension with an explicit broadcast hint (J1/J5).
+
+    At 100 TB the fact side never moves: the dim ships to every
+    executor, so no shuffle.  AQE would usually infer this, but the
+    hint makes the plan deterministic regardless of stats freshness.
+    """
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def fk_orphans(child: DataFrame, parent: DataFrame, on) -> DataFrame:
+    """FK-integrity audit (J6): child rows with no parent — left anti.
+
+    The empty-result invariant is the lake analog of the reference's
+    ``ON DELETE CASCADE`` FKs (reference ``SCHEMA.sql:13,23``)."""
+    return child.join(parent, on, "left_anti")
+
+
+def having_children(parent: DataFrame, child: DataFrame, on) -> DataFrame:
+    """Parents with ≥1 child — left semi (J6), no duplication, no shuffle
+    of child payload columns (semi joins only move the keys)."""
+    return parent.join(child, on, "left_semi")
+
+
+def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """Global top-k (O2).  ``orderBy().limit()`` plans as
+    TakeOrderedAndProject: each partition keeps a k-heap, the driver
+    merges k·p rows — no global sort even at 100 TB."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int
+) -> DataFrame:
+    """Per-group top-k (O3) via row_number ≤ k (W2 pattern).
+
+    One shuffle on the group key; the window is rank-only so Spark's
+    WindowExec streams each partition without buffering frames.
+    ``order_cols`` must be a total order for deterministic results.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """As-of (backward) join (J7): for each left row, the latest right row
+    with ``right_ts <= left_ts`` (``<`` when ``strict``) per ``key``.
+
+    Spark has no native as-of join; the scalable formulation is the
+    union + ordered window ``last(..., ignorenulls)`` trick:
+
+    1. tag and union both inputs (one schema, right's value columns
+       null on left rows);
+    2. one window per key ordered by (ts, side) — right rows sort
+       before left rows at equal ts so ties resolve to "<=";
+    3. ``last(value, ignorenulls=True)`` over unbounded-preceding
+       carries the most recent right values onto each left row.
+
+    Cost: a single shuffle on ``key`` + one sort — same as one
+    sort-merge join, with no range-explosion, no crossJoin, and no
+    per-group pandas materialization, so it survives 100 TB inputs and
+    skewed keys (AQE splits hot key partitions).
+    DuckDB oracle equivalent: ``ASOF LEFT JOIN``.
+    """
+    rvals = right_value_cols or [c for c in right.columns if c not in (key, right_ts)]
+
+    # side marker: right=0 sorts first at equal ts => inclusive match
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in rvals],
+    )
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rvals],
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+    )
+    r = r.withColumn("__row", F.lit(None).cast(l.schema["__row"].dataType))
+
+    tie = 0 if strict else 1  # strict: right at equal ts must NOT match
+    order = [F.col("__ts").asc(), F.col("__side").asc() if tie else F.col("__side").desc()]
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    carried = l.unionByName(r.select(*l.columns)).select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in rvals
+        ],
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w).alias("__m_ts"),
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *[F.col("__row")[c].alias(c) for c in left.columns],
+        F.col("__m_ts").alias(f"asof_{right_ts}"),
+        *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in rvals],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+) -> DataFrame:
+    """Equi-key + interval-containment join (J7 range form):
+    ``left.left_key == right.right_key AND right_lo <= left_ts < right_hi``.
+
+    The equi key keeps this a hash/sort-merge join (the range is a
+    post-join filter Catalyst evaluates inside the join), never a
+    cartesian product."""
+    cond = (
+        (left[left_key] == right[right_key])
+        & (left[left_ts] >= right[right_lo])
+        & (left[left_ts] < right[right_hi])
+    )
+    return left.join(right, cond)
+
+
+def union_by_name(dfs: list[DataFrame]) -> DataFrame:
+    """U1: schema-aligned union of N inputs (missing columns null-filled)."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def latest_per_key(
+    df: DataFrame, key_cols: list[str], version_cols: list[Column]
+) -> DataFrame:
+    """U4/ST5 core: keep exactly one row per key — the max under
+    ``version_cols`` ordering (latest-wins).  ``version_cols`` should
+    end with a unique tiebreaker for determinism."""
+    w = Window.partitionBy(*key_cols).orderBy(*[c.desc() for c in version_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

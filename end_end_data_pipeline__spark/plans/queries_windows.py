@@ -1,0 +1,216 @@
+"""Window-function catalog (SURVEY.md §2.5, W1-W6) and the as-of join
+(J7) — phrased on the ``events`` stream table (user_id, ts) which maps
+to the reference's per-account time series served by its
+(account_id, created_at) index (reference ``SCHEMA.sql:31``).
+
+Determinism notes for the oracle comparison:
+- every window ORDER BY ends with ``event_id`` (unique) so frames are
+  total-ordered;
+- frames are spelled ROWS/RANGE explicitly on both sides (engines
+  differ in default frames with peers);
+- running double sums accumulate as exact decimals (see
+  ``functions.scalar.dec_sum`` rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from end_end_data_pipeline__spark.operators import relational as R
+from end_end_data_pipeline__spark.plans.catalog import register
+from end_end_data_pipeline__spark.sources import lake
+
+ACC = "decimal(25,6)"
+
+
+@register(
+    "window_running_total_per_user",
+    oracle="""
+        SELECT event_id, user_id, ts, value,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_total,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS event_seq
+        FROM events
+    """,
+    survey_ids=("W1", "W2", "A9"),
+    bench=True,
+)
+def window_running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running balance reconstruction (A9): cumulative value per user in
+    event order.  One shuffle on user_id; WindowExec streams each user's
+    rows — no per-group buffering beyond the frame."""
+    events = lake.load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum(F.col("value").cast(ACC)).over(frame).cast("double").alias("running_total"),
+        F.row_number().over(w).alias("event_seq"),
+    )
+
+
+@register(
+    "window_lag_event_gap",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    """,
+    survey_ids=("W3",),
+)
+def window_lag_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user (lag) — the inter-transaction-gap
+    analysis implied by the reference's time-series index."""
+    events = lake.load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@register(
+    "window_moving_avg_7d",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+                 / COUNT(value) OVER w AS avg_7d,
+               COUNT(value) OVER w AS n_7d
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+    survey_ids=("W4",),
+)
+def window_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding average spend per user — RANGE frame over the
+    epoch-micros ordering (event-time sliding window, W4)."""
+    events = lake.load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(F.col("value").cast(ACC)).over(w).cast("double") / F.count("value").over(w)).alias(
+            "avg_7d"
+        ),
+        F.count("value").over(w).alias("n_7d"),
+    )
+
+
+@register(
+    "window_rank_customers_in_segment",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               rank() OVER w AS bal_rank,
+               dense_rank() OVER w AS bal_dense_rank,
+               ntile(4) OVER w AS bal_quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    survey_ids=("W2", "W5"),
+)
+def window_rank_customers_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value ranking + quartiles within segment (W2/W5)."""
+    customer = lake.load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
+
+
+@register(
+    "window_last_purchase_value",
+    oracle="""
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_purchase_value
+        FROM events
+    """,
+    survey_ids=("W6", "J7"),
+)
+def window_last_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of forward-fill (W6): most recent purchase value visible at each
+    event — ``last(..., ignorenulls)`` over an unbounded-preceding frame."""
+    events = lake.load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+        ).over(w).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "asof_click_before_purchase",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts,
+               c.ts AS asof_ts, c.click_id AS asof_click_id
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (
+              SELECT user_id, ts, MAX(event_id) AS click_id
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts) c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    survey_ids=("J7",),
+    bench=True,
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-simultaneous click (``operators.relational.asof_join`` —
+    union + ordered window, one shuffle, no range explosion).  The
+    click side is pre-deduped to one row per (user, ts) so the match is
+    deterministic; oracle is DuckDB's native ASOF LEFT JOIN."""
+    events = lake.load_table(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return R.asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_value_cols=["click_id"],
+    )

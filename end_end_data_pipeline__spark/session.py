@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local mode is a correctness harness; the conf below is written for the
+real target — a multi-executor cluster reading ~100 TB — and degrades
+gracefully on ``local[N]``:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  dynamic broadcast) — the primary defense against skewed keys and
+  stale size estimates at scale.
+- ``spark.sql.shuffle.partitions`` sized via env (defaults to local
+  cores); on a cluster AQE coalesces the excess, so a high static
+  number is safe.
+- Arrow enabled so any pandas-UDF path is vectorized batch transfer.
+- Session timezone pinned UTC: parquet timestamps compare bit-for-bit
+  against the DuckDB oracle (naive-UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+
+
+def get_spark(
+    app_name: str = "end_end_data_pipeline__spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so the same
+    entry points run unchanged under the driver harness and on a real
+    cluster (where ``master`` comes from spark-submit and this arg is
+    left None with ``SPARK_MASTER`` unset).
+    """
+    cpus = DEFAULT_CPUS
+    if master is None:
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # mirrors the reference's ~128 MiB object-store part target;
+        # keeps scan tasks uniform at 100 TB (≈ 800k tasks, fine for
+        # a 1000-executor cluster with AQE coalescing)
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    if master.startswith("local"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

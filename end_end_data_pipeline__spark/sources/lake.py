@@ -1,0 +1,152 @@
+"""Lake (Parquet) sources and sinks.
+
+Read side: explicit-schema Parquet scans of the test star
+(S10 in SURVEY.md §2.1).  Schemas are declared, never inferred — the
+fix for the reference's per-batch pandas inference
+(reference ``consumer/consumer.py:44``).
+
+Write side: Hive-partitioned Parquet with the date layout the
+reference's consumer produces (``{table}/date=YYYY-MM-DD/*.parquet``,
+reference ``consumer/consumer.py:45-48``), plus compaction — the
+small-file fix for its one-file-per-50-rows pathology
+(SURVEY.md §4 "small-file problem").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from end_end_data_pipeline__spark import schemas
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Tables whose parquet files store TIMESTAMP(NANOS) — illegal for Spark's
+# vectorized reader.  Read the column as raw nanos (legacy long) and
+# convert to micros; the fixture data is micros-precision (ns % 1000 == 0
+# for every row), so no information is lost and values match the DuckDB
+# oracle bit-for-bit.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one star table with its declared schema.
+
+    Passing the explicit schema (rather than the parquet footer) keeps
+    the scan contract stable across files and lets Catalyst prune
+    columns/rows against a fixed ReadSchema.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Timestamps in the lake are naive-UTC; pin the session TZ so epoch
+    # extraction and formatting are host-TZ-independent (works even when
+    # the caller brought its own SparkSession, e.g. the driver harness).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ns_cols = _NANOS_TS_COLS.get(name, ())
+    reader = spark.read
+    if name in schemas.STAR:
+        schema = schemas.STAR[name]
+        if ns_cols:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            schema = T.StructType(
+                [
+                    T.StructField(f.name, T.LongType() if f.name in ns_cols else f.dataType)
+                    for f in schema.fields
+                ]
+            )
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def load_star(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every star table and register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in schemas.STAR:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "created_at",
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "append",
+) -> None:
+    """Write a table in the reference's lake layout, scan-optimized.
+
+    - ``date=`` Hive partitioning (partition pruning on daily queries,
+      reference layout ``consumer/consumer.py:48``);
+    - optional ``sortWithinPartitions`` so parquet row-group min/max
+      statistics serve per-key time-range scans — the lake equivalent
+    of the reference's OLTP index (``SCHEMA.sql:31``).
+    """
+    out = df.withColumn("date", F.to_date(F.col(ts_col)))
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode(mode).partitionBy("date").parquet(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    row_bytes_estimate: int = 100,
+) -> None:
+    """Rewrite a date-partitioned table into ~target-size files.
+
+    The reference emits one parquet file per 50-record flush
+    (reference ``consumer/consumer.py:47-49``) — pathological at scale.
+    Compaction = read, repartition by the partition column to roughly
+    ``target_file_bytes`` files, overwrite atomically per partition
+    (dynamic overwrite keeps untouched dates intact).
+    """
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n_files = max(1, int(rows * row_bytes_estimate / target_file_bytes))
+    (
+        df.repartition(n_files, "date")
+        .sortWithinPartitions("date")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(path)
+    )
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source (S1) — parallel range-partitioned read when bounds given.
+
+    The reference reads/writes Postgres row-at-a-time via psycopg2
+    (reference ``generator.py:168-176,204-208``); the engine's analog is
+    a partitioned JDBC scan.  Untested in this container (no JDBC
+    driver jar) — wiring only.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None and lower_bound is not None and upper_bound is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import pytest
+
+from end_end_data_pipeline__spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    yield spark
+    spark.stop()

@@ -1,0 +1,60 @@
+"""Local replica of the driver's Spark-vs-DuckDB correctness check:
+run a catalog query on Spark and its oracle SQL on DuckDB over the same
+parquet tables, then compare row count, column names, and
+order-insensitive values (sorted columns, sorted rows)."""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+def _norm_cell(v: Any) -> Any:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"
+        return repr(v)  # full precision
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = [tuple(_norm_cell(v) for v in row) for row in df.itertuples(index=False)]
+    return sorted(rows, key=repr)
+
+
+def compare(spark_df, duck_df: pd.DataFrame) -> list[str]:
+    """Return list of mismatch descriptions (empty = match)."""
+    problems: list[str] = []
+    sp = spark_df.toPandas()
+    if sorted(sp.columns) != sorted(duck_df.columns):
+        problems.append(f"columns: spark={sorted(sp.columns)} duck={sorted(duck_df.columns)}")
+        return problems
+    if len(sp) != len(duck_df):
+        problems.append(f"row count: spark={len(sp)} duck={len(duck_df)}")
+    a, b = _canon(sp), _canon(duck_df)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        extra = abs(len(a) - len(b))
+        problems.append(f"values differ; first diffs={diffs} len_delta={extra}")
+    return problems
