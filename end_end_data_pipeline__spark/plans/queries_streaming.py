@@ -1,4 +1,269 @@
-"""CDC + streaming query catalog (SURVEY.md §2.9) — filled in as the
-streaming core lands (SURVEY.md §7 step 4)."""
+"""CDC + streaming catalog (SURVEY.md §2.9, §2.2 P1-P3).
+
+Three flavors:
+- batch-checkable CDC semantics (JSON envelope roundtrip → latest-wins
+  apply) with exact SQL oracles;
+- event-time windowing (tumbling / sliding / session) in batch mode —
+  same operators Structured Streaming uses, oracle-checkable;
+- true Structured Streaming runs (file source → memory sink) proving
+  the streaming wiring; the daily agg one is deterministic enough to
+  oracle-check, the upsert pipeline is rows-only.
+"""
 
 from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_end_data_pipeline__spark.functions.scalar import dec_sum
+from end_end_data_pipeline__spark.plans.catalog import register
+from end_end_data_pipeline__spark.plans.sqlgen import dsum
+from end_end_data_pipeline__spark.sources import cdc, datagen, lake
+
+
+@register(
+    "cdc_roundtrip_latest_state",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+    """,
+    survey_ids=("P1", "P2", "ST5", "F10", "U4"),
+    bench=True,
+)
+def cdc_roundtrip_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC path in batch: orders become a change log (insert for
+    every row, update (+100) for key%3==0, delete for key%7==0),
+    serialized to Debezium-shaped JSON envelopes, then parsed
+    (``from_json``), tombstone-filtered, and collapsed latest-wins —
+    the reference's pipeline with the merge it never had
+    (reference ``consumer/consumer.py:66-75`` is append-only).
+    The oracle states the expected final table directly."""
+    orders = lake.load_table(spark, "orders", sf_dir)
+
+    inserts = orders.select(
+        "*", F.lit("c").alias("op"), F.lit(1).cast("long").alias("ts_ms")
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .select("*", F.lit("u").alias("op"), F.lit(2).cast("long").alias("ts_ms"))
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "*", F.lit("d").alias("op"), F.lit(3).cast("long").alias("ts_ms")
+    )
+    changes_raw = inserts.unionByName(updates).unionByName(deletes)
+
+    wire = cdc.encode_envelope(changes_raw, "op", "ts_ms", "orders")
+    parsed = cdc.parse_envelope(wire, orders.schema)
+    changes = cdc.decode(parsed, ["o_orderkey"])
+    return cdc.apply_latest_state(changes, ["o_orderkey"])
+
+
+@register(
+    "window_tumbling_daily",
+    oracle=f"""
+        SELECT date_trunc('day', ts) AS win_start,
+               date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
+               event_type,
+               COUNT(*) AS n_events, {dsum("value", "total_value")}
+        FROM events GROUP BY 1, 2, 3
+    """,
+    survey_ids=("ST2", "A6"),
+)
+def window_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time window — the event-time-correct version
+    of the reference's processing-time date partitioning (its bug:
+    ``date=datetime.now()`` while rows carry event time,
+    reference ``consumer/consumer.py:45,48``)."""
+    from end_end_data_pipeline__spark.streaming.windows import tumbling_agg
+
+    events = lake.load_table(spark, "events", sf_dir)
+    out = tumbling_agg(
+        events, "ts", "1 day", ["event_type"],
+        [F.count("*").alias("n_events"), dec_sum("value", "total_value")],
+    )
+    return out.select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        "event_type", "n_events", "total_value",
+    )
+
+
+@register(
+    "window_sliding_10m_5m",
+    oracle=f"""
+        WITH hopped AS (
+            SELECT e.*, CAST(to_timestamp(
+                     (floor(epoch(ts) / 300) * 300) - h.hop * 300
+                   ) AS TIMESTAMP) AS win_start
+            FROM events e, (SELECT unnest([0, 1]) AS hop) h
+        )
+        SELECT win_start, win_start + INTERVAL 10 MINUTE AS win_end,
+               COUNT(*) AS n_events, {dsum("value", "total_value")}
+        FROM hopped
+        WHERE ts >= win_start AND ts < win_start + INTERVAL 10 MINUTE
+        GROUP BY 1, 2
+    """,
+    survey_ids=("ST4",),
+)
+def window_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute window hopping every 5 — each event lands in 2
+    windows.  Oracle replays Spark's hop assignment arithmetically."""
+    from end_end_data_pipeline__spark.streaming.windows import sliding_agg
+
+    events = lake.load_table(spark, "events", sf_dir)
+    out = sliding_agg(
+        events, "ts", "10 minutes", "5 minutes", [],
+        [F.count("*").alias("n_events"), dec_sum("value", "total_value")],
+    )
+    return out.select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        "n_events", "total_value",
+    )
+
+
+@register(
+    "window_session_30m",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), grouped AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM grouped GROUP BY user_id, grp
+    """,
+    survey_ids=("ST4",),
+)
+def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — sessionization as
+    Structured Streaming's ``session_window`` in batch mode; the oracle
+    is the classic lag/cumsum island construction."""
+    from end_end_data_pipeline__spark.streaming.windows import session_agg
+
+    events = lake.load_table(spark, "events", sf_dir)
+    out = session_agg(
+        events, "ts", "30 minutes", ["user_id"], [F.count("*").alias("n_events")]
+    )
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_daily_event_agg",
+    oracle=f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+               COUNT(*) AS n_events, {dsum("value", "total_value")}
+        FROM events GROUP BY 1
+    """,
+    survey_ids=("ST1", "ST2", "A10"),
+)
+def stream_daily_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming: file-source replay of the events table
+    → stateful daily aggregation → memory sink (complete mode), then the
+    sink table is returned as the result.  Proves the streaming path
+    end-to-end while staying oracle-checkable (complete mode emits
+    every window; no watermark drops in a full replay)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = stream.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    ).agg(F.count("*").alias("n_events"), dec_sum("value", "total_value"))
+    name = "stream_daily_event_agg_sink"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_cdc_upsert_pipeline",
+    oracle=None,  # exercises checkpointed foreachBatch + filesystem sink
+    survey_ids=("ST5", "ST6", "ST8", "S5"),
+)
+def stream_cdc_upsert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming upsert: banking-shaped CDC envelopes (synth
+    generator → JSONL files) streamed through decode → checkpointed
+    ``foreachBatch`` latest-wins merge into a parquet lake table; returns
+    the final silver state.  Rows-only check (filesystem side effects
+    aren't SQL-expressible)."""
+    import os
+
+    from end_end_data_pipeline__spark import schemas
+    from end_end_data_pipeline__spark.streaming.upsert import stream_cdc_file_source
+
+    tmp = tempfile.mkdtemp(prefix="cdc_upsert_")
+    src, target, ckpt = (os.path.join(tmp, d) for d in ("src", "target", "ckpt"))
+
+    accounts = datagen.accounts(datagen.customers(spark, 50))
+    wire_rows = accounts.select(
+        F.col("id"),
+        F.col("customer_id"),
+        F.col("account_type"),
+        F.col("balance").cast("double").alias("balance"),
+        F.col("currency"),
+        F.unix_micros(F.col("created_at")).alias("created_at"),
+        F.lit("c").alias("op"),
+        (F.col("id") + 1000).alias("ts_ms"),
+    )
+    # updates for even ids arrive later (higher ts_ms) with doubled balance
+    upd = wire_rows.filter(F.col("id") % 2 == 0).withColumn(
+        "balance", F.col("balance") * 2
+    ).withColumn("op", F.lit("u")).withColumn("ts_ms", F.col("ts_ms") + 1_000_000)
+    envelopes = cdc.encode_envelope(
+        wire_rows.unionByName(upd), "op", "ts_ms", "accounts"
+    )
+    envelopes.coalesce(2).write.mode("overwrite").text(src)
+
+    q = stream_cdc_file_source(
+        spark, src, schemas.cdc_row_schema("accounts"), ["id"], target, ckpt
+    )
+    q.awaitTermination()
+    return cdc.silver_banking(spark.read.parquet(target), "accounts")
+
+
+@register(
+    "banking_generator_fanout",
+    oracle=None,  # deterministic hash-random synthesis; invariants pytest-checked
+    survey_ids=("UD4", "S8", "F9"),
+)
+def banking_generator_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference generator's customer→accounts→transactions fan-out
+    (reference ``generator.py:181-319``) as pure DataFrame synthesis —
+    returns the transactions table of a 100-customer iteration."""
+    star = datagen.banking_star(spark, n_customers=100, txns_per_account=4)
+    return star["transactions"]

@@ -213,6 +213,11 @@ _CDC_ROW_FIELDS = {
 }
 
 
+def cdc_row_schema(table: str) -> T.StructType:
+    """Wire-type row schema for one banking table (doubles + epoch-micros)."""
+    return T.StructType(_CDC_ROW_FIELDS[table])
+
+
 def cdc_envelope(table: str) -> T.StructType:
     """Debezium envelope schema for one banking table.
 

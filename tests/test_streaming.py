@@ -1,0 +1,170 @@
+"""Streaming-core tests: CDC decode/apply semantics, watermark
+late-data drops (ST3), checkpointed upsert idempotency (ST6/ST8)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from end_end_data_pipeline__spark import schemas
+from end_end_data_pipeline__spark.sources import cdc
+from end_end_data_pipeline__spark.streaming.upsert import merge_batch, stream_cdc_file_source
+
+
+def _tx_envelope(id, amount, op, ts_ms, account_id=1):
+    import json
+
+    after = None if op == "d" else {
+        "id": id, "account_id": account_id, "txn_type": "DEPOSIT",
+        "amount": amount, "related_account_id": None,
+        "status": "COMPLETED", "created_at": 1719792000000000,
+    }
+    before = None if op == "c" else {"id": id, "account_id": account_id,
+                                     "txn_type": "DEPOSIT", "amount": 1.0,
+                                     "related_account_id": None,
+                                     "status": "COMPLETED",
+                                     "created_at": 1719792000000000}
+    return json.dumps({"payload": {"before": before, "after": after, "op": op,
+                                   "ts_ms": ts_ms, "source": {"table": "transactions"}}})
+
+
+def test_cdc_decode_and_latest_wins(spark):
+    """Insert → update → duplicate update → delete: latest ts_ms wins,
+    deletes remove, duplicates collapse (FIXTURES.md §C required cases)."""
+    lines = [
+        _tx_envelope(1, 10.0, "c", 100),
+        _tx_envelope(1, 20.0, "u", 200),
+        _tx_envelope(1, 20.0, "u", 200),  # at-least-once duplicate
+        _tx_envelope(2, 5.0, "c", 100),
+        _tx_envelope(2, None, "d", 300),
+        _tx_envelope(3, 7.0, "c", 100),
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], ["value"])
+    changes = cdc.decode(
+        cdc.parse_envelope(raw, schemas.cdc_row_schema("transactions")), ["id"]
+    )
+    state = cdc.apply_latest_state(changes, ["id"])
+    rows = {r["id"]: r for r in state.collect()}
+    assert set(rows) == {1, 3}  # 2 deleted
+    assert rows[1]["amount"] == 20.0  # update won
+    assert rows[3]["amount"] == 7.0
+
+    silver = cdc.silver_banking(state, "transactions")
+    s1 = {r["id"]: r for r in silver.collect()}
+    assert str(s1[1]["amount"]) == "20.00"  # DECIMAL(18,2) restored
+    assert s1[1]["created_at"].year == 2024  # epoch-micros decoded
+
+
+def test_cdc_tombstone_and_malformed_filtered(spark):
+    raw = spark.createDataFrame(
+        [("null",), ("{}",), ('{"payload": null}',), ("not json",),
+         (_tx_envelope(9, 1.5, "c", 1),)],
+        ["value"],
+    )
+    changes = cdc.decode(
+        cdc.parse_envelope(raw, schemas.cdc_row_schema("transactions")), ["id"]
+    )
+    assert changes.count() == 1
+
+
+def test_watermark_drops_late_rows(spark):
+    """ST3: with a 10-minute watermark, a row arriving after the
+    watermark has passed its window is dropped from the aggregation."""
+    from datetime import datetime, timedelta
+
+    tmp = tempfile.mkdtemp(prefix="wm_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    # batch 1: on-time rows advancing the watermark to 11:50
+    df1 = spark.createDataFrame(
+        [(1, base), (2, base + timedelta(hours=2))], "id long, ts timestamp"
+    )
+    df1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("id long, ts timestamp").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("update").format("memory")
+        .queryName("wm_sink").trigger(processingTime="500 milliseconds").start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a very late row in the 10:00 window — beyond watermark
+        df2 = spark.createDataFrame(
+            [(3, base + timedelta(minutes=1))], "id long, ts timestamp"
+        )
+        df2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        r["window"]["start"].hour: r["n"]
+        for r in spark.sql("SELECT * FROM wm_sink").collect()
+    }
+    # the late row must NOT have bumped the 10:00 window to 2
+    assert out.get(10) == 1, out
+
+
+def test_upsert_merge_idempotent_replay(spark):
+    """ST6/ST8: re-applying the same batch (at-least-once replay) leaves
+    the lake state unchanged — the merge is idempotent."""
+    tmp = tempfile.mkdtemp(prefix="merge_")
+    target = os.path.join(tmp, "target")
+    lines = [
+        _tx_envelope(1, 10.0, "c", 100),
+        _tx_envelope(2, 5.0, "c", 100),
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], ["value"])
+    batch = cdc.decode(
+        cdc.parse_envelope(raw, schemas.cdc_row_schema("transactions")), ["id"]
+    )
+    merge_batch(batch, target, ["id"])
+    first = sorted((r["id"], r["amount"]) for r in spark.read.parquet(target).collect())
+    merge_batch(batch, target, ["id"])  # replay
+    second = sorted((r["id"], r["amount"]) for r in spark.read.parquet(target).collect())
+    assert first == second == [(1, 10.0), (2, 5.0)]
+
+    # later update arrives; earlier replay of the old batch must not regress it
+    upd = spark.createDataFrame([(_tx_envelope(1, 99.0, "u", 500),)], ["value"])
+    merge_batch(
+        cdc.decode(cdc.parse_envelope(upd, schemas.cdc_row_schema("transactions")), ["id"]),
+        target, ["id"],
+    )
+    state = {r["id"]: r["amount"] for r in spark.read.parquet(target).collect()}
+    assert state[1] == 99.0
+
+
+def test_stream_cdc_file_source_end_to_end(spark):
+    """File-source CDC stream → checkpointed foreachBatch merge →
+    restart with new data resumes from the checkpoint (no reprocess)."""
+    tmp = tempfile.mkdtemp(prefix="stream_cdc_")
+    src, target, ckpt = (os.path.join(tmp, d) for d in ("src", "target", "ckpt"))
+    os.makedirs(src)
+
+    def write_lines(name, lines):
+        with open(os.path.join(src, name), "w") as f:
+            f.write("\n".join(lines))
+
+    write_lines("b1.jsonl", [_tx_envelope(1, 10.0, "c", 100),
+                             _tx_envelope(2, 5.0, "c", 100)])
+    q = stream_cdc_file_source(
+        spark, src, schemas.cdc_row_schema("transactions"), ["id"], target, ckpt
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(target).count() == 2
+
+    write_lines("b2.jsonl", [_tx_envelope(1, 42.0, "u", 900),
+                             _tx_envelope(2, None, "d", 900)])
+    q2 = stream_cdc_file_source(
+        spark, src, schemas.cdc_row_schema("transactions"), ["id"], target, ckpt
+    )
+    q2.awaitTermination()
+    state = {r["id"]: r["amount"] for r in spark.read.parquet(target).collect()}
+    assert state == {1: 42.0}
