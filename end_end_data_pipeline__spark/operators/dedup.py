@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from end_end_data_pipeline__spark.functions.arrays import explode_safe
 from end_end_data_pipeline__spark.operators.text import fingerprint, tokens
 
 
@@ -38,24 +39,38 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams (space-joined) of the whitespace tokens."""
-    t = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+def shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) over a **materialized** token
+    array column; empty array for documents shorter than ``n`` tokens.
+
+    The argument must be a plain column reference, not the ``tokens(...)``
+    expression inline: the lambda indexes the array with ``element_at``
+    at every position, and Catalyst re-evaluates an inlined split per
+    reference (higher-order lambdas run interpreted, outside codegen's
+    common-subexpression elimination) — measured 13× slower inlined."""
+    idx = F.when(
+        F.size(tokens_col) >= n,
+        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+                " ", *[F.element_at(tokens_col, (i + j).cast("int")) for j in range(n)]
             ),
         )
     )
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    """(doc, sh) with sh the distinct shingle set — two chained selects,
+    NO intervening filter: a filter here would be pushed through the
+    token projection, letting CollapseProject re-inline the split into
+    every ``element_at`` (the 13× cliff again).  Short docs carry an
+    empty array and vanish at the explode."""
+    return df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks")).select(
+        "doc", shingles(F.col("__toks"), n).alias("sh")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -66,8 +81,14 @@ def ngram_jaccard_pairs(
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     """
-    ds = _doc_shingles(df, text_col, id_col, n).withColumn("n_sh", F.size("sh"))
-    inv = ds.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    # the index carries ONLY (doc, shingle): tacking size("sh") onto the
+    # explode re-evaluates the shingle expression per exploded row (the
+    # Generate's child projection gets collapsed) — set sizes are instead
+    # recovered from the index itself, since shingles are distinct per doc
+    inv = explode_safe(
+        _doc_shingles(df, text_col, id_col, n), ["doc"], F.col("sh"), "shingle"
+    )
+    sizes = inv.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(
@@ -75,17 +96,18 @@ def ngram_jaccard_pairs(
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .groupBy(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
-        common.withColumn("jaccard", jac)
+        common.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a"
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b"
+        )
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -97,8 +119,8 @@ def minhash_signatures(
     """MinHash signature per document: sig[i] = min over shingles of
     xxhash64(shingle, i).  One explode + one hash-agg with
     ``num_hashes`` min() columns — map-side combinable, no UDF."""
-    inv = _doc_shingles(df, text_col, id_col, n).select(
-        "doc", F.explode("sh").alias("shingle")
+    inv = explode_safe(
+        _doc_shingles(df, text_col, id_col, n), ["doc"], F.col("sh"), "shingle"
     )
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
@@ -175,8 +197,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Pure columnar form: explode tokens → 64 conditional-sum aggregates
     → recombine bits.  (doc, simhash long)."""
-    tok = df.select(
-        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
+    tok = explode_safe(
+        df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks")),
+        ["doc"],
+        F.col("__toks"),
+        "t",
     ).withColumn("h", F.xxhash64("t"))
     votes = [
         F.sum(

@@ -22,6 +22,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from end_end_data_pipeline__spark.functions.arrays import explode_safe
 from end_end_data_pipeline__spark.operators.relational import top_k_per_group
 
 
@@ -143,12 +144,8 @@ def lsh_topk(
 
     # candidate pair ids only through the bucket join (vectors rejoin
     # after the distinct — keeps the shuffle narrow)
-    c = c_base.select(
-        "neighbor_id", F.explode(buckets_for(F.col("cv"), False)).alias("tb")
-    )
-    p = p_base.select(
-        "probe_id", F.explode(buckets_for(F.col("pv"), True)).alias("tb")
-    )
+    c = explode_safe(c_base, ["neighbor_id"], buckets_for(F.col("cv"), False), "tb")
+    p = explode_safe(p_base, ["probe_id"], buckets_for(F.col("pv"), True), "tb")
     candidates = (
         c.join(F.broadcast(p), ["tb"])
         .filter(F.col("neighbor_id") != F.col("probe_id"))
@@ -208,8 +205,8 @@ def cosine_neardup_pairs(
 
     # candidate pair ids only through the bucket join (vectors rejoin
     # after the distinct — keeps the shuffle narrow)
-    left = v.select("doc", F.explode(buckets_for(F.col("v"), True)).alias("tb"))
-    right = v.select("doc", F.explode(buckets_for(F.col("v"), False)).alias("tb"))
+    left = explode_safe(v, ["doc"], buckets_for(F.col("v"), True), "tb")
+    right = explode_safe(v, ["doc"], buckets_for(F.col("v"), False), "tb")
     cand = (
         left.alias("a")
         .join(right.alias("b"), ["tb"])
