@@ -66,6 +66,7 @@ def load_all() -> dict[str, Query]:
         queries_functions,
         queries_streaming,
         queries_llm,
+        queries_pipeline,
     )
 
     return QUERIES

@@ -1,0 +1,100 @@
+"""Unit tests for the external-system connectors (SURVEY.md §2.1).
+
+No Postgres/Kafka/MinIO runs in this container, so option-dict builders
+are verified as pure functions against the reference's recorded
+configuration, and the filesystem-backed paths (truncate/reset, console
+sink construction) run for real.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_end_data_pipeline__spark.sources import connectors, lake
+from tests.conftest import SF_SMOKE
+
+
+def test_jdbc_options_partitioned_read():
+    opts = connectors.jdbc_options(
+        "jdbc:postgresql://db:5432/banking", "public.transactions",
+        "admin", "admin",
+        partition_column="id", num_partitions=16,
+        lower_bound=0, upper_bound=1_000_000,
+    )
+    assert opts["dbtable"] == "public.transactions"
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "16"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("0", "1000000")
+
+
+def test_jdbc_options_requires_bounds():
+    with pytest.raises(ValueError):
+        connectors.jdbc_options("u", "t", "u", "p", partition_column="id")
+
+
+def test_cdc_topics_match_reference_layout():
+    # reference consumer/consumer.py:16-18 subscribes exactly these
+    assert connectors.cdc_topics() == (
+        "banking_server.public.customers,"
+        "banking_server.public.accounts,"
+        "banking_server.public.transactions"
+    )
+
+
+def test_kafka_cdc_options_replay_and_batching():
+    opts = connectors.kafka_cdc_options("broker:9092")
+    assert opts["startingOffsets"] == "earliest"  # full replay (ST8)
+    assert "maxOffsetsPerTrigger" in opts  # bounded micro-batch (ST1)
+    assert opts["subscribe"].count(",") == 2
+
+
+def test_debezium_config_mirrors_reference():
+    cfg = connectors.debezium_connector_config()["config"]
+    # reference Connector_post_and_generate.py:17-30
+    assert cfg["plugin.name"] == "pgoutput"
+    assert cfg["slot.name"] == "banking_slot"
+    assert cfg["publication.autocreate.mode"] == "filtered"
+    assert cfg["decimal.handling.mode"] == "double"
+    assert cfg["tombstones.on.delete"] == "false"
+    assert cfg["value.converter.schemas.enable"] == "false"
+    assert cfg["table.include.list"] == (
+        "public.customers,public.accounts,public.transactions"
+    )
+
+
+def test_s3a_conf_path_style_for_minio(spark):
+    connectors.configure_s3a(
+        spark, endpoint="http://minio:9000", access_key="ak", secret_key="sk"
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "http://minio:9000"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+    assert hconf.get("fs.s3a.committer.name") == "magic"
+
+
+def test_console_sink_builds(spark, tmp_path):
+    src = str(tmp_path / "src")
+    lake.load_table(spark, "region", SF_SMOKE).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    writer = connectors.console_sink(stream, num_rows=5)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert not q.isActive
+
+
+def test_truncate_reset_preserves_schema(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "lake")
+    orders = lake.load_table(spark, "orders", SF_SMOKE).limit(100)
+    orders.write.mode("overwrite").parquet(path)
+    status = connectors.truncate_reset(spark, path)
+    assert status["rows_before"] == 100
+    assert status["rows_after"] == 0
+    after = spark.read.parquet(path)
+    assert after.columns == orders.columns
+    # still queryable post-reset
+    assert after.filter(F.col("o_orderkey") > 0).count() == 0
