@@ -82,10 +82,21 @@ def encode_envelope(
 
 
 def parse_envelope(raw: DataFrame, row_schema: T.StructType, value_col: str = "value") -> DataFrame:
-    """JSON string column → typed envelope struct (P1)."""
-    return raw.withColumn(
-        "payload", F.from_json(F.col(value_col), envelope_schema_for(row_schema))["payload"]
-    )
+    """JSON string column → typed envelope struct (P1).
+
+    The parse goes through a single-element-array ``explode_safe``: a
+    Generate is a hard plan barrier, so ``from_json`` (CodegenFallback —
+    interpreted, no common-subexpression elimination) is evaluated
+    exactly once per row, instead of being inlined by predicate
+    pushdown / CollapseProject into every downstream field reference
+    (measured 3-6 evals/row without the barrier).  Rows whose envelope
+    fails to parse (null payload) are dropped here — P2's
+    malformed/tombstone filter."""
+    from end_end_data_pipeline__spark.functions.arrays import explode_safe
+
+    keep = [c for c in raw.columns if c != value_col]
+    payload = F.from_json(F.col(value_col), envelope_schema_for(row_schema))["payload"]
+    return explode_safe(raw, keep, F.array(payload), "payload")
 
 
 def decode(parsed: DataFrame, key_cols: list[str]) -> DataFrame:
