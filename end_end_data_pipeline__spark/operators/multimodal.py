@@ -109,3 +109,119 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("media_meta", MEDIA_META),
+    ]
+)
+
+
+def _require_codec(decoder: str, lib: str) -> None:
+    if decoder != "fake":
+        try:
+            __import__(lib)
+        except ImportError as e:  # pragma: no cover - container has no codecs
+            raise NotImplementedError(
+                f"real {decoder} decode requires {lib}; use decoder='fake' "
+                "for the deterministic stand-in"
+            ) from e
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "media",
+    id_col: str = "doc_id",
+    width: int = 32,
+    height: int = 32,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Arrow-batched image resize.  ``decoder='fake'`` produces a
+    deterministic stride-sampled byte payload of exactly
+    ``width × height`` bytes (padding with zeros when the source is
+    smaller) and stamps the target dimensions into the metadata struct
+    — the real-codec path (PIL) is stubbed in this container, the batch
+    plumbing is identical."""
+    _require_codec(decoder, "PIL")
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_payload, out_meta = [], []
+            for p in pdf[payload_col]:
+                raw = bytes(p) if p is not None else b""
+                if len(raw) >= target:
+                    step = len(raw) / target
+                    resized = bytes(raw[int(i * step)] for i in range(target))
+                else:
+                    resized = raw + b"\x00" * (target - len(raw))
+                out_payload.append(resized)
+                out_meta.append(
+                    {
+                        "media_type": "image",
+                        "format": "raw",
+                        "width": width,
+                        "height": height,
+                        "duration_ms": None,
+                        "n_bytes": len(resized),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "media": out_payload, "media_meta": out_meta}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "media",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Video frame sampling: one input row fans out to ``n_frames``
+    rows (the UDTF shape, UD4).  ``decoder='fake'`` slices the payload
+    into ``n_frames`` contiguous chunks — deterministic byte ranges
+    standing in for uniformly-spaced decoded frames; real codecs (
+    ffmpeg/av) are stubbed.
+
+    Scale note: the fan-out happens inside ``mapInPandas``, so the
+    per-batch memory bound is ``maxRecordsPerBatch × payload``, and no
+    shuffle is introduced — downstream per-frame operators see an
+    ordinary DataFrame."""
+    _require_codec(decoder, "av")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p) if p is not None else b""
+                chunk = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(doc)
+                    idxs.append(i)
+                    frames.append(raw[i * chunk : (i + 1) * chunk])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "n_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)

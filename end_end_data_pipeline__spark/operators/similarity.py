@@ -163,6 +163,79 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning — the
+    other classic ANN scale path next to LSH:
+
+    1. pick ``n_centroids`` deterministic pseudo-random corpus vectors
+       as centroids (xxhash64 order — reproducible, no RNG state);
+    2. build the inverted lists: every corpus vector is assigned to its
+       nearest centroid (broadcast centroids, one scan, ``min_by``);
+    3. each probe searches only its ``n_probe`` nearest lists.
+
+    Scale: the build is one O(n × C) broadcast pass (no shuffle beyond
+    the tiny centroid sort); queries touch ~``n_probe/n_centroids`` of
+    the corpus via an equi-join on centroid id — uniform buckets when
+    the data is unclustered, and *better* than uniform when it is
+    clustered (the IVF win).  On the synthetic unclustered fixture
+    expected recall ≈ n_probe/n_centroids (tests assert the floor);
+    clustered real embeddings are where IVF beats LSH.
+
+    Output: (probe_id, neighbor_id, cos) — subset of brute force."""
+    c_base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    p_base = probes.select(
+        F.col(id_col).alias("probe_id"), as_double(vec_col).alias("pv")
+    )
+    cents = (
+        c_base.orderBy(F.xxhash64("neighbor_id"))
+        .limit(n_centroids)
+        .select(F.col("neighbor_id").alias("cid"), F.col("cv").alias("cvec"))
+    )
+    # inverted lists: nearest centroid per corpus vector (ids only —
+    # vectors rejoin after the argmin, keeping the agg narrow)
+    c_assign = (
+        c_base.join(F.broadcast(cents))
+        .select(
+            "neighbor_id", "cid", cosine(F.col("cv"), F.col("cvec")).alias("sim")
+        )
+        .groupBy("neighbor_id")
+        .agg(F.min_by("cid", -F.col("sim")).alias("cid"))
+    )
+    # probe → its n_probe nearest lists
+    p_assign = top_k_per_group(
+        p_base.join(F.broadcast(cents)).select(
+            "probe_id", "cid", cosine(F.col("pv"), F.col("cvec")).alias("sim")
+        ),
+        ["probe_id"],
+        [F.col("sim").desc(), F.col("cid").asc()],
+        n_probe,
+    ).select("probe_id", "cid")
+    candidates = (
+        p_assign.join(c_assign, "cid")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id")
+    )
+    scored = (
+        candidates.join(F.broadcast(p_base), "probe_id")
+        .join(c_base, "neighbor_id")
+        .withColumn("cos", cosine(F.col("pv"), F.col("cv")))
+        .select("probe_id", "neighbor_id", "cos")
+    )
+    return top_k_per_group(
+        scored, ["probe_id"], [F.col("cos").desc(), F.col("neighbor_id").asc()], k
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

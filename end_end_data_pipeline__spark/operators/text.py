@@ -108,6 +108,49 @@ def predicted_language(text: Column | str, default: str = "en") -> Column:
     return F.when(best_score > 0, expr).otherwise(default)
 
 
+def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 8, w: int = 4):
+    """Winnowing document fingerprints (rolling-hash selection, the
+    MOSS scheme): hash every character ``k``-gram, then keep the
+    minimum hash of each window of ``w`` consecutive grams — guarantees
+    any shared substring of length ≥ ``k + w - 1`` contributes a shared
+    fingerprint, at ~1/w the density of the full gram set.
+
+    The "rolling hash" is md5 compared lexicographically on hex —
+    chosen over a polynomial hash because both engines (Spark and the
+    DuckDB oracle) provide bit-identical md5, keeping the operator
+    hash-parity-checkable.
+
+    DataFrame-level on purpose: the gram array must be **materialized**
+    between the two transforms — the window-min lambda indexes it via
+    ``slice``, and an inlined gram expression would re-evaluate per
+    window (the ``operators.dedup.shingles`` plan-barrier rule).
+
+    Output: (doc, fp) with fp the distinct fingerprint set."""
+    t = F.col("__t")
+    n_grams = F.length(t) - (k - 1)
+    grams = F.transform(
+        F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.md5(t.substr(i, F.lit(k)).cast("binary")),
+    )
+    g = F.col("__grams")
+    n_windows = F.size(g) - (w - 1)
+    window_mins = F.array_distinct(
+        F.transform(
+            F.when(n_windows >= 1, F.sequence(F.lit(1), n_windows)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda j: F.array_min(F.slice(g, j, w)),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+        .select("doc", grams.alias("__grams"))
+        .select("doc", window_mins.alias("fp"))
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Normalization fingerprint: md5 of lowercased,
     whitespace-collapsed text — the exact-dedup key (rolling-hash

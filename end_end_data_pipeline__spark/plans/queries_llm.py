@@ -330,3 +330,100 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, F.encode(F.col("text"), "utf-8"), "image", "raw"
     )
     return multimodal.extract_features(media, "media", "doc_id", dims=8)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (UD5/UD6/F4) + IVF ANN (J9/UD7) + multimodal fan-out
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(length(text) - 7, 0) + 1),
+                       i -> md5(substr(text, i, 8))) AS g
+            FROM documents
+        )
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(g) - 3, 0) + 1),
+                   j -> list_min(list_slice(g, j, j + 3))))) AS fp
+        FROM grams
+    """,
+    survey_ids=("UD5", "UD6", "F4"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints, k=8 / w=4: any shared
+    substring of length >= 11 chars between two documents is guaranteed
+    to surface as a shared fingerprint — the plagiarism/near-dup
+    selection scheme, ~1/w the density of full k-gram hashing.  Emitted
+    as exploded (doc_id, fp) rows so the hash-parity compare is
+    order-insensitive."""
+    from end_end_data_pipeline__spark.functions.arrays import explode_safe
+
+    docs = lake.load_table(spark, "documents", sf_dir)
+    fps = text.winnow_fingerprints(docs, "text", "doc_id", k=8, w=4)
+    return explode_safe(fps, ["doc"], F.col("fp"), "fp").select(
+        F.col("doc").alias("doc_id"), "fp"
+    )
+
+
+@register(
+    "embedding_ann_ivf_topk",
+    oracle=None,  # approximate — recall floor asserted in tests
+    survey_ids=("J9", "UD7"),
+)
+def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-10 for 5 probes: nearest-of-
+    16-centroids inverted lists, 8 probed per query — the clustered-
+    corpus ANN scale path (LSH's complement).  Deterministic centroid
+    choice (xxhash64 order), so results are stable across runs."""
+    emb = lake.load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, probes, k=10, n_centroids=16, n_probe=8)
+
+
+@register(
+    "multimodal_resize_batch",
+    oracle=None,  # binary payloads — batch/shape semantics pytest-checked
+    survey_ids=("UD8", "UD1"),
+)
+def multimodal_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: binary payloads stride-resampled to 32x32
+    through Arrow batches, metadata struct updated with the target
+    dimensions (real codec stubbed; deterministic fake).  Returns
+    (doc_id, width, height, n_bytes) so the row-check pins the
+    post-resize metadata."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    media = multimodal.attach_media(
+        docs, F.encode(F.col("text"), "utf-8"), "image", "raw"
+    )
+    resized = multimodal.resize_images(media, "media", "doc_id", width=32, height=32)
+    return resized.select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # one-row-to-N binary fan-out — pytest-checked
+    survey_ids=("UD8", "UD4"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: each payload fans out to 4 frame
+    rows inside ``mapInPandas`` (UDTF shape, no shuffle) — returns
+    per-frame byte accounting."""
+    docs = lake.load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 100
+    )
+    media = multimodal.attach_media(
+        docs, F.encode(F.col("text"), "utf-8"), "video", "raw"
+    )
+    frames = multimodal.sample_frames(media, "media", "doc_id", n_frames=4)
+    return frames.select("doc_id", "frame_idx", "n_bytes")

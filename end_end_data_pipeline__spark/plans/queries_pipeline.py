@@ -481,3 +481,50 @@ def pandas_grouped_agg_money_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         cents_sum(F.col("o_totalprice")).alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               epoch_ms(MAX(ts)) AS last_event_ms
+        FROM events GROUP BY 1
+    """,
+    survey_ids=("ST5", "A10", "UD3"),
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user state machine (running count + latest event time) over the
+    streamed events table, update-mode memory sink.  Count and max are
+    order-insensitive, so the final state matches the batch GROUP BY
+    oracle exactly no matter how micro-batches slice the input."""
+    from end_end_data_pipeline__spark.streaming.stateful import running_user_stats
+
+    stream = _stream_events(spark, sf_dir).select(
+        "user_id", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    stats = running_user_stats(stream)
+    name = "stream_stateful_user_stats_sink"
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # one emission per user per micro-batch; totals are monotone, so the
+    # final state is the row-wise max per user
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_event_ms").alias("last_event_ms"),
+        )
+    )

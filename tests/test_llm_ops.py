@@ -105,3 +105,70 @@ def test_multimodal_real_decoder_is_stubbed(spark, docs):
     media = multimodal.attach_media(docs, F.encode(F.col("text"), "utf-8"), "image", "raw")
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, "media", "doc_id", decoder="image")
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: any shared substring of length >= k+w-1
+    (= 11 here) produces at least one shared fingerprint."""
+    from end_end_data_pipeline__spark.operators import text as text_ops
+
+    shared = "identical-shared-run-of-text"
+    df = spark.createDataFrame(
+        [(1, f"left padding {shared} tail one"),
+         (2, f"other start {shared} different end"),
+         (3, "nothing in common here at all")],
+        "doc_id long, text string",
+    )
+    fps = text_ops.winnow_fingerprints(df, "text", "doc_id", k=8, w=4)
+    sets = {r["doc"]: set(r["fp"]) for r in fps.collect()}
+    assert sets[1] & sets[2], "shared substring must share a fingerprint"
+    assert not (sets[1] & sets[3] and sets[2] & sets[3])
+    # density: winnowing keeps far fewer than all grams
+    n_chars = len(f"left padding {shared} tail one")
+    assert len(sets[1]) < n_chars - 7
+
+
+def test_ivf_recall_floor_and_exactness(spark, emb):
+    """IVF on the unclustered fixture: recall ~ n_probe/n_centroids;
+    every returned score must equal the brute-force cosine."""
+    from end_end_data_pipeline__spark.operators import similarity as sim
+
+    probes = emb.filter(F.col("vec_id") < 5)
+    truth = sim.brute_force_topk(emb, probes, k=10).collect()
+    approx = sim.ivf_topk(emb, probes, k=10, n_centroids=16, n_probe=8).collect()
+    t = {(r["probe_id"], r["neighbor_id"]): r["cos"] for r in truth}
+    a = {(r["probe_id"], r["neighbor_id"]): r["cos"] for r in approx}
+    recall = len(set(t) & set(a)) / len(t)
+    assert recall >= 0.3, f"recall@10 {recall:.2f}"
+    for pair in set(t) & set(a):
+        assert t[pair] == a[pair]  # exact re-scoring of candidates
+
+
+def test_multimodal_resize_shapes(spark, docs):
+    media = multimodal.attach_media(
+        docs, F.encode(F.col("text"), "utf-8"), "image", "raw"
+    )
+    out = multimodal.resize_images(media, "media", "doc_id", width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert len(bytes(r["media"])) == 32
+        assert (r["media_meta"]["width"], r["media_meta"]["height"]) == (8, 4)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, decoder="image")
+
+
+def test_multimodal_frame_sample_fanout(spark, docs):
+    small = docs.limit(25)
+    media = multimodal.attach_media(
+        small, F.encode(F.col("text"), "utf-8"), "video", "raw"
+    )
+    frames = multimodal.sample_frames(media, "media", "doc_id", n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 25 * 4
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(media, decoder="video")

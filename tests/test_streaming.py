@@ -168,3 +168,41 @@ def test_stream_cdc_file_source_end_to_end(spark):
     q2.awaitTermination()
     state = {r["id"]: r["amount"] for r in spark.read.parquet(target).collect()}
     assert state == {1: 42.0}
+
+
+def test_stateful_user_stats_matches_batch(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: force 2
+    batches via maxFilesPerTrigger and check final state == batch agg."""
+    from end_end_data_pipeline__spark.streaming.stateful import running_user_stats
+
+    src = str(tmp_path / "src")
+    rows1 = [(1, 100), (1, 200), (2, 50)]
+    rows2 = [(1, 300), (2, 75), (3, 10)]
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, "user_id long, ts_ms long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_test_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import pyspark.sql.functions as F
+
+    final = {
+        r["user_id"]: (r["n"], r["last"])
+        for r in spark.table("stateful_test_sink")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("last_event_ms").alias("last"))
+        .collect()
+    }
+    assert final == {1: (3, 300), 2: (2, 75), 3: (1, 10)}
