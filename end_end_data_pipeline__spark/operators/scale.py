@@ -1,0 +1,105 @@
+"""Scale-hardening operators (SURVEY.md §4 scale posture): skew
+salting and bucketed co-located joins.
+
+AQE (on by default in ``session.get_spark``) handles most runtime skew
+via skew-join splitting; these are the *static* counterparts for the
+cases AQE can't rewrite:
+
+- ``salted_join``: a broadcast-ineligible join whose key distribution
+  is pathologically hot (one account with 1e9 transactions).  The hot
+  side's key space is widened with a salt derived from a row-unique
+  column (deterministic — retries produce identical output), the dim
+  side is replicated ``salt_factor`` ways; identical results, shuffle
+  partitions bounded by ``rows(hot_key)/salt_factor``.
+- ``salted_two_phase_agg``: grouped aggregation over very few groups —
+  partial aggregation already combines map-side, but the *final* agg
+  lands one group per task; salting spreads phase one over
+  ``salt_factor × groups`` tasks.  Only algebraic aggregates (sum,
+  count, min, max) compose across phases.
+- ``write_bucketed`` / shuffle-free join: both sides pre-hashed into
+  the same bucket layout ⇒ sort-merge join with NO Exchange at read
+  time — the lakehouse answer to the reference's OLTP index on
+  ``(account_id, created_at)`` (reference ``SCHEMA.sql:31``), paying
+  the shuffle once at write instead of per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_source: Column,
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: ``big`` (skewed side) gets a
+    deterministic salt in [0, salt_factor) from ``salt_source`` (any
+    row-varying column, e.g. the fact table's unique id); ``small`` is
+    exploded once per salt value.  The join key becomes
+    (key, salt) — hot keys spread over ``salt_factor`` partitions.
+
+    Result is column-identical to ``big.join(small, key, how)``."""
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_source), F.lit(salt_factor)).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(s) for s in range(salt_factor)])),
+    )
+    return salted_big.join(salted_small, [key, "__salt"], how).drop("__salt")
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    salt_source: Column,
+    aggs: dict[str, tuple[str, str]],
+    salt_factor: int = 16,
+) -> DataFrame:
+    """Two-phase grouped aggregation for low-cardinality / hot groups:
+    phase 1 aggregates on (group, salt), phase 2 merges partials.
+
+    ``aggs`` maps output name → (input expr, fn) with fn in
+    {sum, count, min, max} — the algebraic aggregates whose partials
+    compose (count merges with sum)."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_source), F.lit(salt_factor)).cast("int")
+    )
+    phase1 = salted.groupBy(*group_cols, "__salt").agg(
+        *[
+            getattr(F, fn)(expr).alias(f"__p_{name}")
+            for name, (expr, fn) in aggs.items()
+        ]
+    )
+    merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    return phase1.groupBy(*group_cols).agg(
+        *[
+            merge[fn](f"__p_{name}").alias(name)
+            for name, (expr, fn) in aggs.items()
+        ]
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) on the join
+    key: two tables written with the same layout join with no Exchange
+    — the shuffle is paid once at write time.  ``path`` makes it an
+    external table (tests point this at a tmp dir)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table_name)

@@ -528,3 +528,68 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_event_ms").alias("last_event_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation (SURVEY.md §4 scale posture)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_join_segment_counts",
+    oracle=f"""
+        SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+               {dsum("o.o_totalprice", "revenue")}
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """,
+    survey_ids=("J1", "J5"),
+)
+def skew_salted_join_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact→dim join (operators.scale.salted_join): the
+    orders side is salted from its unique key, customer replicated 8x,
+    join on (key, salt).  The oracle is the PLAIN join — identical
+    results is precisely the salting contract; the plan spreads any hot
+    customer over 8 shuffle partitions."""
+    from end_end_data_pipeline__spark.operators import scale
+
+    orders = lake.load_table(spark, "orders", sf_dir)
+    customer = lake.load_table(spark, "customer", sf_dir).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = scale.salted_join(
+        orders, customer, "o_custkey", F.col("o_orderkey"), salt_factor=8
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"), dec_sum("o_totalprice", "revenue")
+    )
+
+
+@register(
+    "skew_salted_two_phase_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_events,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY 1
+    """,
+    survey_ids=("A1", "A10"),
+)
+def skew_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a handful of hot groups
+    (operators.scale.salted_two_phase_agg): phase 1 on (group, salt)
+    spreads each group over 16 tasks, phase 2 merges algebraic
+    partials.  Oracle = plain GROUP BY."""
+    from end_end_data_pipeline__spark.operators import scale
+
+    events = lake.load_table(spark, "events", sf_dir)
+    return scale.salted_two_phase_agg(
+        events,
+        ["event_type"],
+        F.col("event_id"),
+        {
+            "n_events": ("event_id", "count"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        salt_factor=16,
+    )

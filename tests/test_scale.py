@@ -1,0 +1,96 @@
+"""Scale-hardening operator tests: salted join/agg equivalence and the
+bucketed shuffle-free join (plan-asserted)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_end_data_pipeline__spark.operators import scale
+from end_end_data_pipeline__spark.sources import lake
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = lake.load_table(spark, "orders", SF_SMOKE)
+    customer = lake.load_table(spark, "customer", SF_SMOKE).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").select(
+        "o_orderkey", "o_custkey", "c_mktsegment"
+    )
+    salted = scale.salted_join(
+        orders, customer, "o_custkey", F.col("o_orderkey"), salt_factor=8
+    ).select("o_orderkey", "o_custkey", "c_mktsegment")
+    cols = ["o_orderkey", "o_custkey", "c_mktsegment"]
+    assert _rows(salted, cols) == _rows(plain, cols)
+
+
+def test_salted_two_phase_agg_equals_plain(spark):
+    events = lake.load_table(spark, "events", SF_SMOKE)
+    plain = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max("value").alias("mx"),
+        F.min("value").alias("mn"),
+    )
+    salted = scale.salted_two_phase_agg(
+        events,
+        ["event_type"],
+        F.col("event_id"),
+        {"n": ("event_id", "count"), "mx": ("value", "max"), "mn": ("value", "min")},
+        salt_factor=16,
+    )
+    cols = ["event_type", "n", "mx", "mn"]
+    assert _rows(salted, cols) == _rows(plain, cols)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must land with every salt value — the whole
+    point of salting."""
+    hot = spark.range(1000).select(
+        F.lit(1).alias("k"), F.col("id").alias("uid")
+    )
+    dim = spark.createDataFrame([(1, "x")], "k long, label string")
+    salted = hot.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("uid")), F.lit(8)).cast("int")
+    )
+    n_salts = salted.select("__salt").distinct().count()
+    assert n_salts == 8
+    out = scale.salted_join(hot, dim, "k", F.col("uid"), salt_factor=8)
+    assert out.count() == 1000
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key ⇒ the join plan contains no
+    Exchange (the shuffle was paid at write time)."""
+    orders = lake.load_table(spark, "orders", SF_SMOKE)
+    customer = lake.load_table(spark, "customer", SF_SMOKE)
+    scale.write_bucketed(
+        orders, "orders_b", ["o_custkey"], 8, path=str(tmp_path / "orders_b")
+    )
+    scale.write_bucketed(
+        customer, "customer_b", ["c_custkey"], 8, path=str(tmp_path / "customer_b")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (at real scale neither side
+        # broadcasts — that's when bucketing pays)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # and it still computes the right thing
+        assert joined.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
