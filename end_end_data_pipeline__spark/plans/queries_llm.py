@@ -305,7 +305,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(perturbed)
     return similarity.cosine_neardup_pairs(
-        corpus, vec_col="e", id_col="vec_id", threshold=0.99, n_planes=8
+        corpus, vec_col="e", id_col="vec_id", threshold=0.99
     )
 
 
