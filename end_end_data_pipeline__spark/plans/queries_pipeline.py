@@ -593,3 +593,26 @@ def skew_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt_factor=16,
     )
+
+
+# ---------------------------------------------------------------------------
+# Gold-layer marts (the reference's declared-but-absent dbt/Airflow layer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gold_marts_build",
+    oracle=None,  # filesystem build; each mart is DuckDB-oracled in tests/test_marts.py
+    survey_ids=("J5", "A2", "A9", "W1", "S5"),
+)
+def gold_marts_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-DAG analog (reference declared ``banking_dbt/`` +
+    ``docker/dags/`` but shipped neither — SURVEY.md §0): dependency-
+    ordered silver→gold build of the banking marts, persisted to
+    parquet; returns (layer_table, n_rows) for every artifact."""
+    from end_end_data_pipeline__spark.plans import marts
+
+    tmp = tempfile.mkdtemp(prefix="gold_marts_")
+    paths = marts.build_banking_marts(spark, tmp, n_customers=100)
+    rows = [(k, spark.read.parquet(p).count()) for k, p in sorted(paths.items())]
+    return spark.createDataFrame(rows, "layer_table string, n_rows long")
