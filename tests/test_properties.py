@@ -1,0 +1,175 @@
+"""Property-based tests (hypothesis): the engine's core semantics vs
+tiny sequential reference models.
+
+Each property drives the FULL pipeline (e.g. CDC: encode → wire JSON →
+parse → decode → latest-wins apply) with adversarial inputs hypothesis
+dreams up, and checks the result against a dozen-line Python model —
+the strongest form of the SURVEY.md §5 "generator-invariant" tests.
+
+Spark jobs are slow, so examples are few but each covers a whole
+randomized scenario; deadlines are disabled.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from end_end_data_pipeline__spark.sources import cdc
+
+PROP = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # deterministic CI-style runs
+)
+
+
+# --------------------------------------------------------------------------
+# CDC latest-wins apply vs a sequential dict-replay model
+# --------------------------------------------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),          # key
+        st.sampled_from(["c", "u", "d"]),               # op
+        st.integers(min_value=0, max_value=6),          # ts_ms (collisions likely)
+        st.integers(min_value=-100, max_value=100),     # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _model_latest_state(events):
+    """The reference model: per key, keep the single newest event by
+    (ts_ms, op_rank d>u>c, arrival-order irrelevant — the engine's
+    contract is deterministic given distinct (ts, rank); collide those
+    and the winner among equals is value-identical by construction)."""
+    rank = {"d": 3, "u": 2, "c": 1}
+    best: dict[int, tuple[tuple[int, int], str, int]] = {}
+    for key, op, ts, val in events:
+        score = (ts, rank[op])
+        if key not in best or score > best[key][0]:
+            best[key] = (score, op, val)
+    return {
+        k: val for k, (score, op, val) in best.items() if op != "d"
+    }
+
+
+@PROP
+@given(events_strategy)
+def test_cdc_latest_wins_matches_model(spark, events):
+    # make (ts, op) unique per key so the winner is well-defined: keep
+    # the last occurrence of each (key, ts, op)
+    dedup = {}
+    for key, op, ts, val in events:
+        dedup[(key, ts, op)] = val
+    events = [(k, op, ts, v) for (k, ts, op), v in dedup.items()]
+
+    rows = spark.createDataFrame(
+        events, "id long, op string, ts_ms long, val long"
+    )
+    wire = cdc.encode_envelope(
+        rows.select("id", "val", "op", "ts_ms"), "op", "ts_ms", "t"
+    )
+    parsed = cdc.parse_envelope(
+        wire, spark.createDataFrame([], "id long, val long").schema
+    )
+    changes = cdc.decode(parsed, ["id"])
+    final = cdc.apply_latest_state(changes, ["id"])
+    got = {r["id"]: r["val"] for r in final.collect()}
+    assert got == _model_latest_state(events)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard pairs vs pure-Python set arithmetic
+# --------------------------------------------------------------------------
+
+word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+
+def _model_jaccard_pairs(texts, n=3, threshold=0.5):
+    def sh(t):
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    out = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = sh(texts[a]), sh(texts[b])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
+                out.add((a, b))
+    return out
+
+
+@PROP
+@given(st.lists(doc, min_size=2, max_size=6))
+def test_ngram_jaccard_matches_model(spark, texts):
+    from end_end_data_pipeline__spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.ngram_jaccard_pairs(df, "text", "doc_id", 3, 0.5).collect()
+    }
+    assert got == _model_jaccard_pairs(texts)
+
+
+# --------------------------------------------------------------------------
+# Winnowing guarantee under random padding
+# --------------------------------------------------------------------------
+
+letters = st.text(alphabet="abcdefg ", min_size=0, max_size=30)
+
+
+@PROP
+@given(letters, letters, st.text(alphabet="xyz", min_size=11, max_size=20))
+def test_winnowing_guarantee_fuzz(spark, pad_a, pad_b, shared):
+    """Any two docs sharing a substring of length >= k + w - 1 = 11 must
+    share a winnowing fingerprint, whatever surrounds it."""
+    from end_end_data_pipeline__spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, pad_a + shared), (2, shared + pad_b)], "doc_id long, text string"
+    )
+    fps = {
+        r["doc"]: set(r["fp"])
+        for r in text_ops.winnow_fingerprints(df, "text", "doc_id", 8, 4).collect()
+    }
+    assert fps[1] & fps[2]
+
+
+# --------------------------------------------------------------------------
+# Salted join ≡ plain join on arbitrary key skew
+# --------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    st.lists(st.integers(min_value=0, max_value=2), min_size=1, max_size=40)
+)
+def test_salted_join_equivalence_fuzz(spark, keys):
+    from end_end_data_pipeline__spark.operators import scale
+
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k long, uid long"
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, lab string")
+    plain = sorted(
+        (r["k"], r["uid"], r["lab"])
+        for r in big.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["uid"], r["lab"])
+        for r in scale.salted_join(big, dim, "k", F.col("uid"), 4).collect()
+    )
+    assert salted == plain
