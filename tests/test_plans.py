@@ -1,0 +1,81 @@
+"""Physical-plan regression audit over the whole catalog.
+
+Guards the scale properties that correctness tests can't see:
+
+- no accidental cartesian products;
+- broadcast nested-loop joins only where they are the *design* (tiny
+  broadcast side: brute-force ANN probes, IVF centroid assignment);
+- no expensive expression (higher-order lambda / from_json /
+  array_distinct) leaked into a scan filter — the Catalyst
+  re-evaluation cliff (see functions/arrays.py) that cost 10-30× before
+  the plan barriers were added.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from end_end_data_pipeline__spark.plans.catalog import load_all
+from tests.conftest import SF_SMOKE
+
+# queries whose plan is only constructed at run time (streaming /
+# filesystem side effects) — they can't be dry-planned
+SKIP = {
+    "stream_daily_event_agg",
+    "stream_cdc_upsert_pipeline",
+    "stream_static_enrichment",
+    "stream_watermark_late_drop",
+    "stream_stateful_user_stats",
+    "gold_marts_build",
+    "maintenance_truncate_reset",
+    "banking_generator_fanout",
+}
+
+# deliberate broadcast nested-loop joins (tiny broadcast side)
+BNLJ_OK = {"embedding_cosine_topk", "embedding_ann_ivf_topk"}
+
+EXPENSIVE_IN_SCAN = re.compile(
+    r"DataFilters: \[[^\]]*(transform\(|aggregate\(|from_json|array_distinct)"
+)
+
+
+def _plans(spark):
+    for name, q in load_all().items():
+        if name in SKIP:
+            continue
+        df = q.fn(spark, SF_SMOKE)
+        yield name, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_products(spark):
+    bad = [n for n, p in _plans(spark) if "CartesianProduct" in p]
+    assert not bad, bad
+
+
+def test_bnlj_only_by_design(spark):
+    bad = [
+        n
+        for n, p in _plans(spark)
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_OK
+    ]
+    assert not bad, bad
+
+
+def test_no_expensive_exprs_in_scan_filters(spark):
+    bad = [
+        n
+        for n, p in _plans(spark)
+        if any(EXPENSIVE_IN_SCAN.search(line) for line in p.splitlines())
+    ]
+    assert not bad, bad
+
+
+def test_dim_joins_broadcast(spark):
+    """The geo rollup chains three dimension joins — every one of them
+    must broadcast (no shuffle exchange on the dim side)."""
+    q = load_all()["join_geo_rollup"]
+    plan = q.fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
