@@ -1,0 +1,64 @@
+"""Lake layer tests: partitioned write layout, compaction, and the
+partition-pruning contract they exist for."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from end_end_data_pipeline__spark.sources import lake
+from tests.conftest import SF_SMOKE
+
+
+def _data_files(path: str) -> list[str]:
+    return glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+
+
+def test_write_date_partitioned_layout(spark, tmp_path):
+    path = str(tmp_path / "orders_lake")
+    orders = lake.load_table(spark, "orders", SF_SMOKE)
+    lake.write_date_partitioned(
+        orders, path, ts_col="o_orderdate", sort_cols=("o_custkey",), mode="overwrite"
+    )
+    parts = [d for d in os.listdir(path) if d.startswith("date=")]
+    assert parts, "expected Hive date= partition dirs"
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "small_files")
+    # few partitions, many writers — the reference's pathology (one file
+    # per 50-record flush into each date dir)
+    orders = lake.load_table(spark, "orders", SF_SMOKE).withColumn(
+        "date", F.expr("date_add(DATE'2024-01-01', CAST(o_orderkey % 3 AS INT))")
+    )
+    orders.repartition(40).write.mode("overwrite").partitionBy("date").parquet(path)
+    before_files = len(_data_files(path))
+    before_rows = spark.read.parquet(path).count()
+    assert before_files > 50  # 40 tasks × 3 dates produce a mess
+
+    lake.compact(spark, path, target_file_bytes=1 << 20)
+    after_files = len(_data_files(path))
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert after_files < before_files / 3, (before_files, after_files)
+    # partition dirs survive compaction (dynamic overwrite)
+    assert any(d.startswith("date=") for d in os.listdir(path))
+
+
+def test_partition_pruning_after_compaction(spark, tmp_path):
+    path = str(tmp_path / "pruned")
+    orders = lake.load_table(spark, "orders", SF_SMOKE).withColumn(
+        "date", F.to_date("o_orderdate")
+    )
+    orders.write.mode("overwrite").partitionBy("date").parquet(path)
+    one_date = spark.read.parquet(path).select("date").first()["date"]
+    q = spark.read.parquet(path).filter(F.col("date") == F.lit(one_date))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the partition filter must actually appear (not an empty list)
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert pf.strip(), "partition filter was not pushed"
