@@ -67,6 +67,7 @@ def load_all() -> dict[str, Query]:
         queries_streaming,
         queries_llm,
         queries_pipeline,
+        queries_tpch,
     )
 
     return QUERIES

@@ -1,0 +1,241 @@
+"""TPC-H-style complex analytics on the fixture star (SURVEY.md §2:
+the D-class mart workload, exercised end-to-end).
+
+These are the classic decision-support shapes a user of the reference's
+declared dbt layer would run, adapted to the fixture's columns (no
+partsupp table, lineitem carries shipdate only).  Every query is ONE
+ANSI SQL text executed verbatim by BOTH engines — Spark via
+``spark.sql`` over temp views (the engine's SQL API surface), DuckDB as
+the oracle — so parity is definitionally about the engine, not the
+query text.  Money aggregates accumulate as DECIMAL(25,6) and cast back
+to double, keeping distributed summation bit-identical to the
+sequential oracle.
+
+What Catalyst proves here: EXISTS/NOT-EXISTS → semi/anti joins,
+correlated scalar subqueries → decorrelated aggregate joins (Q17-, Q22-
+style), IN-subqueries with HAVING, multi-level aggregation (Q13-style),
+OR-of-ranges predicate pushdown (Q19-style) — all with broadcast dims
+and partial aggregation, no custom code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from end_end_data_pipeline__spark.plans.catalog import register
+from end_end_data_pipeline__spark.sources import lake
+
+
+def _register_sql(name: str, sql: str, survey_ids: tuple[str, ...]) -> None:
+    @register(name, oracle=sql, survey_ids=survey_ids)
+    def run(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        lake.load_star(spark, sf_dir)
+        return spark.sql(_sql)
+
+    run.__doc__ = f"Shared-text SQL (Spark == oracle):\n{sql}"
+
+
+def _dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) AS {alias}"
+
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+_register_sql(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {_dsum(_REVENUE, "revenue")},
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-06-15'
+      AND l_shipdate > DATE '1998-06-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    ("J5", "A2", "O2", "P5"),
+)
+
+_register_sql(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate < DATE '1997-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    ("J6", "A1", "P6"),
+)
+
+_register_sql(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n_name, {_dsum(_REVENUE, "revenue")}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'REGION_0'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    ("J1", "J2", "J5", "A2"),
+)
+
+_register_sql(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {_dsum("volume", "revenue")}
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year, {_REVENUE} AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    ("J3", "J5", "A3", "F6"),
+)
+
+_register_sql(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, {_dsum(_REVENUE, "revenue")}, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate < DATE '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    ("J5", "A2", "O2", "P5"),
+)
+
+_register_sql(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    ("J4", "A1", "A3"),
+)
+
+_register_sql(
+    "tpch_q14_promo_revenue",
+    f"""
+    SELECT 100.00 * (CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                          THEN {_REVENUE} ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
+                     / CAST(SUM(CAST({_REVENUE} AS DECIMAL(25,6))) AS DOUBLE))
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-03-01'
+      AND l_shipdate < DATE '1997-04-01'
+    """,
+    ("J2", "A5", "F11"),
+)
+
+_register_sql(
+    "tpch_q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+          SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    ("J2", "A2", "A8"),
+)
+
+_register_sql(
+    "tpch_q18_large_volume_customers",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+    ("J6", "A2", "O2"),
+)
+
+_register_sql(
+    "tpch_q19_discounted_revenue",
+    f"""
+    SELECT {_dsum(_REVENUE, "revenue")}
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+    ("P5", "A2", "F11"),
+)
+
+_register_sql(
+    "tpch_q22_global_sales_opportunity",
+    """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+    FROM (
+        SELECT substring(c_name, 10, 1) AS cntrycode, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        )
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    ("J6", "A2", "F2"),
+)
