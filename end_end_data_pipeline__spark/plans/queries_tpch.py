@@ -26,8 +26,10 @@ from end_end_data_pipeline__spark.plans.catalog import register
 from end_end_data_pipeline__spark.sources import lake
 
 
-def _register_sql(name: str, sql: str, survey_ids: tuple[str, ...]) -> None:
-    @register(name, oracle=sql, survey_ids=survey_ids)
+def _register_sql(
+    name: str, sql: str, survey_ids: tuple[str, ...], bench: bool = False
+) -> None:
+    @register(name, oracle=sql, survey_ids=survey_ids, bench=bench)
     def run(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
         lake.load_star(spark, sf_dir)
         return spark.sql(_sql)
@@ -59,6 +61,7 @@ _register_sql(
     LIMIT 10
     """,
     ("J5", "A2", "O2", "P5"),
+    bench=True,
 )
 
 _register_sql(
@@ -202,6 +205,7 @@ _register_sql(
     LIMIT 20
     """,
     ("J6", "A2", "O2"),
+    bench=True,
 )
 
 _register_sql(
