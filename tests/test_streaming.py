@@ -206,3 +206,49 @@ def test_stateful_user_stats_matches_batch(spark, tmp_path):
         .collect()
     }
     assert final == {1: (3, 300), 2: (2, 75), 3: (1, 10)}
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts (ST6/ST8): run the checkpointed
+    upsert stream, stop, deliver more CDC files (updates + a delete),
+    start a NEW query on the SAME checkpoint — the second run must
+    process only the new files and converge to the merged state."""
+    import os
+
+    from end_end_data_pipeline__spark import schemas
+    from end_end_data_pipeline__spark.sources import cdc as cdc_mod
+    from end_end_data_pipeline__spark.streaming.upsert import stream_cdc_file_source
+
+    src, target, ckpt = (str(tmp_path / d) for d in ("src", "target", "ckpt"))
+    os.makedirs(src)
+    schema = schemas.cdc_row_schema("accounts")
+
+    def envelopes(rows, fname):
+        df = spark.createDataFrame(
+            rows,
+            "id long, customer_id long, account_type string, balance double,"
+            " currency string, created_at long, op string, ts_ms long",
+        )
+        cdc_mod.encode_envelope(df, "op", "ts_ms", "accounts").coalesce(
+            1
+        ).write.mode("append").text(src)
+
+    base = [(i, 1, "SAVINGS", 100.0 * i, "USD", 1_700_000_000_000_000, "c", i)
+            for i in range(1, 6)]
+    envelopes(base, "b1")
+    q1 = stream_cdc_file_source(spark, src, schema, ["id"], target, ckpt)
+    q1.awaitTermination()
+    state1 = {r["id"]: r["balance"] for r in spark.read.parquet(target).collect()}
+    assert state1 == {i: 100.0 * i for i in range(1, 6)}
+
+    # batch 2: update id=2, delete id=3, insert id=6
+    later = [
+        (2, 1, "SAVINGS", 999.0, "USD", 1_700_000_000_000_000, "u", 100),
+        (3, 1, "SAVINGS", 300.0, "USD", 1_700_000_000_000_000, "d", 101),
+        (6, 1, "SAVINGS", 600.0, "USD", 1_700_000_000_000_000, "c", 102),
+    ]
+    envelopes(later, "b2")
+    q2 = stream_cdc_file_source(spark, src, schema, ["id"], target, ckpt)
+    q2.awaitTermination()
+    state2 = {r["id"]: r["balance"] for r in spark.read.parquet(target).collect()}
+    assert state2 == {1: 100.0, 2: 999.0, 4: 400.0, 5: 500.0, 6: 600.0}
