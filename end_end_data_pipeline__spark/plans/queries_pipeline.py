@@ -616,3 +616,70 @@ def gold_marts_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = marts.build_banking_marts(spark, tmp, n_customers=100)
     rows = [(k, spark.read.parquet(p).count()) for k, p in sorted(paths.items())]
     return spark.createDataFrame(rows, "layer_table string, n_rows long")
+
+
+# ---------------------------------------------------------------------------
+# A4 scale path (HLL sketch) + J8 streaming dedup-within-watermark
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_distinct_users_daily",
+    oracle=None,  # sketch estimates are engine-specific; bounds pytest-checked
+    survey_ids=("A4", "A6"),
+)
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of count-distinct: HyperLogLog++ sketches
+    (``approx_count_distinct``, rsd 2%) next to the exact count per day
+    — at scale the exact form's per-group hash set becomes the memory
+    bottleneck and the sketch is the drop-in replacement (SURVEY §4
+    scale posture: "HLL sketches for A4").  Returns both so the
+    relative-error contract is visible data."""
+    events = lake.load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        )
+        .withColumn(
+            "rel_err",
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+        )
+    )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_after_dedup
+        FROM (SELECT DISTINCT event_id FROM events WHERE user_id < 50)
+    """,
+    survey_ids=("J8", "ST3", "U4"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (J8's streaming form): the events stream is
+    replayed TWICE (the reference's at-least-once duplicate scenario,
+    reference ``consumer/consumer.py:21``) and
+    ``dropDuplicatesWithinWatermark`` on event_id collapses the
+    duplicates with bounded state — the watermark caps how long an id
+    is remembered, which is what makes dedup feasible on an unbounded
+    stream."""
+    stream = _stream_events(spark, sf_dir).filter(F.col("user_id") < 50)
+    doubled = stream.unionByName(stream)  # at-least-once replay
+    deduped = (
+        doubled.withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy().agg(F.count("*").alias("n_after_dedup"))
+    name = "stream_dedup_sink"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -172,3 +172,12 @@ def test_multimodal_frame_sample_fanout(spark, docs):
     assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(media, decoder="video")
+
+
+def test_approx_count_distinct_error_bound(spark):
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+
+    out = load_all()["approx_distinct_users_daily"].fn(
+        spark, SF_SMOKE
+    ).agg(F.max("rel_err").alias("worst")).first()
+    assert out["worst"] <= 0.10  # rsd 2% sketch, generous ceiling
