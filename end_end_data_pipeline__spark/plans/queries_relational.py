@@ -8,7 +8,7 @@ customer ≈ ``customers``, orders ≈ ``accounts``, lineitem ≈
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from end_end_data_pipeline__spark.functions.scalar import dec_avg, dec_sum
@@ -584,4 +584,89 @@ def dedup_replayed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed = R.union_by_name([events, events])
     return R.latest_per_key(
         replayed, ["event_id"], [F.col("ts"), F.col("event_id")]
+    )
+
+
+@register(
+    "pivot_status_by_segment",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_partial
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    survey_ids=("A3", "A5", "F11"),
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): order-status counts as columns per
+    market segment — ``groupBy().pivot()`` with explicit pivot values
+    (explicit values skip the extra distinct-scan Spark needs to
+    discover them; at 100 TB that scan is a full pass, so always pin
+    the domain)."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "c_mktsegment",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_priority_status",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+    """,
+    survey_ids=("A7",),
+)
+def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube compile to)
+    with GROUPING() markers disambiguating real NULLs from subtotal
+    rows — shared SQL text on both engines."""
+    lake.load_star(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+@register(
+    "window_percentile_standing",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               ntile(4) OVER w AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    survey_ids=("W5",),
+)
+def window_percentile_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing within segment: percent_rank / cume_dist /
+    quartile over account balance (W5 — customer-value banding)."""
+    customer = _t(spark, sf_dir, "customer")[0]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey", "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
     )
