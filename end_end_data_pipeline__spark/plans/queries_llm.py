@@ -427,3 +427,124 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = multimodal.sample_frames(media, "media", "doc_id", n_frames=4)
     return frames.select("doc_id", "frame_idx", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: sampling, shard packing, vocabulary (UD5/UD6 adjuncts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_shard_packing",
+    oracle="""
+        WITH sized AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang
+                                                   ORDER BY doc_id
+                                                   ROWS UNBOUNDED PRECEDING)
+                               - n_tokens) / 2000) AS BIGINT) AS shard_id
+            FROM sized
+        )
+        SELECT lang, shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+        FROM packed GROUP BY lang, shard_id
+    """,
+    survey_ids=("UD5", "W1", "A6"),
+)
+def corpus_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: documents are assigned to ~2000-token
+    shards per language by running token cumsum (shard boundary =
+    cumulative tokens before the doc ÷ budget) — the deterministic
+    sequential-packing used to build training shards, as one window
+    pass.  At scale the partition key is (lang) and the order key a
+    stable doc id; no shuffle beyond the one hash on lang."""
+    from pyspark.sql import Window
+
+    docs = lake.load_table(spark, "documents", sf_dir)
+    sized = docs.select(
+        "doc_id", "lang", text.token_count("text").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = sized.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2000).cast("long"),
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+    )
+
+
+@register(
+    "corpus_vocabulary_topk",
+    oracle="""
+        WITH tok AS (
+            SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+            FROM documents
+        ), counted AS (
+            SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+        )
+        SELECT token, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+        FROM counted
+        ORDER BY freq DESC, token
+        LIMIT 50
+    """,
+    survey_ids=("UD5", "A4", "O2"),
+)
+def corpus_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: global token frequencies, top-50 — the
+    tokenizer-training precursor.  explode → hash-agg (map-side
+    combinable) → TakeOrdered; at 100 TB the agg shuffles once on the
+    token and the top-k never materializes the full vocabulary on one
+    node."""
+    from end_end_data_pipeline__spark.functions.arrays import explode_safe
+
+    docs = lake.load_table(spark, "documents", sf_dir).select(
+        "doc_id", text.tokens("text").alias("__toks")
+    )
+    tok = explode_safe(docs, [], F.col("__toks"), "t").select(
+        F.lower(F.col("t")).alias("token")
+    )
+    counted = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+        F.col("freq").desc(), F.col("token")
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle="""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
+           OR (lang <> 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7')
+        GROUP BY lang
+    """,
+    survey_ids=("F9", "P5", "A1"),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling (rebalance an English-heavy corpus):
+    keep ~50% of 'en' docs and ~90% of everything else.  The sampling
+    predicate is a deterministic hash of the id — reproducible across
+    engines and runs, trivially pushable, and exactly re-derivable for
+    lineage (which rand()-based sampleBy is not).  The "hash" is an
+    md5 hex prefix compared against a rate threshold (128/256 = 50%,
+    231/256 ≈ 90%) because md5 is bit-identical in both engines,
+    unlike xxhash64/hash."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    keep = F.when(F.col("lang") == "en", prefix < "80").otherwise(prefix < "e7")
+    return docs.filter(keep).groupBy("lang").agg(F.count("*").alias("n_docs"))
