@@ -150,3 +150,60 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def zorder_value(cols: list[str], n_bits: int = 16) -> "F.Column":
+    """Z-order (Morton) curve value for multi-column clustering: each
+    column is rank-normalized to ``n_bits`` via percent_rank upstream
+    (see ``zorder_layout``); here the pre-normalized int columns are
+    bit-interleaved with pure Catalyst shifts/masks.
+
+    Why: sorting by (a, b) clusters a perfectly and b not at all;
+    sorting by interleave(a, b) clusters BOTH approximately, so parquet
+    row-group min/max stats prune range predicates on either column —
+    the lakehouse stand-in for a second index (SURVEY.md §4 Z-order
+    note)."""
+    z = F.lit(0).cast("long")
+    for bit in range(n_bits):
+        for i, c in enumerate(cols):
+            src_bit = F.shiftright(F.col(c).cast("long"), bit).bitwiseAND(F.lit(1))
+            z = z.bitwiseXOR(F.shiftleft(src_bit, bit * len(cols) + i))
+    return z
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], path: str, n_bits: int = 16, n_files: int = 8
+) -> None:
+    """Write ``df`` range-partitioned + sorted along the Z-curve of
+    ``cols``.  Columns are min-max scaled to [0, 2^n_bits) first so the
+    interleave is scale-free (money, timestamps, ids alike) — one
+    distributed agg for the extremes, broadcast back as literals (a
+    per-column rank normalization would handle skew better but costs a
+    global sort per column; min-max is the 100 TB-safe default).  Then
+    one range exchange on the Z-value — the same cost as any ordered
+    write — and each output file covers a compact Z-range, so row-group
+    stats prune range predicates on EVERY participating column."""
+    extremes = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).first()
+    norm = df
+    scaled_cols = []
+    top = (1 << n_bits) - 1
+    for c in cols:
+        mn, mx = extremes[f"mn_{c}"], extremes[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        sc = f"__zs_{c}"
+        norm = norm.withColumn(
+            sc,
+            ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top).cast("long"),
+        )
+        scaled_cols.append(sc)
+    z = norm.withColumn("__z", zorder_value(scaled_cols, n_bits))
+    (
+        z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *scaled_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -62,3 +62,57 @@ def test_partition_pruning_after_compaction(spark, tmp_path):
     # the partition filter must actually appear (not an empty list)
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert pf.strip(), "partition filter was not pushed"
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs single-column sort, measured on parquet row-group
+    stats (via pyarrow): for a 2-D range predicate, the Z-ordered
+    layout must let min/max stats skip row groups on BOTH columns,
+    while the (a)-sorted layout cannot prune on b."""
+    import pyarrow.parquet as pq
+
+    orders = lake.load_table(spark, "orders", SF_SMOKE).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    linear, zpath = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    (
+        orders.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite").parquet(linear)
+    )
+    lake.zorder_layout(orders, ["o_custkey", "o_totalprice"], zpath, n_files=8)
+
+    lo, hi = 100.0, 20000.0  # narrow band on the SECOND column
+    def groups_overlapping(path):
+        import glob
+        total = hit = 0
+        for f in glob.glob(path + "/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for g in range(meta.num_row_groups):
+                col = next(
+                    meta.row_group(g).column(i)
+                    for i in range(meta.row_group(g).num_columns)
+                    if meta.row_group(g).column(i).path_in_schema == "o_totalprice"
+                )
+                total += 1
+                st = col.statistics
+                if st is None or (st.min <= hi and st.max >= lo):
+                    hit += 1
+        return hit, total
+
+    z_hit, z_total = groups_overlapping(zpath)
+    l_hit, l_total = groups_overlapping(linear)
+    # the custkey-sorted layout can't prune on totalprice: every group overlaps
+    assert l_hit == l_total
+    # the Z-ordered layout must skip at least one row group on totalprice
+    assert z_hit < z_total, (z_hit, z_total)
+    # correctness: both layouts return identical rows for the 2-D predicate
+    q = lambda p: sorted(
+        r["o_orderkey"]
+        for r in spark.read.parquet(p)
+        .filter((F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi)
+                & (F.col("o_custkey") < 500))
+        .collect()
+    )
+    assert q(zpath) == q(linear)
