@@ -683,3 +683,41 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph: transfer-network connected components (J3 graph form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "transfer_network_components",
+    oracle=None,  # iterative fixpoint — not SQL-expressible; model-tested in pytest
+    survey_ids=("J3", "J4"),
+)
+def transfer_network_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the transfer graph (the account↔account
+    self-FK network, reference ``SCHEMA.sql:26``): min-label propagation
+    with pointer jumping over the synthesized banking star's transfer
+    edges.  Returns component size distribution — the shape AML-style
+    'linked account cluster' analyses start from."""
+    from end_end_data_pipeline__spark.operators.graph import connected_components
+    from end_end_data_pipeline__spark.sources import datagen
+
+    star = datagen.banking_star(spark, n_customers=150, txns_per_account=4)
+    edges = (
+        star["transactions"]
+        .filter(F.col("related_account_id").isNotNull())
+        .select(
+            F.col("account_id").alias("src"),
+            F.col("related_account_id").alias("dst"),
+        )
+    )
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_accounts"))
+        .groupBy("n_accounts")
+        .agg(F.count("*").alias("n_components"))
+        .orderBy("n_accounts")
+    )

@@ -141,3 +141,46 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation vs a sequential union-find model on a
+    deterministic random graph (chains, cliques, isolated pairs)."""
+    import random
+
+    from end_end_data_pipeline__spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 40, 2)]            # 20 pairs
+    edges += [(100 + i, 100 + i + 1) for i in range(30)]     # one 31-node chain
+    edges += [(200 + a, 200 + b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [(rng.randrange(300, 330), rng.randrange(300, 330)) for _ in range(25)]
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    # canonicalize both to min-of-component grouping
+    from collections import defaultdict
+    def groups(lab):
+        g = defaultdict(set)
+        for n, c in lab.items():
+            g[c].add(n)
+        return {frozenset(s) for s in g.values()}
+    assert groups(got) == groups(expected)
