@@ -156,3 +156,37 @@ def build_banking_marts(
         df.write.mode("overwrite").parquet(p)
         paths[f"gold/{name}"] = p
     return paths
+
+
+def refresh_daily_txn_volume(
+    txns: DataFrame,
+    accounts: DataFrame,
+    new_txns: DataFrame,
+    gold_path: str,
+) -> None:
+    """Incremental (dbt-incremental-style) refresh of the daily volume
+    mart: only the dates present in ``new_txns`` are recomputed — from
+    the full transaction set restricted to those dates (a date-
+    partitioned lake prunes that scan to the affected partitions) —
+    then written with dynamic partition overwrite, leaving every other
+    date's files untouched.
+
+    The mart must have been written ``partitionBy("txn_date")``.  A
+    full rebuild and any sequence of incremental refreshes converge to
+    the same table (tests/test_marts.py proves it)."""
+    spark = txns.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    affected = new_txns.select(
+        F.to_date("created_at").alias("txn_date")
+    ).distinct()
+    scoped = txns.join(
+        affected,
+        F.to_date(txns.created_at) == affected.txn_date,
+        "left_semi",
+    )
+    recomputed = mart_daily_txn_volume(scoped, accounts)
+    (
+        recomputed.write.mode("overwrite")
+        .partitionBy("txn_date")
+        .parquet(gold_path)
+    )

@@ -721,3 +721,72 @@ def transfer_network_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_components"))
         .orderBy("n_accounts")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history (D-class mart op; J7 as-of complement)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_order_history",
+    oracle="""
+        WITH changes AS (
+            SELECT o_orderkey, o_totalprice, 'c' AS op,
+                   CAST(1 AS BIGINT) AS ts_ms
+            FROM orders WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice + 50.0, 'u', CAST(2 AS BIGINT)
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey, NULL, 'd', CAST(3 AS BIGINT)
+            FROM orders WHERE o_orderkey % 20 = 0
+        ), versioned AS (
+            SELECT o_orderkey, o_totalprice, op, ts_ms,
+                   lead(ts_ms) OVER (PARTITION BY o_orderkey
+                                     ORDER BY ts_ms, op) AS next_ts
+            FROM changes
+        )
+        SELECT o_orderkey, o_totalprice AS price, ts_ms AS valid_from_ms,
+               next_ts AS valid_to_ms,
+               (next_ts IS NULL) AS is_current
+        FROM versioned WHERE op <> 'd'
+    """,
+    survey_ids=("ST5", "J7", "W3", "W6"),
+)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 versioned dimension from a CDC change log: every image
+    becomes a (valid_from, valid_to, is_current) interval row, deletes
+    close intervals.  Synthesizes inserts/updates/deletes from orders
+    (key%5 inserted, %10 updated at ts 2, %20 deleted at ts 3), runs
+    them through the full envelope encode→parse→decode wire, then the
+    SCD2 window."""
+    orders = lake.load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "*", F.lit("c").alias("op"), F.lit(1).cast("long").alias("ts_ms")
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 50.0)
+        .select("*", F.lit("u").alias("op"), F.lit(2).cast("long").alias("ts_ms"))
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        "*", F.lit("d").alias("op"), F.lit(3).cast("long").alias("ts_ms")
+    )
+    wire = cdc.encode_envelope(
+        inserts.unionByName(updates).unionByName(deletes), "op", "ts_ms", "orders"
+    )
+    changes = cdc.decode(
+        cdc.parse_envelope(wire, inserts.drop("op", "ts_ms").schema),
+        ["o_orderkey"],
+    )
+    hist = cdc.scd2_history(changes, ["o_orderkey"])
+    return hist.select(
+        "o_orderkey",
+        F.col("image.o_totalprice").alias("price"),
+        "valid_from_ms",
+        "valid_to_ms",
+        "is_current",
+    )

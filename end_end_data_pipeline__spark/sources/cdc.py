@@ -171,3 +171,33 @@ def silver_banking(df: DataFrame, table: str) -> DataFrame:
     # declared-schema projection, not passthrough: silver columns are a contract
     target = schemas.BANKING[table]
     return out.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields])
+
+
+def scd2_history(changes: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Slowly-changing-dimension type 2: the full change log becomes
+    versioned history rows — one row per (key, version) with
+    ``valid_from_ms`` / ``valid_to_ms`` / ``is_current``.
+
+    The mart-layer complement to ``apply_latest_state`` (which keeps
+    only the latest image): auditing "what did this account look like
+    when the txn happened" joins transactions to this table with a
+    J7-style range predicate instead of losing history.
+
+    Deletes close the interval without emitting a version row.  One
+    window over (key, ts) — same shuffle as the latest-wins apply."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col("ts_ms"), F.col("op"))
+    versioned = changes.withColumn("__next_ts", F.lead("ts_ms").over(w)).withColumn(
+        "__next_op", F.lead("op").over(w)
+    )
+    return (
+        versioned.filter(F.col("op") != "d")
+        .select(
+            *key_cols,
+            F.col("after").alias("image"),
+            F.col("ts_ms").alias("valid_from_ms"),
+            F.coalesce(F.col("__next_ts"), F.lit(None).cast("long")).alias(
+                "valid_to_ms"
+            ),
+            F.col("__next_ts").isNull().alias("is_current"),
+        )
+    )

@@ -108,3 +108,53 @@ def test_rebuild_is_idempotent(built):
     marts.build_banking_marts(spark, out_root, n_customers=150)
     after = spark.read.parquet(paths["gold/customer_value"]).count()
     assert before == after
+
+
+def test_incremental_refresh_converges_to_full_rebuild(spark, tmp_path):
+    """Write the mart from old transactions, deliver new days
+    incrementally, and require exact convergence with a from-scratch
+    rebuild — while untouched date partitions' files stay physically
+    identical (dynamic overwrite only rewrote affected dates)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from end_end_data_pipeline__spark.sources import datagen
+
+    star = datagen.banking_star(spark, n_customers=120, txns_per_account=4)
+    txns, accounts = star["transactions"], star["accounts"]
+    cutoff = txns.approxQuantile("id", [0.7], 0.0)[0]
+    old, new = txns.filter(F.col("id") <= cutoff), txns.filter(F.col("id") > cutoff)
+
+    gold = str(tmp_path / "daily_vol")
+    marts.mart_daily_txn_volume(old, accounts).write.mode("overwrite").partitionBy(
+        "txn_date"
+    ).parquet(gold)
+
+    new_dates = {r["d"] for r in new.select(F.to_date("created_at").alias("d")).distinct().collect()}
+    untouched_before = {
+        p: sorted(os.listdir(os.path.join(gold, p)))
+        for p in os.listdir(gold)
+        if p.startswith("txn_date=")
+        and p.split("=", 1)[1] not in {str(d) for d in new_dates}
+    }
+
+    marts.refresh_daily_txn_volume(txns, accounts, new, gold)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(gold)
+        .select("txn_date", "txn_type", "currency", "status", "n_txns", "total_amount")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in marts.mart_daily_txn_volume(txns, accounts)
+        .select("txn_date", "txn_type", "currency", "status", "n_txns", "total_amount")
+        .collect()
+    )
+    assert got == want
+    # untouched partitions were not rewritten
+    for p, files in untouched_before.items():
+        assert sorted(os.listdir(os.path.join(gold, p))) == files
