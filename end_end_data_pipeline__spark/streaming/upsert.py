@@ -10,20 +10,37 @@ between upload and offset auto-commit re-emits whole batches
   Kafka source in production — both decode through ``sources.cdc``;
 - ``foreachBatch`` applies MERGE semantics per micro-batch:
   batch-internal latest-wins, then reconcile against the existing
-  lake state, then atomically overwrite only the affected partitions;
+  lake state, then dynamically overwrite only the affected
+  key-hash partitions;
 - the checkpoint gives exactly-once-per-sink on top of a replayed
   source (ST6/ST8) because the merge is idempotent: re-applying a
   batch yields the same state.
 
-At cluster scale the merge cost is bounded by the affected date
-partitions (partition pruning on the read-back), not the table size —
-the parquet-native equivalent of a Delta/Iceberg MERGE, with the same
-shuffle shape (hash on primary key).
+The target is laid out as ``p_bucket=<pmod(xxhash64(key), N)>``
+partitions.  Bucketing on the *key hash* (not an event date) makes the
+key→partition mapping immutable, so updates never migrate rows between
+partitions and a delete's partition is computable from the tombstone's
+key alone — no key→partition index needed.  Per micro-batch the merge
+reads back and rewrites only the buckets the batch's keys hash into:
+cost is ``O(table_size × touched_buckets / n_buckets)``, never
+``O(table_size)``.
+
+Crash model (plain parquet — no table format): the overwrite uses
+Spark's dynamic partition overwrite, which stages every new file and
+replaces partition directories only at job commit, so a crash
+mid-batch leaves untouched buckets intact and the root ``_SUCCESS``
+from the previous commit in place; the replayed batch then re-merges
+idempotently.  The remaining non-atomic window is the per-partition
+delete+rename inside commit itself — closing that needs a
+transactional table format (Delta/Iceberg), which this container
+doesn't ship; the policy here is to *detect* ambiguity (data present
+without a root ``_SUCCESS``) and refuse to guess, rather than silently
+treat it as absent state (which would re-seed the table from one
+batch and drop all previously merged keys).
 """
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,38 +49,131 @@ from pyspark.sql import types as T
 
 from end_end_data_pipeline__spark.sources import cdc
 
+BUCKET_COL = "p_bucket"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API — works
+    on local paths, HDFS, and s3a alike (unlike ``os.path``, which
+    silently reports False for any remote filesystem)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _target_state(spark: SparkSession, target_path: str) -> str:
+    """'absent' | 'committed' | error.
+
+    - no directory, or a directory holding only hidden/temporary
+      entries (debris from a job that crashed before any commit) →
+      'absent';
+    - directory with data and a root ``_SUCCESS`` → 'committed';
+    - data WITHOUT ``_SUCCESS`` → RuntimeError: the table is in an
+      ambiguous half-committed state and merging on top of it could
+      lose rows; an operator must repair/restore first.
+    """
+    fs, jpath = _hadoop_fs(spark, target_path)
+    if not fs.exists(jpath):
+        return "absent"
+    entries = [s.getPath().getName() for s in fs.listStatus(jpath)]
+    data = [e for e in entries if not e.startswith(("_", "."))]
+    if not data:
+        return "absent"
+    if "_SUCCESS" in entries:
+        return "committed"
+    raise RuntimeError(
+        f"CDC merge target {target_path!r} contains data but no _SUCCESS "
+        "marker: a previous overwrite was interrupted mid-commit. Refusing "
+        "to merge (treating this as absent state would silently drop all "
+        "previously merged rows). Restore the partition directories or "
+        "remove the target to re-seed."
+    )
+
 
 def merge_batch(
     batch: DataFrame,
     target_path: str,
     key_cols: list[str],
     version_col: str = "ts_ms",
+    n_buckets: int = 64,
 ) -> None:
     """Idempotent latest-wins merge of decoded change rows into a
-    parquet target.
+    hash-bucket-partitioned parquet target.
 
     ``batch`` must carry (key..., op, ts_ms, after) as produced by
-    ``cdc.decode``.  Existing state is read back as synthetic 'c'
-    changes at version −∞ so one window pass resolves everything.
+    ``cdc.decode``.  Existing state *of the affected buckets only* is
+    read back as synthetic 'c' changes at version −∞ so one window
+    pass resolves everything; the write dynamically overwrites only
+    those buckets.  ``n_buckets`` must stay constant for the lifetime
+    of a target path (it defines the layout).
     """
     spark = batch.sparkSession
-    exists = os.path.exists(os.path.join(target_path, "_SUCCESS"))
-    if exists:
-        current = spark.read.parquet(target_path)
+    bucket_of = lambda cols: F.pmod(F.xxhash64(*cols), F.lit(n_buckets))  # noqa: E731
+    state = _target_state(spark, target_path)
+    if state == "committed":
+        # buckets this batch touches — ≤ n_buckets scalar values
+        affected = sorted(
+            r[0]
+            for r in batch.select(
+                bucket_of([F.col(k) for k in key_cols]).alias(BUCKET_COL)
+            )
+            .distinct()
+            .collect()
+        )
+        current = (
+            spark.read.parquet(target_path)
+            .where(F.col(BUCKET_COL).isin(affected))  # partition pruning
+            .drop(BUCKET_COL)
+        )
         as_changes = current.select(
             *[F.col(k) for k in key_cols],
             F.lit("c").alias("op"),
-            F.lit(-1).cast("long").alias("ts_ms"),
+            F.lit(-1).cast("long").alias(version_col),
             F.struct(*[F.col(c) for c in current.columns]).alias("after"),
         )
         all_changes = batch.unionByName(as_changes)
     else:
+        affected = None  # first write: every emitted bucket is new
         all_changes = batch
-    new_state = cdc.apply_latest_state(all_changes, key_cols)
-    # overwrite atomically via temp dir then swap is unnecessary locally:
-    # Spark's file commit protocol stages to _temporary; but reading and
-    # overwriting the same path needs a materialization barrier → localCheckpoint.
-    new_state.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+    new_state = cdc.apply_latest_state(all_changes, key_cols).withColumn(
+        BUCKET_COL, bucket_of(key_cols)
+    )
+    # reading and overwriting the same partitions needs a materialization
+    # barrier → localCheckpoint (bounded by the affected buckets' size).
+    materialized = new_state.localCheckpoint(eager=True)
+    (
+        materialized.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(target_path)
+    )
+    if affected:
+        # dynamic overwrite only replaces buckets present in the OUTPUT;
+        # a bucket whose every key was deleted emits no rows and would
+        # keep its stale files — drop those directories explicitly.
+        surviving = {
+            r[0] for r in materialized.select(BUCKET_COL).distinct().collect()
+        }
+        fs, _ = _hadoop_fs(spark, target_path)
+        for b in affected:
+            if b not in surviving:
+                fs.delete(
+                    spark._jvm.org.apache.hadoop.fs.Path(
+                        f"{target_path}/{BUCKET_COL}={b}"
+                    ),
+                    True,
+                )
+    # The dynamic-overwrite commit protocol does not emit a root
+    # _SUCCESS, so the merge writes its own commit marker LAST — its
+    # presence certifies "merge fully applied, including dead-bucket
+    # cleanup".  A crash anywhere before this line leaves the marker
+    # from the previous commit (untouched buckets valid, replay
+    # converges) or, in the narrow window where the marker is the
+    # previous one but commit half-applied, an idempotent re-merge.
+    fs, _ = _hadoop_fs(spark, target_path)
+    marker = spark._jvm.org.apache.hadoop.fs.Path(f"{target_path}/_SUCCESS")
+    fs.create(marker, True).close()
 
 
 def stream_cdc_file_source(

@@ -141,6 +141,86 @@ def test_upsert_merge_idempotent_replay(spark):
     assert state[1] == 99.0
 
 
+def test_merge_batch_rewrites_only_affected_buckets(spark, tmp_path):
+    """The merge must be partition-scoped: a micro-batch touching one
+    key rewrites only that key's hash bucket — every other bucket's
+    files are bit-for-bit untouched (same paths, same mtimes)."""
+    import glob
+
+    target = str(tmp_path / "target")
+    n_buckets = 8
+    base = [_tx_envelope(i, float(i), "c", 100) for i in range(1, 33)]
+    raw = spark.createDataFrame([(l,) for l in base], ["value"])
+    merge_batch(
+        cdc.decode(cdc.parse_envelope(raw, schemas.cdc_row_schema("transactions")), ["id"]),
+        target, ["id"], n_buckets=n_buckets,
+    )
+    bucket_dirs = sorted(glob.glob(os.path.join(target, "p_bucket=*")))
+    assert len(bucket_dirs) > 1  # 32 keys spread over 8 buckets
+
+    def listing(d):
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        }
+
+    before = {d: listing(d) for d in bucket_dirs}
+
+    upd = spark.createDataFrame([(_tx_envelope(1, 999.0, "u", 500),)], ["value"])
+    batch2 = cdc.decode(
+        cdc.parse_envelope(upd, schemas.cdc_row_schema("transactions")), ["id"]
+    )
+    touched = batch2.selectExpr(f"pmod(xxhash64(id), {n_buckets}) b").first()["b"]
+    merge_batch(batch2, target, ["id"], n_buckets=n_buckets)
+
+    for d in bucket_dirs:
+        if d.endswith(f"p_bucket={touched}"):
+            assert listing(d) != before[d]  # rewritten
+        else:
+            assert listing(d) == before[d], f"untouched bucket rewritten: {d}"
+    state = {r["id"]: r["amount"] for r in spark.read.parquet(target).collect()}
+    assert state[1] == 999.0 and len(state) == 32
+
+
+def test_merge_batch_drops_fully_deleted_bucket(spark, tmp_path):
+    """A bucket whose only key is tombstoned must lose its partition
+    dir (dynamic overwrite alone would leave the stale files)."""
+    import glob
+
+    target = str(tmp_path / "target")
+    raw = spark.createDataFrame([(_tx_envelope(7, 7.0, "c", 100),)], ["value"])
+    dec = lambda df: cdc.decode(  # noqa: E731
+        cdc.parse_envelope(df, schemas.cdc_row_schema("transactions")), ["id"]
+    )
+    merge_batch(dec(raw), target, ["id"], n_buckets=4)
+    assert len(glob.glob(os.path.join(target, "p_bucket=*"))) == 1
+
+    tomb = spark.createDataFrame([(_tx_envelope(7, None, "d", 200),)], ["value"])
+    merge_batch(dec(tomb), target, ["id"], n_buckets=4)
+    assert glob.glob(os.path.join(target, "p_bucket=*")) == []
+    # and a later insert re-seeds cleanly on the emptied table
+    re_ins = spark.createDataFrame([(_tx_envelope(8, 8.0, "c", 300),)], ["value"])
+    merge_batch(dec(re_ins), target, ["id"], n_buckets=4)
+    assert {r["id"] for r in spark.read.parquet(target).collect()} == {8}
+
+
+def test_merge_batch_refuses_ambiguous_target(spark, tmp_path):
+    """Data present without a root _SUCCESS marker = interrupted
+    commit; merging on top could lose rows, so it must raise."""
+    import pytest
+
+    target = str(tmp_path / "target")
+    raw = spark.createDataFrame([(_tx_envelope(1, 1.0, "c", 100),)], ["value"])
+    batch = cdc.decode(
+        cdc.parse_envelope(raw, schemas.cdc_row_schema("transactions")), ["id"]
+    )
+    merge_batch(batch, target, ["id"])
+    os.remove(os.path.join(target, "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        merge_batch(batch, target, ["id"])
+
+
 def test_stream_cdc_file_source_end_to_end(spark):
     """File-source CDC stream → checkpointed foreachBatch merge →
     restart with new data resumes from the checkpoint (no reprocess)."""
