@@ -16,8 +16,19 @@ Scale design: every variant avoids the O(n²) cross join —
 - embedding near-dup: cosine threshold over LSH/bucketed candidates
   (see ``operators.similarity``).
 
-All shuffles key on shingle/band/chunk values — uniformly distributed
-by construction (hashes), so no skew at 100 TB.
+Shuffle-key skew: MinHash band hashes and SimHash chunk values are
+uniformly distributed by construction (hashes).  Raw shingles are NOT —
+natural-language n-grams are Zipfian, and a shingle occurring in m
+documents emits O(m²) candidate pairs from the inverted-index self-join.
+``ngram_jaccard_pairs`` therefore takes a ``max_shingle_df`` cap: the
+index drops shingles whose document frequency exceeds it *for candidate
+generation only*, and candidates are then verified against the FULL
+shingle sets, so reported Jaccard values stay exact.  The cap bounds
+worst-case pair fan-out at ``max_shingle_df²`` per shingle; a pair is
+missed only if every shingle it shares is hotter than the cap — for
+near-dups (≥ 0.5 Jaccard over 3-grams) that requires the pair to be
+built entirely from boilerplate, the standard accepted trade
+(df-capping as in common LLM-dedup pipelines).
 """
 
 from __future__ import annotations
@@ -73,11 +84,45 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     )
 
 
+def _verify_exact_jaccard(
+    candidates: DataFrame, doc_shingle_sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over full shingle sets for candidate (doc_a, doc_b)
+    pairs — shared verification tail of the LSH and df-capped paths.
+    Joins key on doc ids (uniform), cost ∝ candidates, never n²."""
+    ds = doc_shingle_sets
+    return (
+        candidates.join(
+            ds.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a"
+        )
+        .join(ds.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram sets for every pair
     sharing ≥ 1 shingle (inverted-index join — never a cross join).
+
+    ``max_shingle_df`` bounds the Zipf-skew tail: shingles appearing in
+    more than that many documents are dropped from the index *before*
+    the self-join (each contributes O(df²) pairs), and the surviving
+    candidates are verified against full shingle sets so the Jaccard
+    values are still exact.  ``None`` keeps every shingle (exact
+    recall, unbounded hot-key fan-out — small corpora only).
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     """
@@ -88,7 +133,80 @@ def ngram_jaccard_pairs(
     inv = explode_safe(
         _doc_shingles(df, text_col, id_col, n), ["doc"], F.col("sh"), "shingle"
     )
+    if max_shingle_df is not None:
+        # the capped path reads the index five times (sizes, df-count,
+        # anti-join both sides, hot-sets) — materialize it once instead
+        # of re-running tokenize+shingle+explode per consumer.  This is
+        # the classic "build the inverted index" stage of a dedup
+        # pipeline: linear in corpus size, spills to local disk.
+        inv = inv.localCheckpoint(eager=False)
     sizes = inv.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    if max_shingle_df is not None:
+        # df per shingle via groupBy (map-side combinable, so hot shingles
+        # cost one partial count per mapper, not a single giant partition);
+        # the anti-join dropping them is linear and AQE-skew-splittable.
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
+        capped = inv.join(hot, "shingle", "left_anti")
+        a, b = capped.alias("a"), capped.alias("b")
+        # per-pair count of shared RARE shingles — the only self-join,
+        # and its worst key fans out ≤ max_shingle_df² pairs
+        rare_common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count("*").alias("rare_common"))
+        )
+        # each doc's (small) set of hot shingles, joined back per pair so
+        # the reported jaccard still counts hot shingles — values stay
+        # EXACT; only pairs sharing no rare shingle are skipped.
+        doc_hot = (
+            inv.join(hot, "shingle")
+            .groupBy("doc")
+            .agg(F.collect_set("shingle").alias("hotset"))
+        )
+        no_hot = F.array().cast("array<string>")
+        paired = (
+            rare_common.join(
+                sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a"
+            )
+            .join(
+                sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b"
+            )
+            .join(
+                doc_hot.select(F.col("doc").alias("doc_a"), F.col("hotset").alias("hot_a")),
+                "doc_a",
+                "left",
+            )
+            .join(
+                doc_hot.select(F.col("doc").alias("doc_b"), F.col("hotset").alias("hot_b")),
+                "doc_b",
+                "left",
+            )
+            .withColumn(
+                "common",
+                F.col("rare_common")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("hot_a"), no_hot),
+                        F.coalesce(F.col("hot_b"), no_hot),
+                    )
+                ),
+            )
+        )
+        jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+        return (
+            paired.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(
@@ -176,19 +294,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification of candidates only
-    ds = _doc_shingles(df, text_col, id_col, n)
-    verified = (
-        candidates.join(ds.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(ds.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
-        )
-        .filter(F.col("jaccard") >= verify_threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    return _verify_exact_jaccard(
+        candidates, _doc_shingles(df, text_col, id_col, n), verify_threshold
     )
-    return verified
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

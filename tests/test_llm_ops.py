@@ -22,6 +22,44 @@ def emb(spark):
     return lake.load_table(spark, "embeddings", SF_SMOKE).cache()
 
 
+def test_ngram_df_cap_preserves_output_above_max_df(spark, docs):
+    """With the cap above the corpus's max shingle df, the df-capped
+    path must emit exactly the uncapped pairs AND exact values."""
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id").collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", max_shingle_df=10_000
+        ).collect()
+    }
+    assert uncapped and capped == uncapped
+
+
+def test_ngram_df_cap_drops_boilerplate_only_pairs(spark):
+    """A hot shingle above the cap generates no candidates; pairs whose
+    similarity rests on a rare shingle survive with EXACT jaccard
+    (verification uses full sets, including the hot shingle)."""
+    boiler = "terms of service apply here"
+    rows = [(i, boiler) for i in range(10)]  # identical boilerplate docs
+    rows += [(100, boiler + " unique alpha beta"),
+             (101, boiler + " unique alpha gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.3, max_shingle_df=5
+        ).collect()
+    }
+    # every pure-boilerplate pair shares only shingles with df >= 12 -> dropped
+    assert all(a >= 100 for a, _ in out), out
+    # 100/101 share rare shingles ('apply here unique', ...) -> kept, and
+    # the jaccard counts the hot shingles too: |A∩B|=5 of |A∪B|=7
+    assert out.get((100, 101)) == pytest.approx(5 / 7)
+
+
 def test_minhash_lsh_recall_vs_exact(spark, docs):
     """Every exact-jaccard pair ≥ 0.7 must be found by the banded LSH
     (32/8 S-curve ⇒ ~99.9% collision at j=0.7; the fixture is fixed, so
