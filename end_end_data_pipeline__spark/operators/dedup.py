@@ -328,15 +328,23 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return agg.select("doc", sig.alias("simhash"))
 
 
-def simhash_neardup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+def simhash_chunk_candidates(
+    sig: DataFrame, n_chunks: int, chunk_width: int
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+    """Candidate (doc_a, doc_b, sig_a, sig_b) pairs agreeing on ≥ 1 of
+    ``n_chunks`` disjoint ``chunk_width``-bit chunks of the signature.
 
-    Candidates via the pigeonhole principle: split 64 bits into 4
-    16-bit chunks; any pair within hamming ≤ 3 agrees on ≥ 1 chunk, so
-    an equi-join per chunk finds all of them without a cross join."""
-    sig = simhash(df, text_col, id_col)
+    Bucket-size bound: with ~uniform signatures each (chunk, value)
+    bucket holds ~n/2^chunk_width documents, so expected candidates are
+    ~n² · n_chunks / 2^chunk_width — pick ``chunk_width`` ≥
+    log2(n_docs) + slack to keep the join near-linear at corpus scale
+    (w=16 is fine to ~10⁶ docs; beyond that widen the chunks, e.g.
+    max_hamming=1 → 2×32-bit, or pre-shard the corpus)."""
+    if not (1 <= chunk_width <= 63 and n_chunks >= 1):
+        raise ValueError(f"bad chunking {n_chunks}x{chunk_width}")
+    if n_chunks * chunk_width > 64:
+        raise ValueError(f"{n_chunks}x{chunk_width}-bit chunks exceed 64 bits")
+    mask = (1 << chunk_width) - 1
     chunks = sig.select(
         "doc",
         "simhash",
@@ -344,16 +352,16 @@ def simhash_neardup_pairs(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftright(F.col("simhash"), c * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("simhash"), c * chunk_width)
+                    .bitwiseAND(F.lit(mask))
                     .alias("cv"),
                 )
-                for c in range(4)
+                for c in range(n_chunks)
             ])
         ).alias("x"),
     ).select("doc", "simhash", "x.chunk", "x.cv")
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -368,6 +376,41 @@ def simhash_neardup_pairs(
         )
         .distinct()
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+    chunk_width: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidates via the pigeonhole principle: with ``n_chunks`` disjoint
+    chunks and ≤ max_hamming differing bits, the differing bits can
+    touch at most max_hamming chunks, so any qualifying pair agrees on
+    ≥ 1 chunk whenever ``n_chunks ≥ max_hamming + 1`` — an equi-join
+    per chunk finds all of them without a cross join, then exact
+    ``bit_count(xor)`` verification filters false positives.
+
+    Defaults: ``n_chunks = max_hamming + 1`` (the widest — and
+    therefore lowest-collision — chunking that still guarantees
+    recall) with ``chunk_width = 64 // n_chunks``; see
+    :func:`simhash_chunk_candidates` for the n/2^width bucket bound."""
+    k = n_chunks if n_chunks is not None else max_hamming + 1
+    if k < max_hamming + 1:
+        raise ValueError(
+            f"n_chunks={k} cannot guarantee recall at max_hamming={max_hamming}"
+            f" (needs ≥ {max_hamming + 1})"
+        )
+    # k=1 (exact-dup mode) uses a 63-bit chunk: Spark longs are signed,
+    # so a full 64-bit mask is inexpressible — hamming-0 pairs still
+    # agree on bits 0..62, and verification handles bit 63.
+    w = chunk_width if chunk_width is not None else (63 if k == 1 else 64 // k)
+    sig = simhash(df, text_col, id_col)
+    cand = simhash_chunk_candidates(sig, k, w)
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.withColumn("hamming", ham)

@@ -60,6 +60,32 @@ def test_ngram_df_cap_drops_boilerplate_only_pairs(spark):
     assert out.get((100, 101)) == pytest.approx(5 / 7)
 
 
+def test_simhash_chunk_candidates_near_linear(spark):
+    """Structural bound of the pigeonhole candidate join: with n docs
+    of ~uniform signatures, candidates ≈ n²·k/2^w — far below n²/2 for
+    w=16, and narrowing the chunks (same bits, w=8) must inflate the
+    candidate set, demonstrating why width is the scale knob."""
+    n = 2000
+    sig = spark.range(n).select(
+        F.col("id").alias("doc"), F.xxhash64("id").alias("simhash")
+    )
+    n_wide = dedup.simhash_chunk_candidates(sig, 4, 16).count()
+    # expected ~ n^2/2 * 4/65536 ≈ 122; near-linear means O(n), not O(n²)
+    assert n_wide < 5 * n, n_wide
+    n_narrow = dedup.simhash_chunk_candidates(sig, 8, 8).count()
+    # 8-bit buckets hold n/256 docs each -> quadratic tail shows up
+    assert n_narrow > 20 * n_wide, (n_narrow, n_wide)
+
+
+def test_simhash_chunking_validation(spark):
+    sig = spark.range(4).select(F.col("id").alias("doc"), F.xxhash64("id").alias("simhash"))
+    with pytest.raises(ValueError, match="exceed 64"):
+        dedup.simhash_chunk_candidates(sig, 5, 16)
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="cannot guarantee recall"):
+        dedup.simhash_neardup_pairs(df, "text", "doc_id", max_hamming=3, n_chunks=2)
+
+
 def test_minhash_lsh_recall_vs_exact(spark, docs):
     """Every exact-jaccard pair ≥ 0.7 must be found by the banded LSH
     (32/8 S-curve ⇒ ~99.9% collision at j=0.7; the fixture is fixed, so
