@@ -232,18 +232,57 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 32
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(shingle, i).  One explode + one hash-agg with
-    ``num_hashes`` min() columns — map-side combinable, no UDF."""
+    hash_i(shingle).  One explode + one hash-agg with ``num_hashes``
+    min() columns — map-side combinable, no UDF.
+
+    ``hash_family``: 'xxhash64' (JVM-intrinsic longs — the scale
+    default) or 'md5' (two md5-derived 52-bit longs per shingle
+    expanded to ``num_hashes`` functions via Kirsch–Mitzenmacher
+    double hashing ``h1 + i·h2`` — exact integer arithmetic that is
+    bit-identical in DuckDB, so the operator's output is
+    oracle-checkable across engines at ~the cost of two md5 calls;
+    13 hex digits keep ``h1 + (num_hashes−1)·h2 < 2^57``, overflow-free
+    in signed 64-bit on both engines)."""
     inv = explode_safe(
         _doc_shingles(df, text_col, id_col, n), ["doc"], F.col("sh"), "shingle"
     )
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "md5":
+        if num_hashes > 128:
+            raise ValueError("md5 family caps num_hashes at 128 (overflow bound)")
+        h52 = lambda seed: F.conv(  # noqa: E731
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col("shingle")).cast("binary")), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        # Generate barrier: evaluate the two md5s ONCE per index row —
+        # inlined they would re-run inside all num_hashes min() exprs
+        inv = explode_safe(
+            inv,
+            ["doc"],
+            F.array(F.struct(h52("1:").alias("h1"), h52("2:").alias("h2"))),
+            "hh",
+        ).select("doc", F.col("hh.h1").alias("h1"), F.col("hh.h2").alias("h2"))
+        mins = [
+            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_family == "xxhash64":
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     return inv.groupBy("doc").agg(*mins)
 
 
@@ -255,6 +294,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     verify_threshold: float = 0.5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
 
@@ -264,14 +304,26 @@ def minhash_lsh_pairs(
     verified with exact shingle Jaccard, so output precision is exact;
     only recall is probabilistic (LSH guarantee).
 
+    ``hash_family='md5'`` keeps every hash DuckDB-replicable (see
+    :func:`minhash_signatures`); the band key is then the
+    ``'|'``-joined signature slice instead of an xxhash64 of it.
+
     Output: (doc_a, doc_b, jaccard ≥ verify_threshold).
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_cols = [
-        F.xxhash64(*[F.col(f"h{b * r + i}") for i in range(r)]).alias(f"band{b}")
-        for b in range(bands)
-    ]
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_family)
+    if hash_family == "md5":
+        band_cols = [
+            F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)]).alias(
+                f"band{b}"
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(*[F.col(f"h{b * r + i}") for i in range(r)]).alias(f"band{b}")
+            for b in range(bands)
+        ]
     banded = sig.select("doc", *band_cols)
     unpivot = banded.select(
         "doc",
@@ -299,27 +351,56 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document: each token votes ±1 on every bit of
-    its xxhash64; signature bit = sign of the vote sum.
+def simhash_bits(hash_family: str) -> int:
+    """Signature width per hash family: 64 for xxhash64; 60 for md5
+    (15 hex digits — keeps the value positive in SIGNED 64-bit longs
+    so shifts and chunk masks behave identically in Spark and DuckDB)."""
+    return {"xxhash64": 64, "md5": 60}[hash_family]
 
-    Pure columnar form: explode tokens → 64 conditional-sum aggregates
-    → recombine bits.  (doc, simhash long)."""
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, hash_family: str = "xxhash64"
+) -> DataFrame:
+    """SimHash per document: each token votes ±1 on every bit of its
+    hash; signature bit = sign of the vote sum.
+
+    Pure columnar form: explode tokens → per-bit conditional-sum
+    aggregates → recombine bits.  (doc, simhash long).
+
+    ``hash_family='md5'`` derives a 60-bit token hash from the first 15
+    hex digits of ``md5(token)`` — reproducible in DuckDB (the oracle
+    path), vs. the JVM-intrinsic 64-bit xxhash64 scale default."""
+    n_bits = simhash_bits(hash_family)
     tok = explode_safe(
         df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks")),
         ["doc"],
         F.col("__toks"),
         "t",
-    ).withColumn("h", F.xxhash64("t"))
+    )
+    if hash_family == "md5":
+        # Generate barrier: evaluate md5+conv ONCE per token — inlined,
+        # CollapseProject would re-evaluate it inside all 60 vote exprs
+        tok = explode_safe(
+            tok,
+            ["doc"],
+            F.array(
+                F.conv(
+                    F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10
+                ).cast("long")
+            ),
+            "h",
+        )
+    else:
+        tok = tok.withColumn("h", F.xxhash64("t"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = tok.groupBy("doc").agg(*votes)
     sig = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -385,6 +466,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     n_chunks: int | None = None,
     chunk_width: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
@@ -405,11 +487,12 @@ def simhash_neardup_pairs(
             f"n_chunks={k} cannot guarantee recall at max_hamming={max_hamming}"
             f" (needs ≥ {max_hamming + 1})"
         )
-    # k=1 (exact-dup mode) uses a 63-bit chunk: Spark longs are signed,
-    # so a full 64-bit mask is inexpressible — hamming-0 pairs still
-    # agree on bits 0..62, and verification handles bit 63.
-    w = chunk_width if chunk_width is not None else (63 if k == 1 else 64 // k)
-    sig = simhash(df, text_col, id_col)
+    n_bits = simhash_bits(hash_family)
+    # k=1 (exact-dup mode) caps the chunk at 63 bits: Spark longs are
+    # signed, so a full 64-bit mask is inexpressible — hamming-0 pairs
+    # still agree on bits 0..62, and verification handles bit 63.
+    w = chunk_width if chunk_width is not None else min(n_bits // k, 63)
+    sig = simhash(df, text_col, id_col, hash_family)
     cand = simhash_chunk_candidates(sig, k, w)
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (

@@ -185,32 +185,158 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_CTE = """
+        ds AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   )) AS sh
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 3
+        )"""
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8, thr: float = 0.5) -> str:
+    """DuckDB replica of ``dedup.minhash_lsh_pairs(hash_family='md5')``:
+    identical seeded-md5 min-signatures, identical '|'-joined band
+    keys, identical exact-Jaccard verification — so even the
+    probabilistic candidate set is deterministic and hash-checkable."""
+    r = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(h1 + {i} * h2) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bh FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(h{b * r + i} AS VARCHAR)" for i in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_SHINGLE_CTE},
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM ds),
+        hh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('1:' || s), 1, 13))::BIGINT AS h1,
+                   ('0x' || substr(md5('2:' || s), 1, 13))::BIGINT AS h2
+            FROM inv
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM hh GROUP BY doc_id
+        ),
+        bands AS (
+            {band_rows}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                 AS jaccard
+        FROM cand c
+        JOIN ds x ON x.doc_id = c.doc_a
+        JOIN ds y ON y.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {thr}
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3, n_bits: int = 60) -> str:
+    """DuckDB replica of ``dedup.simhash_neardup_pairs(hash_family=
+    'md5')``: 60-bit token hash = first 15 hex digits of md5, per-bit
+    ±1 votes, sign recombination, 4×15-bit pigeonhole chunk join,
+    exact hamming verify."""
+    k = max_hamming + 1
+    w = n_bits // k
+    mask = (1 << w) - 1
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    sig_terms = "\n                 + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(n_bits)
+    )
+    chunk_rows = "\n            UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, (simhash >> {c * w}) & {mask} AS cv FROM sig"
+        for c in range(k)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {votes}
+            FROM th GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT doc_id,
+                 {sig_terms} AS simhash
+            FROM votes
+        ),
+        chunks AS (
+            {chunk_rows}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sig_a, b.simhash AS sig_b
+            FROM chunks a JOIN chunks b
+              ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
 @register(
     "dedup_minhash_lsh_pairs",
-    oracle=None,  # probabilistic recall — verified vs exact jaccard in tests
+    oracle=_minhash_oracle(),
     survey_ids=("UD6", "J8", "J9"),
     bench=True,
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (32 perms) banded-LSH (8×4) candidates, exact-verified at
     jaccard ≥ 0.5 — the 100 TB near-dedup path: cost scales with
-    colliding pairs, not n²."""
+    colliding pairs, not n².  Runs the md5 hash family so the full
+    pipeline (signatures → band keys → candidates → verify) is
+    bit-replicated by the DuckDB oracle; the xxhash64 family is the
+    faster in-engine default."""
     docs = lake.load_table(spark, "documents", sf_dir)
     return dedup.minhash_lsh_pairs(
-        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, verify_threshold=0.5
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        verify_threshold=0.5, hash_family="md5",
     )
 
 
 @register(
     "dedup_simhash_neardup",
-    oracle=None,  # signature-collision candidates — structure-tested
+    oracle=_simhash_oracle(),
     survey_ids=("UD6",),
 )
 def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (hamming ≤ 3) via 16-bit pigeonhole
-    chunk join."""
+    """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole chunk join —
+    md5 hash family (60-bit signatures, 4×15-bit chunks), making the
+    signature arithmetic and the candidate join DuckDB-replicable."""
     docs = lake.load_table(spark, "documents", sf_dir)
-    return dedup.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3)
+    return dedup.simhash_neardup_pairs(
+        docs, "text", "doc_id", max_hamming=3, hash_family="md5"
+    )
 
 
 # ---------------------------------------------------------------------------
