@@ -81,18 +81,16 @@ def extract_features(
     """Arrow-batched feature extraction over binary payloads.
 
     ``decoder='fake'`` → deterministic byte-histogram features (tests).
-    ``decoder='image'`` → real decode via PIL — STUB: raises
-    ``NotImplementedError`` in this container (no imaging libs); the
-    iterator/batch plumbing is identical either way.
+    ``decoder='image'`` → STUB, unconditionally ``NotImplementedError``:
+    the real PIL decode path is not written, so it must never silently
+    hand back stand-in features as if they were image embeddings.  The
+    iterator/batch plumbing below is the real, tested surface.
     """
-    if decoder == "image":
-        try:
-            import PIL  # noqa: F401
-        except ImportError as e:  # pragma: no cover - container has no PIL
-            raise NotImplementedError(
-                "real image decode requires PIL/pillow; use decoder='fake' "
-                "for the deterministic stand-in"
-            ) from e
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder={decoder!r} decode path is not implemented (stub); "
+            "use decoder='fake' for the deterministic stand-in"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -121,14 +119,15 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def _require_codec(decoder: str, lib: str) -> None:
+    """Non-fake decoders are STUBS: raise unconditionally (a present
+    ``lib`` must not flip the operator into silently returning fake
+    output as if it were a real decode)."""
     if decoder != "fake":
-        try:
-            __import__(lib)
-        except ImportError as e:  # pragma: no cover - container has no codecs
-            raise NotImplementedError(
-                f"real {decoder} decode requires {lib}; use decoder='fake' "
-                "for the deterministic stand-in"
-            ) from e
+        raise NotImplementedError(
+            f"decoder={decoder!r} decode path is not implemented (stub; "
+            f"a real implementation would use {lib}); use decoder='fake' "
+            "for the deterministic stand-in"
+        )
 
 
 def resize_images(

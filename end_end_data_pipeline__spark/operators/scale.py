@@ -43,7 +43,18 @@ def salted_join(
     exploded once per salt value.  The join key becomes
     (key, salt) — hot keys spread over ``salt_factor`` partitions.
 
-    Result is column-identical to ``big.join(small, key, how)``."""
+    Result is column-identical to ``big.join(small, key, how)`` for
+    ``how`` in {inner, left, left_semi, left_anti} — the joins where
+    unmatched SMALL-side rows are never emitted.  Right/full outer are
+    rejected: the small side is replicated ``salt_factor`` ways, so
+    every unmatched small row would appear ``salt_factor`` times."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): only {sorted(allowed)} preserve "
+            "plain-join semantics under small-side replication"
+        )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(salt_source), F.lit(salt_factor)).cast("int")
     )

@@ -744,7 +744,10 @@ def transfer_network_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), versioned AS (
             SELECT o_orderkey, o_totalprice, op, ts_ms,
                    lead(ts_ms) OVER (PARTITION BY o_orderkey
-                                     ORDER BY ts_ms, op) AS next_ts
+                                     ORDER BY ts_ms,
+                                              CASE op WHEN 'd' THEN 3
+                                                      WHEN 'u' THEN 2
+                                                      ELSE 1 END) AS next_ts
             FROM changes
         )
         SELECT o_orderkey, o_totalprice AS price, ts_ms AS valid_from_ms,

@@ -184,8 +184,18 @@ def scd2_history(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     J7-style range predicate instead of losing history.
 
     Deletes close the interval without emitting a version row.  One
-    window over (key, ts) — same shuffle as the latest-wins apply."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col("ts_ms"), F.col("op"))
+    window over (key, ts) — same shuffle as the latest-wins apply.
+    Same-ts_ms ties order by the SAME op rank as ``apply_latest_state``
+    (c < u < d ascending here ≡ d > u > c descending there), so history
+    and latest-state agree on which change wins a simultaneous pair —
+    e.g. a delete and an update sharing ts_ms: both views resolve to
+    the delete."""
+    op_rank = (
+        F.when(F.col("op") == "d", 3)
+        .when(F.col("op") == "u", 2)
+        .otherwise(1)
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col("ts_ms"), op_rank)
     versioned = changes.withColumn("__next_ts", F.lead("ts_ms").over(w)).withColumn(
         "__next_op", F.lead("op").over(w)
     )

@@ -202,13 +202,39 @@ def transactions(accounts_df: DataFrame, per_account: int = 4, seed: str = "s42"
         F.col("acct_created_at"),
         F.timestamp_seconds(F.lit(EPOCH_2025)),
     )
+    # counterparty FK (reference generator.py:296-304 picks from the
+    # EXISTING account pool; FK constraint SCHEMA.sql on
+    # related_account_id).  Account ids are customer_id*16 + slot with
+    # slot < n_accts(customer) — n_accts is re-derivable from the
+    # customer id (same seeded expression accounts() uses), so both
+    # branches can land on a provably existing account:
+    # - same-customer: sibling slot modulo this customer's n_accts;
+    # - any-customer: uniform customer draw in [1, max_customer_id]
+    #   (1-row broadcast-joined aggregate — no driver round-trip),
+    #   then a slot modulo THAT customer's n_accts.
+    def n_accts_of(cust: Column) -> Column:
+        return 1 + (_u(cust, seed + "na") * 4).cast("int")
+
+    max_cust = accounts_df.agg(
+        F.max("customer_id").alias("__max_cust")
+    ).withColumn("__one", F.lit(1))
+    exploded = exploded.withColumn("__one", F.lit(1)).join(
+        F.broadcast(max_cust), "__one"
+    ).drop("__one")
+    other_cust = F.least(
+        (_u(txn_seed, seed + "oth") * F.col("__max_cust")).cast("long") + 1,
+        F.col("__max_cust"),
+    )
     related = F.when(
         txn_type == "TRANSFER",
-        # 40% same-customer: pick a sibling slot; else any account id
         F.when(
             _u(txn_seed, seed + "sc") < 0.40,
-            F.col("customer_id") * 16 + (_u(txn_seed, seed + "sib") * 4).cast("long"),
-        ).otherwise((_u(txn_seed, seed + "oth") * 10000).cast("long") + 1),
+            F.col("customer_id") * 16
+            + (_u(txn_seed, seed + "sib") * n_accts_of(F.col("customer_id"))).cast("long"),
+        ).otherwise(
+            other_cust * 16
+            + (_u(txn_seed, seed + "slt") * n_accts_of(other_cust)).cast("long")
+        ),
     )
     return exploded.select(
         txn_seed.alias("id"),

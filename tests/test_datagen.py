@@ -84,6 +84,37 @@ def test_transfers_have_counterparty(star):
     ).count() == 0
 
 
+def test_related_account_fk_resolves(star):
+    # the counterparty FK must land on an EXISTING account — both the
+    # same-customer sibling branch and the any-customer branch
+    # (SCHEMA.sql FK on related_account_id; generator.py:296-304)
+    transfers = star["transactions"].filter(F.col("related_account_id").isNotNull())
+    orphans = transfers.join(
+        star["accounts"],
+        transfers.related_account_id == star["accounts"].id,
+        "left_anti",
+    )
+    assert orphans.count() == 0
+    # both branches actually occur (same- and cross-customer targets)
+    t = (
+        transfers.join(
+            star["accounts"].select(
+                F.col("id").alias("aid"), F.col("customer_id").alias("scust")
+            ),
+            transfers.account_id == F.col("aid"),
+        )
+        .join(
+            star["accounts"].select(
+                F.col("id").alias("rid"), F.col("customer_id").alias("rcust")
+            ),
+            transfers.related_account_id == F.col("rid"),
+        )
+    )
+    same = t.filter(F.col("scust") == F.col("rcust")).count()
+    cross = t.filter(F.col("scust") != F.col("rcust")).count()
+    assert same > 0 and cross > 0
+
+
 def test_determinism_across_runs(spark):
     # same seed → identical rows regardless of partitioning
     a = datagen.banking_star(spark, 50)["transactions"]
