@@ -72,6 +72,48 @@ def open_jdbc_table(spark: SparkSession, **kwargs: Any) -> DataFrame:
     return reader.load()
 
 
+def jdbc_write_options(
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    batch_size: int = 10_000,
+    isolation_level: str = "READ_COMMITTED",
+) -> dict[str, str]:
+    """JDBC write options (S8's production form — the reference's
+    ``execute_values`` bulk insert path, ``generator.py:204-208``).
+    ``batchsize`` plays the role of the reference's page-sized
+    executemany; each executor partition opens its own connection, so
+    total insert throughput scales with partitions instead of a single
+    psycopg2 session."""
+    return {
+        "url": url,
+        "dbtable": table,
+        "user": user,
+        "password": password,
+        "driver": "org.postgresql.Driver",
+        "batchsize": str(batch_size),
+        "isolationLevel": isolation_level,
+    }
+
+
+def write_jdbc_table(
+    df: DataFrame, mode: str = "append", num_partitions: int | None = None, **kwargs: Any
+) -> None:
+    """Append ``df`` to an OLTP table with pre-assigned keys (S8): the
+    engine synthesizes ids arithmetically (``datagen``), so there is no
+    RETURNING round-trip and appends are idempotent-safe to retry per
+    partition.  ``mode='append'`` is the reference's INSERT semantics;
+    'overwrite' truncates first (S9).  ``num_partitions`` caps
+    connection fan-out (``df.coalesce``) for small DB pools."""
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = df.write.format("jdbc").mode(mode)
+    for k, v in jdbc_write_options(**kwargs).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 # --------------------------------------------------------------------------
 # S2/S3 — Kafka CDC stream source
 # --------------------------------------------------------------------------

@@ -172,7 +172,12 @@ def zorder_value(cols: list[str], n_bits: int = 16) -> "F.Column":
 
 
 def zorder_layout(
-    df: DataFrame, cols: list[str], path: str, n_bits: int = 16, n_files: int = 8
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    n_bits: int = 16,
+    n_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> None:
     """Write ``df`` range-partitioned + sorted along the Z-curve of
     ``cols``.  Columns are min-max scaled to [0, 2^n_bits) first so the
@@ -182,11 +187,37 @@ def zorder_layout(
     global sort per column; min-max is the 100 TB-safe default).  Then
     one range exchange on the Z-value — the same cost as any ordered
     write — and each output file covers a compact Z-range, so row-group
-    stats prune range predicates on EVERY participating column."""
-    extremes = df.agg(
+    stats prune range predicates on EVERY participating column.
+
+    ``n_files`` defaults to size-derived: the same stats pass that
+    collects the extremes also estimates the uncompressed row footprint,
+    targeting ~``target_file_bytes`` per output file (a fixed file count
+    would under-split at 100× the data and over-split a sample)."""
+    stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        F.count(F.lit(1)).alias("__rows"),
+        # per-row byte estimate from a cheap columnar proxy: fixed-width
+        # cols ~8B; strings sampled via avg(length)
+        *[
+            F.avg(F.length(F.col(f.name)).cast("double")).alias(f"__len_{f.name}")
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.StringType)
+        ],
     ).first()
+    extremes = stats
+    if n_files is None:
+        str_bytes = sum(
+            stats[f"__len_{f.name}"] or 0.0
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.StringType)
+        )
+        fixed_bytes = 8.0 * sum(
+            1 for f in df.schema.fields if not isinstance(f.dataType, T.StringType)
+        )
+        est_bytes = stats["__rows"] * (str_bytes + fixed_bytes)
+        # parquet encoding+compression typically shrinks 3-5x; use 3x
+        n_files = max(1, int(est_bytes / 3 / target_file_bytes))
     norm = df
     scaled_cols = []
     top = (1 << n_bits) - 1

@@ -35,6 +35,31 @@ def test_jdbc_options_requires_bounds():
         connectors.jdbc_options("u", "t", "u", "p", partition_column="id")
 
 
+def test_jdbc_write_options_bulk_insert_shape():
+    # S8 write side mirrors the reference's execute_values bulk insert
+    # (generator.py:204-208): batched appends, standard isolation
+    opts = connectors.jdbc_write_options(
+        "jdbc:postgresql://db:5432/banking", "public.transactions",
+        "admin", "admin", batch_size=5000,
+    )
+    assert opts["dbtable"] == "public.transactions"
+    assert opts["batchsize"] == "5000"
+    assert opts["isolationLevel"] == "READ_COMMITTED"
+    assert opts["driver"] == "org.postgresql.Driver"
+
+
+def test_write_jdbc_fails_cleanly_without_driver(spark):
+    # no JDBC driver jar in this container: the writer must surface
+    # Spark's own missing-driver error (wiring is correct up to load)
+    df = spark.range(3).selectExpr("id", "id * 2 AS v")
+    with pytest.raises(Exception) as e:
+        connectors.write_jdbc_table(
+            df, url="jdbc:postgresql://localhost:5/x", table="t",
+            user="u", password="p", num_partitions=1,
+        )
+    assert "postgresql" in str(e.value).lower() or "driver" in str(e.value).lower()
+
+
 def test_cdc_topics_match_reference_layout():
     # reference consumer/consumer.py:16-18 subscribes exactly these
     assert connectors.cdc_topics() == (

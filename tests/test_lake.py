@@ -116,3 +116,31 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
         .collect()
     )
     assert q(zpath) == q(linear)
+
+
+def test_zorder_file_count_size_derived(spark, tmp_path):
+    """Without an explicit n_files the layout targets
+    ~target_file_bytes per file: a small table collapses to one file,
+    and shrinking the target must grow the file count accordingly
+    (the fixed-count failure mode was 8 files regardless of size)."""
+    import glob
+
+    orders = lake.load_table(spark, "orders", SF_SMOKE).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    one = str(tmp_path / "one")
+    lake.zorder_layout(orders, ["o_custkey", "o_totalprice"], one)
+    assert len(glob.glob(one + "/*.parquet")) == 1  # ~40KB table, 128MiB target
+
+    many = str(tmp_path / "many")
+    lake.zorder_layout(
+        orders, ["o_custkey", "o_totalprice"], many, target_file_bytes=2 * 1024
+    )
+    files = glob.glob(many + "/*.parquet")
+    assert len(files) > 2, files
+    # and the produced files actually land near the target (within the
+    # 3x-compression guess band, not order-of-magnitude off)
+    import os as _os
+
+    sizes = [_os.path.getsize(f) for f in files]
+    assert max(sizes) < 40 * 2 * 1024, sizes
