@@ -606,16 +606,28 @@ def skew_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("J5", "A2", "A9", "W1", "S5"),
 )
 def gold_marts_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dbt-DAG analog (reference declared ``banking_dbt/`` +
-    ``docker/dags/`` but shipped neither — SURVEY.md §0): dependency-
-    ordered silver→gold build of the banking marts, persisted to
-    parquet; returns (layer_table, n_rows) for every artifact."""
-    from end_end_data_pipeline__spark.plans import marts
+    """The Airflow/dbt layer the reference declared but never shipped
+    (``banking_dbt/`` + ``docker/dags/`` — SURVEY.md §0), realized:
+    the banking-marts DAG (silver synth → gold marts) executed by the
+    dependency-ordered runner (``plans.orchestrate``) with per-job
+    status; returns (job, status, n_rows) for every artifact.  Re-runs
+    converge bit-identically (tests/test_marts.py)."""
+    from end_end_data_pipeline__spark.plans.orchestrate import (
+        banking_marts_dag,
+        run_dag,
+    )
 
     tmp = tempfile.mkdtemp(prefix="gold_marts_")
-    paths = marts.build_banking_marts(spark, tmp, n_customers=100)
-    rows = [(k, spark.read.parquet(p).count()) for k, p in sorted(paths.items())]
-    return spark.createDataFrame(rows, "layer_table string, n_rows long")
+    run = run_dag(spark, banking_marts_dag(tmp, n_customers=100))
+    rows = [
+        (
+            name,
+            res.status,
+            spark.read.parquet(res.output).count() if res.status == "ok" else 0,
+        )
+        for name, res in sorted(run.results.items())
+    ]
+    return spark.createDataFrame(rows, "job string, status string, n_rows long")
 
 
 # ---------------------------------------------------------------------------

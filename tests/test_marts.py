@@ -158,3 +158,84 @@ def test_incremental_refresh_converges_to_full_rebuild(spark, tmp_path):
     # untouched partitions were not rewritten
     for p, files in untouched_before.items():
         assert sorted(os.listdir(os.path.join(gold, p))) == files
+
+
+# ---------------------------------------------------------------------------
+# Orchestration runner (the reference's declared Airflow/dbt layer)
+# ---------------------------------------------------------------------------
+
+
+def test_dag_topo_order_deterministic_and_validated(spark):
+    from end_end_data_pipeline__spark.plans.orchestrate import Job, topo_order
+
+    noop = lambda s, c: None  # noqa: E731
+    jobs = {
+        "c": Job("c", noop, deps=("a", "b")),
+        "b": Job("b", noop, deps=("a",)),
+        "a": Job("a", noop),
+        "z": Job("z", noop),
+    }
+    # ready jobs run in name order -> fully deterministic
+    assert topo_order(jobs) == ["a", "z", "b", "c"]
+
+    with pytest.raises(ValueError, match="unknown job"):
+        topo_order({"a": Job("a", noop, deps=("ghost",))})
+    with pytest.raises(ValueError, match="cycle"):
+        topo_order({
+            "a": Job("a", noop, deps=("b",)),
+            "b": Job("b", noop, deps=("a",)),
+        })
+
+
+def test_dag_failure_skips_downstream_only(spark):
+    from end_end_data_pipeline__spark.plans.orchestrate import Job, run_dag
+
+    def boom(s, c):
+        raise RuntimeError("boom")
+
+    ran = []
+    mk = lambda n: lambda s, c: ran.append(n)  # noqa: E731
+    jobs = {
+        "a": Job("a", mk("a")),
+        "bad": Job("bad", boom, deps=("a",)),
+        "down": Job("down", mk("down"), deps=("bad",)),
+        "side": Job("side", mk("side"), deps=("a",)),
+    }
+    run = run_dag(spark, jobs)
+    assert run.results["bad"].status == "failed"
+    assert run.results["down"].status == "upstream_failed"
+    assert run.results["side"].status == "ok"
+    assert "down" not in ran and "side" in ran
+    assert not run.ok
+
+
+def test_marts_dag_rerun_produces_identical_state(spark, tmp_path):
+    """The full declared DAG (silver synth -> gold marts) re-run on the
+    same out_dir must converge to bit-identical mart contents — the
+    idempotent-refresh contract of the orchestration layer."""
+    from end_end_data_pipeline__spark.plans.orchestrate import (
+        banking_marts_dag,
+        run_dag,
+    )
+
+    out = str(tmp_path / "marts")
+    jobs = banking_marts_dag(out, n_customers=60)
+    run1 = run_dag(spark, jobs)
+    assert run1.ok, {n: r.error for n, r in run1.results.items()}
+    # silver jobs run before their gold consumers
+    order = run1.order
+    assert order.index("silver_transactions") < order.index("gold_daily_txn_volume")
+
+    def snapshot():
+        return {
+            name: sorted(
+                tuple(r) for r in spark.read.parquet(res.output).collect()
+            )
+            for name, res in run1.results.items()
+            if name.startswith("gold_")
+        }
+
+    first = snapshot()
+    run2 = run_dag(spark, banking_marts_dag(out, n_customers=60))
+    assert run2.ok
+    assert snapshot() == first
