@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "transfer_network_components",
     "skew_salted_join_segment_counts",
     "skew_salted_two_phase_agg",
+    "nested_address_country_rollup",
     # remaining r01-unchecked oracle queries
     "embedding_neardup_pairs",
     "text_winnow_fingerprints",

@@ -630,6 +630,60 @@ def gold_marts_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "job string, status string, n_rows long")
 
 
+@register(
+    "nested_address_country_rollup",
+    oracle=f"""
+        SELECT n.n_name AS country,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               {dsum('c.c_acctbal', 'total_acctbal')}
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name > 'E'
+        GROUP BY n.n_name
+    """,
+    survey_ids=("P5", "A2", "J1"),
+)
+def nested_address_country_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct surface (the reference generator's address dict,
+    ``generator.py:125-133`` / ``schemas.ADDRESS``): customers are
+    materialized to parquet with a NESTED ``address`` struct, read
+    back, then filtered + rolled up on ``address.country``.
+
+    The read-back scan exercises nested schema pruning and nested
+    filter pushdown: the plan's ReadSchema carries only
+    ``address.country`` (not the whole struct), verified in
+    tests/test_plans.py.  The oracle computes the same rollup from the
+    flat tables."""
+    cust = lake.load_table(spark, "customer", sf_dir)
+    nation = lake.load_table(spark, "nation", sf_dir)
+    nested = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.struct(
+                F.concat_ws(" ", F.col("c_custkey").cast("string"),
+                            F.lit("Main St")).alias("street"),
+                F.concat(F.lit("City-"), F.col("c_nationkey")).alias("city"),
+                F.col("c_mktsegment").alias("state"),
+                F.lpad(F.pmod(F.col("c_custkey"), 99999).cast("string"), 5, "0")
+                .alias("postal_code"),
+                F.col("n_name").alias("country"),
+            ).alias("address"),
+        )
+    )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="nested_addr_"), "customers_nested")
+    nested.write.mode("overwrite").parquet(tmp)
+    back = spark.read.parquet(tmp)
+    return (
+        back.filter(F.col("address.country") > "E")
+        .groupBy(F.col("address.country").alias("country"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dec_sum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # A4 scale path (HLL sketch) + J8 streaming dedup-within-watermark
 # ---------------------------------------------------------------------------

@@ -40,6 +40,10 @@ LAST_NAMES = [
     "adams", "brooks", "carter", "diaz", "evans", "foster", "garcia",
     "hayes", "ito", "jones", "khan", "lopez", "meyer", "nolan",
 ]
+CITIES = ["springfield", "rivertown", "lakeside", "hillview", "maplewood",
+          "oakdale", "fairmont", "brookfield"]
+STATES = ["CA", "NY", "TX", "WA", "IL", "MA", "GA", "CO"]
+COUNTRIES = ["USA", "CANADA", "UK", "INDIA", "GERMANY"]
 
 
 def _u(seed_col: Column, salt: str) -> Column:
@@ -101,12 +105,35 @@ def customers(spark: SparkSession, n: int, seed: str = "s42") -> DataFrame:
         F.timestamp_seconds(F.lit(EPOCH_2020)),
         F.timestamp_seconds(F.lit(EPOCH_2025)),
     )
+    # nested address struct (reference generator.py:125-133 builds one
+    # via faker; deterministic pool draws here — schemas.ADDRESS shape)
+    def pick(pool: list[str], salt: str):
+        return F.element_at(
+            F.array(*[F.lit(x) for x in pool]),
+            (_u(F.col("id"), seed + salt) * len(pool)).cast("int") + 1,
+        )
+
+    street = F.concat_ws(
+        " ",
+        ((_u(F.col("id"), seed + "hn") * 9899).cast("int") + 100).cast("string"),
+        F.initcap(pick(LAST_NAMES, "stn")),
+        pick(["St", "Ave", "Blvd", "Ln"], "sts"),
+    )
+    address = F.struct(
+        street.alias("street"),
+        pick(CITIES, "ci").alias("city"),
+        pick(STATES, "sta").alias("state"),
+        F.lpad(((_u(F.col("id"), seed + "pc") * 99999).cast("int") + 1).cast("string"),
+               5, "0").alias("postal_code"),
+        pick(COUNTRIES, "co").alias("country"),
+    )
     return ids.select(
         F.col("id"),
         F.initcap(first).alias("first_name"),
         F.initcap(last).alias("last_name"),
         F.concat_ws("", first, F.lit("."), last, F.col("id").cast("string"),
                     F.lit("@example.com")).alias("email"),
+        address.alias("address"),
         created.alias("created_at"),
     )
 

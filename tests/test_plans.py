@@ -72,6 +72,22 @@ def test_no_expensive_exprs_in_scan_filters(spark):
     assert not bad, bad
 
 
+def test_nested_struct_pruning_and_pushdown(spark):
+    """The nested-address query must read ONLY address.country from the
+    struct (nested schema pruning) and push the country filter into the
+    scan's DataFilters — not materialize the whole struct per row."""
+    q = load_all()["nested_address_country_rollup"]
+    df = q.fn(spark, SF_SMOKE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "address:struct<country:string>" in plan, plan
+    assert "street" not in plan  # other subfields pruned away
+    raw = df._jdf.queryExecution().executedPlan().toString()
+    data_filters = [l for l in raw.splitlines() if "DataFilters" in l]
+    assert any("address" in l and "country" in l for l in data_filters), data_filters
+
+
 def test_dim_joins_broadcast(spark):
     """The geo rollup chains three dimension joins — every one of them
     must broadcast (no shuffle exchange on the dim side)."""
