@@ -88,6 +88,9 @@ _PRIORITY: tuple[str, ...] = (
     "skew_salted_join_segment_counts",
     "skew_salted_two_phase_agg",
     "nested_address_country_rollup",
+    # round-2 composite queries (new; oracle-checked)
+    "dedup_canonical_corpus",
+    "curation_pipeline_end_to_end",
     # remaining r01-unchecked oracle queries
     "embedding_neardup_pairs",
     "text_winnow_fingerprints",

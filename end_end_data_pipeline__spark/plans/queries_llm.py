@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from end_end_data_pipeline__spark.operators import dedup, multimodal, similarity, text
 from end_end_data_pipeline__spark.plans.catalog import register
+from end_end_data_pipeline__spark.plans.sqlgen import davg
 from end_end_data_pipeline__spark.sources import lake
 
 # ---------------------------------------------------------------------------
@@ -139,6 +140,90 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB-safe baseline every near-dup pass runs after."""
     docs = lake.load_table(spark, "documents", sf_dir)
     return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+@register(
+    "curation_pipeline_end_to_end",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len({_TOKS}) AS n_tokens,
+                   ({" + ".join(_sql_stop_hits(l) for l in sorted(text.LANG_STOPWORDS))})
+                     AS stop_hits,
+                   length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text)
+                     AS punct,
+                   {_LANG_BEST} AS best,
+                   {_LANG_CASE} AS lang_pred,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        ),
+        quality AS (
+            SELECT *,
+                   0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 100000
+                               THEN 1.0 ELSE 0.0 END)
+                 + 0.4 * least((CAST(stop_hits AS DOUBLE) / n_tokens) * 5, 1.0)
+                 + 0.2 * (1 - least(punct * 10, 1.0)) AS quality_score
+            FROM scored
+        ),
+        kept AS (
+            SELECT * FROM quality WHERE quality_score >= 0.5
+            QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        )
+        SELECT lang, lang_pred,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN quality_score >= 0.75 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high_quality,
+               {davg("quality_score", "mean_quality")}
+        FROM kept GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+    survey_ids=("UD5", "UD6", "P5", "A2", "W2"),
+)
+def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation path as ONE checked
+    artifact: quality-score filter (≥ 0.5) → exact dedup (lowest
+    doc_id per normalization fingerprint survives) → per-predicted-
+    language corpus stats.  Each stage reuses the same operator
+    expressions the standalone text/dedup queries check
+    (``operators/text.py``), so the chain stays entirely JVM-side —
+    one scan, one window, one agg; no UDFs, no second pass over the
+    corpus.  The oracle replays the identical chain in DuckDB
+    (WHERE → QUALIFY → GROUP BY) and must hash-match."""
+    from pyspark.sql import Window
+
+    from end_end_data_pipeline__spark.functions.scalar import dec_avg
+
+    docs = lake.load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        text.token_count("text").alias("n_tokens"),
+        text.predicted_language("text").alias("lang_pred"),
+        text.quality_score("text").alias("quality_score"),
+        text.fingerprint("text").alias("fp"),
+    )
+    kept = (
+        scored.filter(F.col("quality_score") >= 0.5)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        kept.groupBy("lang", "lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("quality_score") >= 0.75, 1).otherwise(0)
+            ).alias("n_high_quality"),
+            dec_avg("quality_score", "mean_quality"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +406,63 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         docs, "text", "doc_id", n=3, num_hashes=32, bands=8,
         verify_threshold=0.5, hash_family="md5",
+    )
+
+
+@register(
+    "dedup_canonical_corpus",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node
+        ),
+        comp AS (
+            SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+        )
+        SELECT node AS doc_id, component AS canonical_doc_id
+        FROM comp WHERE node <> component ORDER BY doc_id
+    """,
+    survey_ids=("UD6", "J3", "J8"),
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup end-to-end — the composition an LLM data pipeline
+    actually runs: MinHash-LSH near-dup pairs (md5 family, exact-
+    verified at jaccard ≥ 0.5) → connected components over the pair
+    graph (``operators/graph.py`` min-label propagation) → canonical
+    representative per cluster (= min doc_id, which IS the component
+    label).  Returns the removal list: (doc_id, canonical_doc_id) for
+    every non-canonical cluster member; the surviving corpus is
+    ``documents`` anti-joined on this list.
+
+    Every stage is deterministic, so the DuckDB oracle replays the
+    whole chain — signatures, band join, verify, then a WITH RECURSIVE
+    transitive closure in place of the iterative fixpoint — and must
+    hash-match.  At scale the pair graph is tiny relative to the
+    corpus (only near-dup members appear), so the iterative CC loop
+    runs on a small edge list no matter how large the input."""
+    from end_end_data_pipeline__spark.operators.graph import connected_components
+
+    docs = lake.load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        verify_threshold=0.5, hash_family="md5",
+    )
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return (
+        comp.filter(F.col("node") != F.col("component"))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("canonical_doc_id"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -758,26 +758,56 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "transfer_network_components",
-    oracle=None,  # iterative fixpoint — not SQL-expressible; model-tested in pytest
+    oracle="""
+        WITH RECURSIVE edges AS (
+            SELECT o_custkey AS a,
+                   (o_orderkey % (SELECT MAX(c_custkey) FROM customer)) + 1 AS b
+            FROM orders WHERE o_orderkey % 23 = 0
+        ),
+        sym AS (
+            SELECT a, b FROM edges UNION SELECT b, a FROM edges
+        ),
+        reach(node, lbl) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node
+        ),
+        comp AS (
+            SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+        ),
+        sizes AS (
+            SELECT component, CAST(COUNT(*) AS BIGINT) AS n_accounts
+            FROM comp GROUP BY component
+        )
+        SELECT n_accounts, CAST(COUNT(*) AS BIGINT) AS n_components
+        FROM sizes GROUP BY n_accounts ORDER BY n_accounts
+    """,
     survey_ids=("J3", "J4"),
 )
 def transfer_network_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the transfer graph (the account↔account
     self-FK network, reference ``SCHEMA.sql:26``): min-label propagation
-    with pointer jumping over the synthesized banking star's transfer
-    edges.  Returns component size distribution — the shape AML-style
-    'linked account cluster' analyses start from."""
-    from end_end_data_pipeline__spark.operators.graph import connected_components
-    from end_end_data_pipeline__spark.sources import datagen
+    with pointer jumping (``operators/graph.py``).  Returns component
+    size distribution — the shape AML-style 'linked account cluster'
+    analyses start from.
 
-    star = datagen.banking_star(spark, n_customers=150, txns_per_account=4)
-    edges = (
-        star["transactions"]
-        .filter(F.col("related_account_id").isNotNull())
-        .select(
-            F.col("account_id").alias("src"),
-            F.col("related_account_id").alias("dst"),
-        )
+    The edge list is derived deterministically from the sf parquet
+    tables (every 23rd order links its customer to a pseudo-random
+    counterparty keyed off the order id) so the iterative Spark
+    fixpoint is verifiable end-to-end: the DuckDB oracle computes the
+    same components via a WITH RECURSIVE transitive closure and must
+    hash-match.  The closure oracle is O(Σ component²) rows — fine at
+    oracle scale, while the engine-side min-label + pointer-jumping
+    loop stays near-linear and is the 100 TB path."""
+    from end_end_data_pipeline__spark.operators.graph import connected_components
+
+    orders = lake.load_table(spark, "orders", sf_dir)
+    customer = lake.load_table(spark, "customer", sf_dir)
+    # scalar config read (1-row agg), not a data collect
+    max_cust = customer.agg(F.max("c_custkey")).collect()[0][0]
+    edges = orders.filter(F.col("o_orderkey") % 23 == 0).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % F.lit(max_cust) + 1).alias("dst"),
     )
     comp = connected_components(edges)
     return (
