@@ -244,32 +244,30 @@ def minhash_signatures(
     min() columns — map-side combinable, no UDF.
 
     ``hash_family``: 'xxhash64' (JVM-intrinsic longs — the scale
-    default) or 'md5' (two md5-derived 52-bit longs per shingle
-    expanded to ``num_hashes`` functions via Kirsch–Mitzenmacher
-    double hashing ``h1 + i·h2`` — exact integer arithmetic that is
-    bit-identical in DuckDB, so the operator's output is
-    oracle-checkable across engines at ~the cost of two md5 calls;
-    13 hex digits keep ``h1 + (num_hashes−1)·h2 < 2^57``, overflow-free
-    in signed 64-bit on both engines)."""
+    default) or 'md5' (two 52-bit longs sliced from ONE md5 digest per
+    shingle — hex digits 1-13 and 14-26 — expanded to ``num_hashes``
+    functions via Kirsch–Mitzenmacher double hashing ``h1 + i·h2`` —
+    exact integer arithmetic that is bit-identical in DuckDB, so the
+    operator's output is oracle-checkable across engines at the cost
+    of a single md5 call; 13 hex digits keep
+    ``h1 + (num_hashes−1)·h2 < 2^57``, overflow-free in signed 64-bit
+    on both engines)."""
     inv = explode_safe(
         _doc_shingles(df, text_col, id_col, n), ["doc"], F.col("sh"), "shingle"
     )
     if hash_family == "md5":
         if num_hashes > 128:
             raise ValueError("md5 family caps num_hashes at 128 (overflow bound)")
-        h52 = lambda seed: F.conv(  # noqa: E731
-            F.substring(
-                F.md5(F.concat(F.lit(seed), F.col("shingle")).cast("binary")), 1, 13
-            ),
-            16,
-            10,
+        digest = F.md5(F.col("shingle").cast("binary"))
+        h52 = lambda start: F.conv(  # noqa: E731
+            F.substring(digest, start, 13), 16, 10
         ).cast("long")
-        # Generate barrier: evaluate the two md5s ONCE per index row —
-        # inlined they would re-run inside all num_hashes min() exprs
+        # Generate barrier: evaluate the md5 ONCE per index row —
+        # inlined it would re-run inside all num_hashes min() exprs
         inv = explode_safe(
             inv,
             ["doc"],
-            F.array(F.struct(h52("1:").alias("h1"), h52("2:").alias("h2"))),
+            F.array(F.struct(h52(1).alias("h1"), h52(14).alias("h2"))),
             "hh",
         ).select("doc", F.col("hh.h1").alias("h1"), F.col("hh.h2").alias("h2"))
         mins = [

@@ -306,8 +306,8 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, thr: float = 0.5) -> s
         inv AS (SELECT doc_id, unnest(sh) AS s FROM ds),
         hh AS (
             SELECT doc_id,
-                   ('0x' || substr(md5('1:' || s), 1, 13))::BIGINT AS h1,
-                   ('0x' || substr(md5('2:' || s), 1, 13))::BIGINT AS h2
+                   ('0x' || substr(md5(s), 1, 13))::BIGINT AS h1,
+                   ('0x' || substr(md5(s), 14, 13))::BIGINT AS h2
             FROM inv
         ),
         sig AS (
