@@ -3,7 +3,10 @@ the D-class mart workload, exercised end-to-end).
 
 These are the classic decision-support shapes a user of the reference's
 declared dbt layer would run, adapted to the fixture's columns (no
-partsupp table, lineitem carries shipdate only).  Every query is ONE
+partsupp table, so Q2/Q9/Q11/Q16/Q20 are out of reach; lineitem carries
+shipdate only, so Q12/Q21 express lateness as shipdate vs orderdate and
+Q12 groups by linestatus in place of the absent shipmode).  Q1 lives in
+the catalog as ``agg_pricing_summary``.  Every query is ONE
 ANSI SQL text executed verbatim by BOTH engines — Spark via
 ``spark.sql`` over temp views (the engine's SQL API surface), DuckDB as
 the oracle — so parity is definitionally about the engine, not the
@@ -92,13 +95,27 @@ _register_sql(
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
-    WHERE r_name = 'REGION_0'
+    WHERE r_name = 'AFRICA'
       AND o_orderdate >= DATE '1996-01-01'
       AND o_orderdate < DATE '1997-01-01'
     GROUP BY n_name
     ORDER BY revenue DESC
     """,
     ("J1", "J2", "J5", "A2"),
+)
+
+_register_sql(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    ("P5", "A2", "P6"),
 )
 
 _register_sql(
@@ -125,6 +142,35 @@ _register_sql(
 )
 
 _register_sql(
+    "tpch_q8_national_market_share",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END
+                         AS DECIMAL(25,6))) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               {_REVENUE} AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA'
+          AND p_type = 'PROMO'
+          AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    ("J5", "A5", "F6"),
+)
+
+_register_sql(
     "tpch_q10_returned_items",
     f"""
     SELECT c_custkey, c_name, {_dsum(_REVENUE, "revenue")}, n_name
@@ -140,6 +186,24 @@ _register_sql(
     LIMIT 20
     """,
     ("J5", "A2", "O2", "P5"),
+)
+
+_register_sql(
+    "tpch_q12_late_shipment_priority",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    ("J2", "A5", "P6"),
 )
 
 _register_sql(
@@ -171,6 +235,25 @@ _register_sql(
       AND l_shipdate < DATE '1997-04-01'
     """,
     ("J2", "A5", "F11"),
+)
+
+_register_sql(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {_dsum(_REVENUE, "total_revenue")}
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    ("J1", "A2", "O2"),
 )
 
 _register_sql(
@@ -221,6 +304,36 @@ _register_sql(
            AND l_quantity >= 20 AND l_quantity <= 50)
     """,
     ("P5", "A2", "F11"),
+)
+
+_register_sql(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+               CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+                 AS n_late_supp
+        FROM l GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l
+    JOIN per_order ON l.l_orderkey = per_order.l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE late = 1 AND n_supp > 1 AND n_late_supp = 1
+      AND n_name = 'NATION_1'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    ("J6", "J3", "A3"),
 )
 
 _register_sql(
