@@ -110,6 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_watermark_late_drop",
     "stream_dedup_within_watermark",
     "stream_stateful_user_stats",
+    "stream_stream_click_purchase",
     "pandas_grouped_minmax_scale",
     "pandas_grouped_agg_money_sum",
     # r01-unchecked rows-only queries (multimodal_resize_batch /

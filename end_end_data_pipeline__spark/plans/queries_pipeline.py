@@ -483,6 +483,70 @@ def pandas_grouped_agg_money_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_stream_click_purchase",
+    oracle="""
+        SELECT c.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               epoch_ms(MIN(p.ts)) AS first_purchase_ms
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        GROUP BY c.user_id ORDER BY c.user_id
+    """,
+    survey_ids=("ST7", "ST3", "J7"),
+)
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join (the surface ST7's stream-static join
+    doesn't cover): clicks joined to purchases by the same user within
+    the following hour, both sides watermarked 1 hour so the join state
+    is provably bounded — the watermark plus the time-range condition
+    lets Spark evict click state once no qualifying purchase can still
+    arrive.  Append-mode memory sink; the emitted pairs are then
+    rolled up per user in batch.  The oracle is the equivalent batch
+    time-range self-join."""
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = "stream_stream_click_purchase_sink"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.unix_millis(F.min("purchase_ts")).alias("first_purchase_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful streaming operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------
