@@ -594,6 +594,66 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_custom_sessionize",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+        ),
+        marked AS (
+            SELECT user_id, ts_ms,
+                   CASE WHEN lag(ts_ms) OVER w IS NULL
+                          OR ts_ms - lag(ts_ms) OVER w > 1800000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+        ),
+        sess AS (
+            SELECT user_id, ts_ms,
+                   SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        ),
+        agg AS (
+            SELECT user_id, sid,
+                   MIN(ts_ms) AS session_start_ms,
+                   MAX(ts_ms) AS session_end_ms,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY sid DESC) AS rn
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start_ms, session_end_ms, n_events
+        FROM agg WHERE rn > 1
+        ORDER BY user_id, session_start_ms
+    """,
+    survey_ids=("ST4", "ST5", "UD2"),
+)
+def stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom gap-based sessionization (30-min gap) as an
+    ``applyInPandasWithState`` state machine — per-session emission
+    control (close-on-gap) the built-in session window can't give you.
+    Emits CLOSED sessions only; each user's trailing session is still
+    open when the finite replay ends, so the batch oracle reproduces
+    exactly that: gap-sessionize in SQL, then drop each user's last
+    session."""
+    from end_end_data_pipeline__spark.streaming.stateful import sessionize
+
+    stream = _stream_events(spark, sf_dir).select(
+        "user_id", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    sessions = sessionize(stream, gap_ms=1_800_000)
+    name = "stream_custom_sessionize_sink"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "session_start_ms")
+
+
 # ---------------------------------------------------------------------------
 # Skew mitigation (SURVEY.md §4 scale posture)
 # ---------------------------------------------------------------------------

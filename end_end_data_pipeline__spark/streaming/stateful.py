@@ -57,3 +57,67 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSIONS_OUTPUT = (
+    "user_id long, session_start_ms long, session_end_ms long, n_events long"
+)
+SESSIONS_STATE = "open_start_ms long, open_last_ms long, open_n long"
+
+
+def _make_sessionize_fn(gap_ms: int):
+    def _sessionize_fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Gap-based sessionizer: an event more than ``gap_ms`` after
+        the previous one CLOSES the open session and starts a new one.
+        Only closed sessions are emitted; the trailing open session
+        stays in state (it could still grow) — mirroring what a
+        session-window operator with a timeout would flush.
+
+        Determinism note: within a micro-batch the group's rows are
+        sorted by timestamp here; across micro-batches correctness
+        requires event-time-ordered arrival, which the single-file
+        ``availableNow`` replay guarantees (one batch holds the whole
+        group)."""
+        ts = sorted(
+            int(t) for pdf in pdfs if len(pdf) for t in pdf["ts_ms"].tolist()
+        )
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_ms:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start_ms": [c[0] for c in closed],
+                    "session_end_ms": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return _sessionize_fn
+
+
+def sessionize(events_stream: DataFrame, gap_ms: int = 1_800_000) -> DataFrame:
+    """Custom gap-based sessionization via ``applyInPandasWithState``
+    — the state-machine form of ST4's built-in session window, for
+    pipelines that need per-session emission control (close-on-gap)
+    rather than watermark-driven flush.  Input needs columns
+    (user_id long, ts_ms long); emits one row per CLOSED session."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _make_sessionize_fn(gap_ms),
+        outputStructType=SESSIONS_OUTPUT,
+        stateStructType=SESSIONS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
