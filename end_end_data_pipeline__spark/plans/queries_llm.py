@@ -53,6 +53,8 @@ def _sql_lang_pred() -> str:
     oracle=f"""
         SELECT doc_id,
                len({_TOKS}) AS n_tokens,
+               len(regexp_extract_all(text,
+                   '[a-zA-Z0-9'']+|[^a-zA-Z0-9\\s]')) AS n_wordish_tokens,
                length(text) AS n_chars_measured,
                CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
                  / len({_TOKS}) AS mean_token_len,
@@ -65,12 +67,16 @@ def _sql_lang_pred() -> str:
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + surface statistics per document — the cheap
-    first pass of any corpus pipeline.  All JVM-side split/array ops."""
+    first pass of any corpus pipeline.  All JVM-side split/array ops.
+    Two token counts: whitespace runs (``n_tokens``) and the BPE-ish
+    regex (``n_wordish_tokens`` — word runs plus punctuation split
+    off, the better proxy for subword-tokenizer budget)."""
     docs = lake.load_table(spark, "documents", sf_dir)
     t = text.tokens("text")
     return docs.select(
         "doc_id",
         F.size(t).alias("n_tokens"),
+        F.size(text.wordish_tokens("text")).alias("n_wordish_tokens"),
         F.length("text").alias("n_chars_measured"),
         text.mean_token_len("text").alias("mean_token_len"),
         text.punct_ratio("text").alias("punct_ratio"),
