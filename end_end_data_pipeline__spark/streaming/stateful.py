@@ -59,6 +59,67 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
     )
 
 
+class _UserStatsProcessor:
+    """``transformWithState`` form of :func:`running_user_stats` — the
+    Spark 4 arbitrary-state API (typed state handles, timers, TTL)
+    that succeeds ``applyInPandasWithState``.  Requires the RocksDB
+    state store provider; same emission contract as the GroupState
+    version, so the two backends are interchangeable."""
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._state = handle.getValueState("stats", USER_STATS_STATE)
+
+    def handleInputRows(
+        self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        prior = self._state.get() if self._state.exists() else None
+        n, last_ms = prior if prior is not None else (0, 0)
+        for pdf in rows:
+            if len(pdf):
+                n += len(pdf)
+                last_ms = max(last_ms, int(pdf["ts_ms"].max()))
+        self._state.update((n, last_ms))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "last_event_ms": [last_ms]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
+    """:func:`running_user_stats` on ``transformWithStateInPandas``.
+    The session must run the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — the TWS
+    operator requires it — and the Python environment needs
+    ``google.protobuf`` (the TWS state-server wire protocol;
+    ``stateful_processor_api_client`` imports it).  This container
+    ships neither protobuf nor pip access, so the backend is
+    verified by tests/test_streaming.py only where protobuf exists
+    (pytest.importorskip) — the ``applyInPandasWithState`` backend
+    above is the in-container default."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as ex:  # pragma: no cover - environment guard
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf (TWS "
+            "state-server protocol); use running_user_stats instead"
+        ) from ex
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclassing at call time keeps the module importable on builds
+    # without the TWS API
+    proc = type(
+        "_UserStatsProcessorTWS", (_UserStatsProcessor, StatefulProcessor), {}
+    )()
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        proc,
+        outputStructType=USER_STATS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 SESSIONS_OUTPUT = (
     "user_id long, session_start_ms long, session_end_ms long, n_events long"
 )

@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from end_end_data_pipeline__spark import schemas
@@ -332,3 +334,77 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     q2.awaitTermination()
     state2 = {r["id"]: r["balance"] for r in spark.read.parquet(target).collect()}
     assert state2 == {1: 100.0, 2: 999.0, 4: 400.0, 5: 500.0, 6: 600.0}
+
+
+def test_tws_backend_guarded_without_protobuf(spark):
+    """The transformWithStateInPandas backend needs google.protobuf
+    (TWS state-server protocol).  Where it is absent the wrapper must
+    fail fast with a clear ImportError, not crash the streaming python
+    runner mid-query."""
+    pytest.importorskip(
+        "pyspark.sql.streaming.stateful_processor", reason="no TWS API"
+    )
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    if has_protobuf:
+        pytest.skip("protobuf present - covered by the live TWS test")
+    from end_end_data_pipeline__spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long")
+        .parquet("/root/testdata")  # never started; guard fires first
+    )
+    with pytest.raises(ImportError, match="protobuf"):
+        running_user_stats_tws(stream)
+
+
+def test_tws_user_stats_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas form of the user-stats state machine
+    (runs only where google.protobuf exists: the TWS python runner
+    imports it for its state-server protocol)."""
+    pytest.importorskip("google.protobuf", reason="TWS needs protobuf")
+    from end_end_data_pipeline__spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        for rows in [[(1, 100), (1, 200), (2, 50)], [(1, 300), (2, 75), (3, 10)]]:
+            spark.createDataFrame(rows, "user_id long, ts_ms long").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, ts_ms long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            running_user_stats_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_test_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = {
+            r["user_id"]: (r["n"], r["last"])
+            for r in spark.table("tws_test_sink")
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n"), F.max("last_event_ms").alias("last"))
+            .collect()
+        }
+        assert final == {1: (3, 300), 2: (2, 75), 3: (1, 10)}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
