@@ -144,3 +144,13 @@ def test_zorder_file_count_size_derived(spark, tmp_path):
 
     sizes = [_os.path.getsize(f) for f in files]
     assert max(sizes) < 40 * 2 * 1024, sizes
+
+
+def test_load_table_bad_sf_dir_fails_cleanly(spark):
+    """A wrong sf_dir must surface as Spark's PATH_NOT_FOUND analysis
+    error — not a partial empty result or an opaque java stack."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        lake.load_table(spark, "orders", "/root/testdata/sf-does-not-exist").count()
