@@ -232,6 +232,67 @@ def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_chunk_documents",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\\s+')) > 0
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(range(0,
+                       greatest(CAST(ceil((len(toks) - 32) / 24.0) AS INT), 0)
+                       + 1)) AS chunk_idx
+            FROM d
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               len(list_slice(toks, chunk_idx*24 + 1, chunk_idx*24 + 32))
+                 AS n_tokens_in_chunk,
+               md5(array_to_string(
+                   list_slice(toks, chunk_idx*24 + 1, chunk_idx*24 + 32), ' '))
+                 AS chunk_md5
+        FROM c ORDER BY doc_id, chunk_idx
+    """,
+    survey_ids=("UD5", "F3", "F12"),
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the prep step between curation and
+    training/RAG ingestion: each document becomes overlapping
+    32-token windows with stride 24 (8-token overlap), entirely
+    JVM-side (sequence → explode → slice; no UDF, no second scan).
+    Chunk content is identified by md5 over the space-joined window so
+    the oracle can hash-verify every chunk boundary without shipping
+    chunk text.  At scale this is one Generate per document — output
+    rows ≈ tokens/stride, linear in corpus size."""
+    width, stride = 32, 24
+    docs = lake.load_table(spark, "documents", sf_dir)
+    toks = text.tokens("text")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_chunks = (
+        F.greatest(
+            F.ceil((F.size("toks") - F.lit(width)) / F.lit(stride)).cast("int"),
+            F.lit(0),
+        )
+        + 1
+    )
+    c = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    window = F.slice(
+        F.col("toks"), F.col("chunk_idx") * stride + 1, width
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(window).alias("n_tokens_in_chunk"),
+        F.md5(F.concat_ws(" ", window).cast("binary")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
 # ---------------------------------------------------------------------------
 # Near-dedup (UD6)
 # ---------------------------------------------------------------------------
