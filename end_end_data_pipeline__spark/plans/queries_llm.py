@@ -671,7 +671,15 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_media(
         docs, F.encode(F.col("text"), "utf-8"), "image", "raw"
     )
-    return multimodal.extract_features(media, "media", "doc_id", dims=8)
+    feats = multimodal.extract_features(media, "media", "doc_id", dims=8)
+    # scalar projection of the array column: the driver's rows-only
+    # canonicalizer sorts with pandas, which cannot hash list cells —
+    # md5(to_json(feature)) keeps the full feature content checkable.
+    return feats.select(
+        "doc_id",
+        F.md5(F.to_json(F.col("feature"))).alias("feature_md5"),
+        "n_bytes",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -276,20 +276,9 @@ def maintenance_truncate_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source replay of the events table (nanos stored in parquet;
-    the stream reads them as long and restores micros)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string,"
-        " value double, props string"
-    )
-    return (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    """File-source replay of the events table (timestamp storage unit
+    probed from the parquet footer by ``lake.stream_events``)."""
+    return lake.stream_events(spark, sf_dir)
 
 
 @register(

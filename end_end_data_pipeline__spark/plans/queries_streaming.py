@@ -186,15 +186,7 @@ def stream_daily_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink table is returned as the result.  Proves the streaming path
     end-to-end while staying oracle-checkable (complete mode emits
     every window; no watermark drops in a full replay)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = lake.stream_events(spark, sf_dir)
     agg = stream.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("event_date")
     ).agg(F.count("*").alias("n_events"), dec_sum("value", "total_value"))

@@ -3,9 +3,12 @@ the D-class mart workload, exercised end-to-end).
 
 These are the classic decision-support shapes a user of the reference's
 declared dbt layer would run, adapted to the fixture's columns (no
-partsupp table, so Q2/Q9/Q11/Q16/Q20 are out of reach; lineitem carries
-shipdate only, so Q12/Q21 express lateness as shipdate vs orderdate and
-Q12 groups by linestatus in place of the absent shipmode).  Q1 lives in
+partsupp table, so Q2/Q11/Q16 are out of reach and Q9/Q20 substitute
+``p_retailprice``-derived supply cost / lineitem-aggregated stock for
+the partsupp columns while keeping the join and subquery shapes;
+lineitem carries shipdate only, so Q12/Q21 express lateness as shipdate
+vs orderdate and Q12 groups by linestatus in place of the absent
+shipmode).  Q1 lives in
 the catalog as ``agg_pricing_summary``.  Every query is ONE
 ANSI SQL text executed verbatim by BOTH engines — Spark via
 ``spark.sql`` over temp views (the engine's SQL API surface), DuckDB as
@@ -168,6 +171,52 @@ _register_sql(
     ORDER BY o_year
     """,
     ("J5", "A5", "F6"),
+)
+
+_register_sql(
+    "tpch_q9_product_type_profit",
+    """
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_type = 'PROMO'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    ("J5", "A3", "A5", "F6"),
+)
+
+_register_sql(
+    "tpch_q20_potential_part_promotion",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_brand = 'Brand#2'
+          )
+            AND l_shipdate >= DATE '1997-01-01'
+            AND l_shipdate < DATE '1998-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(l_quantity) > 30
+      )
+    ORDER BY s_name
+    """,
+    ("J6", "A2", "P6"),
 )
 
 _register_sql(

@@ -118,10 +118,12 @@ def decode(parsed: DataFrame, key_cols: list[str]) -> DataFrame:
     return out
 
 
-def apply_latest_state(changes: DataFrame, key_cols: list[str]) -> DataFrame:
+def apply_latest_state(
+    changes: DataFrame, key_cols: list[str], version_col: str = "ts_ms"
+) -> DataFrame:
     """Latest-wins upsert (ST5): keep the newest change per key
-    (ts_ms, then op-rank for same-ms ties: d > u > c), drop deletes,
-    emit the after-image columns.
+    (``version_col``, then op-rank for same-version ties: d > u > c),
+    drop deletes, emit the after-image columns.
 
     This is the engine's MERGE: one hash shuffle on the key, a
     streaming rank-only window, no driver involvement — works
@@ -133,7 +135,7 @@ def apply_latest_state(changes: DataFrame, key_cols: list[str]) -> DataFrame:
         .otherwise(1)
     )
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col("ts_ms").desc(), op_rank.desc()
+        F.col(version_col).desc(), op_rank.desc()
     )
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))

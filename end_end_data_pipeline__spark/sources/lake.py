@@ -25,12 +25,41 @@ from end_end_data_pipeline__spark import schemas
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Tables whose parquet files store TIMESTAMP(NANOS) — illegal for Spark's
-# vectorized reader.  Read the column as raw nanos (legacy long) and
-# convert to micros; the fixture data is micros-precision (ns % 1000 == 0
-# for every row), so no information is lost and values match the DuckDB
-# oracle bit-for-bit.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Tables whose parquet files MAY store TIMESTAMP(NANOS) — illegal for
+# Spark's vectorized reader.  The actual unit is probed from the parquet
+# footer per path (test fixtures have been regenerated with different
+# units across rounds): nanos files are read as raw long (legacy conf)
+# and converted to micros — the fixture data is micros-precision
+# (ns % 1000 == 0 for every row), so no information is lost and values
+# match the DuckDB oracle bit-for-bit; micros files read natively.
+_MAYBE_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+_nanos_probe_cache: dict[str, tuple[str, ...]] = {}
+
+
+def _nanos_ts_cols(path: str, candidates: tuple[str, ...]) -> tuple[str, ...]:
+    """Which of ``candidates`` are physically TIMESTAMP(NANOS) in the
+    parquet footer at ``path`` (file or directory of files — one footer
+    read, cached per path; never assume the unit)."""
+    if path in _nanos_probe_cache:
+        return _nanos_probe_cache[path]
+    try:
+        import pyarrow.dataset as ds
+
+        arrow_schema = ds.dataset(path, format="parquet").schema
+        import pyarrow as pa
+
+        out = tuple(
+            c
+            for c in candidates
+            if (f := arrow_schema.field(c)) is not None
+            and isinstance(f.type, pa.TimestampType)
+            and f.type.unit == "ns"
+        )
+    except Exception:
+        out = ()  # unreadable footer → let the normal reader surface it
+    _nanos_probe_cache[path] = out
+    return out
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
@@ -45,7 +74,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # extraction and formatting are host-TZ-independent (works even when
     # the caller brought its own SparkSession, e.g. the driver harness).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ns_cols = _NANOS_TS_COLS.get(name, ())
+    ns_cols: tuple[str, ...] = ()
+    if name in _MAYBE_NANOS_TS_COLS:
+        ns_cols = _nanos_ts_cols(path, _MAYBE_NANOS_TS_COLS[name])
     reader = spark.read
     if name in schemas.STAR:
         schema = schemas.STAR[name]
@@ -62,6 +93,38 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
+
+
+def stream_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """File-source streaming replay of the events table, with the same
+    footer-probed TIMESTAMP(NANOS)/(MICROS) handling as
+    :func:`load_table` — every streaming query must come through here
+    rather than ``readStream.parquet`` directly, or a fixture
+    regeneration that changes the stored unit corrupts event times."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    ns = _nanos_ts_cols(path, ("ts",))
+    if ns:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = (
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string"
+        )
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    raw_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
 
 
 def load_star(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -123,60 +123,89 @@ def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
 SESSIONS_OUTPUT = (
     "user_id long, session_start_ms long, session_end_ms long, n_events long"
 )
-SESSIONS_STATE = "open_start_ms long, open_last_ms long, open_n long"
+# buf: JSON [[start_ms, last_ms, n], ...] of not-yet-final sessions,
+# sorted by start; max_ts: newest event time ever seen for the key
+# (the per-key watermark anchor).  Bounded: only sessions within
+# gap+lateness of max_ts can still be non-final.
+SESSIONS_STATE = "buf string, max_ts long"
 
 
-def _make_sessionize_fn(gap_ms: int):
+def _merge_session(sessions: list[list[int]], t: int, gap_ms: int) -> None:
+    """Insert event time ``t`` into the sorted candidate-session list,
+    extending/merging any sessions now within ``gap_ms`` of each other
+    (a late interior event can bridge two sessions into one)."""
+    import bisect
+
+    bisect.insort(sessions, [t, t, 1])
+    merged: list[list[int]] = []
+    for s in sessions:
+        if merged and s[0] - merged[-1][1] <= gap_ms:
+            merged[-1][1] = max(merged[-1][1], s[1])
+            merged[-1][2] += s[2]
+        else:
+            merged.append(s)
+    sessions[:] = merged
+
+
+def _make_sessionize_fn(gap_ms: int, allowed_lateness_ms: int):
     def _sessionize_fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        """Gap-based sessionizer: an event more than ``gap_ms`` after
-        the previous one CLOSES the open session and starts a new one.
-        Only closed sessions are emitted; the trailing open session
-        stays in state (it could still grow) — mirroring what a
-        session-window operator with a timeout would flush.
+        """Gap-based sessionizer, out-of-order-safe: candidate sessions
+        buffer in state and a session is emitted only once the per-key
+        watermark (newest event time seen − ``allowed_lateness_ms``)
+        has passed its end by more than ``gap_ms`` — i.e. no admissible
+        future event can extend or bridge it.  Events arriving later
+        than the allowed lateness are dropped (standard watermark
+        semantics), never turned into a wrong session.  With ordered
+        arrival and lateness 0 this reduces exactly to close-on-gap:
+        a session emits as soon as some later event is > gap past it."""
+        import json
 
-        Determinism note: within a micro-batch the group's rows are
-        sorted by timestamp here; across micro-batches correctness
-        requires event-time-ordered arrival, which the single-file
-        ``availableNow`` replay guarantees (one batch holds the whole
-        group)."""
+        buf, max_ts = state.get if state.exists else ("[]", None)
+        sessions: list[list[int]] = json.loads(buf)
         ts = sorted(
             int(t) for pdf in pdfs if len(pdf) for t in pdf["ts_ms"].tolist()
         )
-        start, last, n = state.get if state.exists else (None, None, 0)
-        closed: list[tuple[int, int, int]] = []
         for t in ts:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_ms:
-                closed.append((start, last, n))
-                start, last, n = t, t, 1
-            else:
-                last, n = t, n + 1
-        if start is not None:
-            state.update((start, last, n))
-        if closed:
+            max_ts = t if max_ts is None else max(max_ts, t)
+            if t < max_ts - allowed_lateness_ms:
+                # behind the watermark: the session it belonged to may
+                # already be emitted — drop, never mis-sessionize
+                continue
+            _merge_session(sessions, t, gap_ms)
+        watermark = (max_ts if max_ts is not None else 0) - allowed_lateness_ms
+        final = [s for s in sessions if s[1] + gap_ms < watermark]
+        live = [s for s in sessions if s[1] + gap_ms >= watermark]
+        state.update((json.dumps(live), max_ts if max_ts is not None else 0))
+        if final:
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]] * len(closed),
-                    "session_start_ms": [c[0] for c in closed],
-                    "session_end_ms": [c[1] for c in closed],
-                    "n_events": [c[2] for c in closed],
+                    "user_id": [key[0]] * len(final),
+                    "session_start_ms": [s[0] for s in final],
+                    "session_end_ms": [s[1] for s in final],
+                    "n_events": [s[2] for s in final],
                 }
             )
 
     return _sessionize_fn
 
 
-def sessionize(events_stream: DataFrame, gap_ms: int = 1_800_000) -> DataFrame:
+def sessionize(
+    events_stream: DataFrame,
+    gap_ms: int = 1_800_000,
+    allowed_lateness_ms: int = 0,
+) -> DataFrame:
     """Custom gap-based sessionization via ``applyInPandasWithState``
     — the state-machine form of ST4's built-in session window, for
     pipelines that need per-session emission control (close-on-gap)
     rather than watermark-driven flush.  Input needs columns
-    (user_id long, ts_ms long); emits one row per CLOSED session."""
+    (user_id long, ts_ms long); emits one row per session once it can
+    no longer change.  ``allowed_lateness_ms`` bounds how far behind
+    the newest seen event a straggler may arrive and still merge into
+    its session; later ones are dropped, never mis-sessionized."""
     return events_stream.groupBy("user_id").applyInPandasWithState(
-        _make_sessionize_fn(gap_ms),
+        _make_sessionize_fn(gap_ms, allowed_lateness_ms),
         outputStructType=SESSIONS_OUTPUT,
         stateStructType=SESSIONS_STATE,
         outputMode="append",

@@ -27,16 +27,21 @@ cost is ``O(table_size × touched_buckets / n_buckets)``, never
 
 Crash model (plain parquet — no table format): the overwrite uses
 Spark's dynamic partition overwrite, which stages every new file and
-replaces partition directories only at job commit, so a crash
-mid-batch leaves untouched buckets intact and the root ``_SUCCESS``
-from the previous commit in place; the replayed batch then re-merges
-idempotently.  The remaining non-atomic window is the per-partition
-delete+rename inside commit itself — closing that needs a
-transactional table format (Delta/Iceberg), which this container
-doesn't ship; the policy here is to *detect* ambiguity (data present
-without a root ``_SUCCESS``) and refuse to guess, rather than silently
-treat it as absent state (which would re-seed the table from one
-batch and drop all previously merged keys).
+replaces partition directories only at job commit; a crash before
+commit leaves the old state fully intact.  The non-atomic window is
+the per-partition delete+rename inside commit itself — closing that
+needs a transactional table format (Delta/Iceberg), which this
+container doesn't ship.  The policy here is to *detect* that window
+and refuse to guess: the merge removes the root ``_SUCCESS`` marker
+AFTER materializing its output but BEFORE the overwrite begins, and
+re-creates it only after the overwrite AND dead-bucket cleanup have
+fully applied.  Any crash inside the unprotected span therefore
+leaves data-without-marker, which ``_target_state`` turns into a
+RuntimeError refusal on the next merge — never a silent re-seed that
+would drop previously merged keys.  (Deleting the marker up front is
+what makes detection sound: dynamic partition overwrite never removes
+the *previous* root marker on its own, so without the explicit delete
+a mid-commit crash would masquerade as a committed table.)
 """
 
 from __future__ import annotations
@@ -101,12 +106,15 @@ def merge_batch(
     """Idempotent latest-wins merge of decoded change rows into a
     hash-bucket-partitioned parquet target.
 
-    ``batch`` must carry (key..., op, ts_ms, after) as produced by
-    ``cdc.decode``.  Existing state *of the affected buckets only* is
-    read back as synthetic 'c' changes at version −∞ so one window
-    pass resolves everything; the write dynamically overwrites only
-    those buckets.  ``n_buckets`` must stay constant for the lifetime
-    of a target path (it defines the layout).
+    ``batch`` must carry (key..., op, ``version_col``, after) as
+    produced by ``cdc.decode`` (whose version column is ``ts_ms``; a
+    non-default ``version_col`` means the batch carries that column
+    instead, with the same newest-wins long semantics).  Existing
+    state *of the affected buckets only* is read back as synthetic 'c'
+    changes at version −∞ so one window pass resolves everything; the
+    write dynamically overwrites only those buckets.  ``n_buckets``
+    must stay constant for the lifetime of a target path (it defines
+    the layout).
     """
     spark = batch.sparkSession
     bucket_of = lambda cols: F.pmod(F.xxhash64(*cols), F.lit(n_buckets))  # noqa: E731
@@ -136,18 +144,24 @@ def merge_batch(
     else:
         affected = None  # first write: every emitted bucket is new
         all_changes = batch
-    new_state = cdc.apply_latest_state(all_changes, key_cols).withColumn(
-        BUCKET_COL, bucket_of(key_cols)
-    )
+    new_state = cdc.apply_latest_state(
+        all_changes, key_cols, version_col=version_col
+    ).withColumn(BUCKET_COL, bucket_of(key_cols))
     # reading and overwriting the same partitions needs a materialization
     # barrier → localCheckpoint (bounded by the affected buckets' size).
     materialized = new_state.localCheckpoint(eager=True)
-    (
-        materialized.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BUCKET_COL)
-        .parquet(target_path)
-    )
+    # COMMIT PROTOCOL — the marker delete below is load-bearing.  The
+    # output is now materialized (the target will not be read again), so
+    # drop the root _SUCCESS before any file is touched: from here until
+    # the marker is re-created at the end, a crash leaves
+    # data-without-marker and the next merge's _target_state refuses
+    # with a RuntimeError instead of reading a half-replaced bucket back
+    # as committed state (which would silently drop every key of that
+    # bucket absent from the replayed batch).
+    fs, _ = _hadoop_fs(spark, target_path)
+    marker = spark._jvm.org.apache.hadoop.fs.Path(f"{target_path}/_SUCCESS")
+    fs.delete(marker, False)
+    _overwrite_buckets(materialized, target_path)
     if affected:
         # dynamic overwrite only replaces buckets present in the OUTPUT;
         # a bucket whose every key was deleted emits no rows and would
@@ -155,7 +169,6 @@ def merge_batch(
         surviving = {
             r[0] for r in materialized.select(BUCKET_COL).distinct().collect()
         }
-        fs, _ = _hadoop_fs(spark, target_path)
         for b in affected:
             if b not in surviving:
                 fs.delete(
@@ -164,16 +177,20 @@ def merge_batch(
                     ),
                     True,
                 )
-    # The dynamic-overwrite commit protocol does not emit a root
-    # _SUCCESS, so the merge writes its own commit marker LAST — its
-    # presence certifies "merge fully applied, including dead-bucket
-    # cleanup".  A crash anywhere before this line leaves the marker
-    # from the previous commit (untouched buckets valid, replay
-    # converges) or, in the narrow window where the marker is the
-    # previous one but commit half-applied, an idempotent re-merge.
-    fs, _ = _hadoop_fs(spark, target_path)
-    marker = spark._jvm.org.apache.hadoop.fs.Path(f"{target_path}/_SUCCESS")
+    # marker LAST: its presence certifies "merge fully applied,
+    # including dead-bucket cleanup".
     fs.create(marker, True).close()
+
+
+def _overwrite_buckets(materialized: DataFrame, target_path: str) -> None:
+    """The dynamic-partition overwrite itself — a seam so crash-injection
+    tests can fail it mid-commit and prove the refusal path fires."""
+    (
+        materialized.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(target_path)
+    )
 
 
 def stream_cdc_file_source(

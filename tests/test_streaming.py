@@ -223,6 +223,151 @@ def test_merge_batch_refuses_ambiguous_target(spark, tmp_path):
         merge_batch(batch, target, ["id"])
 
 
+def test_merge_batch_crash_mid_commit_detected(spark, tmp_path, monkeypatch):
+    """Crash-injection for the _SUCCESS commit protocol: kill the
+    dynamic overwrite mid-commit, AFTER a bucket directory was already
+    destroyed (the non-atomic delete+rename window inside commit).
+    Because the merge drops the root marker before the overwrite
+    starts, the next merge must hit the RuntimeError refusal path —
+    never read the half-replaced bucket back as committed empty state
+    and silently drop its keys."""
+    import glob
+    import shutil
+
+    from end_end_data_pipeline__spark.streaming import upsert
+
+    target = str(tmp_path / "target")
+    dec = lambda df: cdc.decode(  # noqa: E731
+        cdc.parse_envelope(df, schemas.cdc_row_schema("transactions")), ["id"]
+    )
+    base = spark.createDataFrame(
+        [(_tx_envelope(i, float(i), "c", 100),) for i in range(1, 9)], ["value"]
+    )
+    merge_batch(dec(base), target, ["id"], n_buckets=2)
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+
+    def crashing(materialized, path):
+        victim = sorted(glob.glob(os.path.join(target, "p_bucket=*")))[0]
+        shutil.rmtree(victim)  # commit half-applied: bucket gone
+        raise RuntimeError("simulated executor loss mid-commit")
+
+    monkeypatch.setattr(upsert, "_overwrite_buckets", crashing)
+    upd = spark.createDataFrame([(_tx_envelope(1, 999.0, "u", 500),)], ["value"])
+    with pytest.raises(RuntimeError, match="simulated"):
+        merge_batch(dec(upd), target, ["id"], n_buckets=2)
+    # the crash window must leave data WITHOUT a marker (= detectable)
+    assert not os.path.exists(os.path.join(target, "_SUCCESS"))
+
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        merge_batch(dec(upd), target, ["id"], n_buckets=2)
+
+
+def test_merge_batch_custom_version_col(spark, tmp_path):
+    """A non-default ``version_col`` threads through decode-shaped
+    batches end-to-end (regression: the synthetic-baseline alias used
+    to collide with the hardcoded ts_ms ordering and throw on union)."""
+    target = str(tmp_path / "target")
+
+    def to_batch(rows):
+        df = spark.createDataFrame(rows, "id long, amount double, op string, seq long")
+        return df.select(
+            "id",
+            "op",
+            "seq",
+            F.when(
+                F.col("op") != "d", F.struct("id", "amount")
+            ).alias("after"),
+        )
+
+    merge_batch(to_batch([(1, 10.0, "c", 5), (2, 20.0, "c", 5)]),
+                target, ["id"], version_col="seq")
+    # within-batch ordering must follow seq, not arrival order
+    batch2 = to_batch([(1, 99.0, "u", 9), (1, 55.0, "u", 7)])
+    merge_batch(batch2, target, ["id"], version_col="seq")
+    merge_batch(batch2, target, ["id"], version_col="seq")  # replay
+    state = {r["id"]: r["amount"] for r in spark.read.parquet(target).collect()}
+    assert state == {1: 99.0, 2: 20.0}
+
+
+def test_sessionize_out_of_order_batches_match_batch(spark, tmp_path):
+    """Out-of-order arrival across micro-batches: with allowed
+    lateness, stragglers merge into the right session (even bridging
+    two candidate sessions) and the emitted sessions equal the batch
+    computation — the pre-round-4 ordered-arrival assumption is gone."""
+    from end_end_data_pipeline__spark.streaming.stateful import sessionize
+
+    gap = 1_800_000
+    src = str(tmp_path / "src")
+    # chronological events for user 1: session A = {0, 1000, 2000},
+    # session B = {5_000_000}; sentinel 20_000_000 finalizes both.
+    # Delivery order scrambles them across micro-batches: B first, then
+    # A split so 1000 arrives AFTER 2000 and 5_000_000 (a late interior
+    # event that must land inside already-buffered session A).
+    batches = [
+        [(1, 5_000_000)],
+        [(1, 0), (1, 2000)],
+        [(1, 1000)],
+        [(1, 20_000_000)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "user_id long, ts_ms long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize(stream, gap_ms=gap, allowed_lateness_ms=10_000_000)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessionize_ooo_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in spark.table("sessionize_ooo_sink").collect()
+    )
+    assert got == [(0, 2000, 3), (5_000_000, 5_000_000, 1)]
+
+
+def test_sessionize_drops_beyond_lateness(spark, tmp_path):
+    """An event behind the per-key watermark is dropped — it must never
+    fabricate a wrong session (the pre-round-4 failure mode)."""
+    from end_end_data_pipeline__spark.streaming.stateful import sessionize
+
+    src = str(tmp_path / "src")
+    for rows in [[(1, 50_000_000)], [(1, 0)], [(1, 99_000_000)]]:
+        spark.createDataFrame(rows, "user_id long, ts_ms long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize(stream, gap_ms=1_800_000, allowed_lateness_ms=0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessionize_drop_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in spark.table("sessionize_drop_sink").collect()
+    )
+    # t=0 arrived behind the watermark (50_000_000) → dropped; only the
+    # 50M session finalizes (by the 99M sentinel); no fabricated session
+    assert got == [(50_000_000, 50_000_000, 1)]
+
+
 def test_stream_cdc_file_source_end_to_end(spark):
     """File-source CDC stream → checkpointed foreachBatch merge →
     restart with new data resumes from the checkpoint (no reprocess)."""
