@@ -249,9 +249,9 @@ def minhash_signatures(
     functions via Kirsch–Mitzenmacher double hashing ``h1 + i·h2`` —
     exact integer arithmetic that is bit-identical in DuckDB, so the
     operator's output is oracle-checkable across engines at the cost
-    of a single md5 call; 13 hex digits keep
-    ``h1 + (num_hashes−1)·h2 < 2^57``, overflow-free in signed 64-bit
-    on both engines)."""
+    of a single md5 call; 13 hex digits give 52-bit h1/h2, so
+    ``h1 + (num_hashes−1)·h2 < 2^52 + 127·2^52 = 2^59``, overflow-free
+    in signed 64-bit on both engines)."""
     inv = explode_safe(
         _doc_shingles(df, text_col, id_col, n), ["doc"], F.col("sh"), "shingle"
     )
@@ -408,10 +408,16 @@ def simhash(
 
 
 def simhash_chunk_candidates(
-    sig: DataFrame, n_chunks: int, chunk_width: int
+    sig: DataFrame, n_chunks: int, chunk_width: int, n_bits: int = 64
 ) -> DataFrame:
     """Candidate (doc_a, doc_b, sig_a, sig_b) pairs agreeing on ≥ 1 of
     ``n_chunks`` disjoint ``chunk_width``-bit chunks of the signature.
+
+    ``n_bits`` is the actual signature width (``simhash_bits(family)``)
+    — chunkings are validated against IT, not a hard-coded 64: under
+    the 60-bit md5 family a 4×16 chunking would put 4 permanently-zero
+    bits into the top chunk, silently halving that chunk's selectivity
+    16× while looking valid.
 
     Bucket-size bound: with ~uniform signatures each (chunk, value)
     bucket holds ~n/2^chunk_width documents, so expected candidates are
@@ -421,8 +427,12 @@ def simhash_chunk_candidates(
     max_hamming=1 → 2×32-bit, or pre-shard the corpus)."""
     if not (1 <= chunk_width <= 63 and n_chunks >= 1):
         raise ValueError(f"bad chunking {n_chunks}x{chunk_width}")
-    if n_chunks * chunk_width > 64:
-        raise ValueError(f"{n_chunks}x{chunk_width}-bit chunks exceed 64 bits")
+    if n_chunks * chunk_width > n_bits:
+        raise ValueError(
+            f"{n_chunks}x{chunk_width}-bit chunks exceed the {n_bits}-bit "
+            "signature: the overhanging bits are always zero, so their "
+            "chunk would bucket on dead selectivity"
+        )
     mask = (1 << chunk_width) - 1
     chunks = sig.select(
         "doc",
@@ -491,7 +501,7 @@ def simhash_neardup_pairs(
     # still agree on bits 0..62, and verification handles bit 63.
     w = chunk_width if chunk_width is not None else min(n_bits // k, 63)
     sig = simhash(df, text_col, id_col, hash_family)
-    cand = simhash_chunk_candidates(sig, k, w)
+    cand = simhash_chunk_candidates(sig, k, w, n_bits=n_bits)
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.withColumn("hamming", ham)

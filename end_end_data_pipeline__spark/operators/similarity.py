@@ -218,9 +218,11 @@ def ivf_topk(
     other classic ANN scale path next to LSH:
 
     1. pick ``n_centroids`` deterministic pseudo-random corpus vectors
-       as centroids (xxhash64 order — reproducible, no RNG state);
+       as centroids (md5-of-id order — reproducible, no RNG state, and
+       replicable by the DuckDB oracle, which has no xxhash64);
     2. build the inverted lists: every corpus vector is assigned to its
-       nearest centroid (broadcast centroids, one scan, ``min_by``);
+       nearest centroid (broadcast centroids, one scan, one map-side-
+       combinable ``max_by`` with a total-order tie-break);
     3. each probe searches only its ``n_probe`` nearest lists.
 
     Scale: the build is one O(n × C) broadcast pass (no shuffle beyond
@@ -239,19 +241,27 @@ def ivf_topk(
         F.col(id_col).alias("probe_id"), as_double(vec_col).alias("pv")
     )
     cents = (
-        c_base.orderBy(F.xxhash64("neighbor_id"))
+        c_base.orderBy(F.md5(F.col("neighbor_id").cast("string")))
         .limit(n_centroids)
         .select(F.col("neighbor_id").alias("cid"), F.col("cv").alias("cvec"))
     )
     # inverted lists: nearest centroid per corpus vector (ids only —
-    # vectors rejoin after the argmin, keeping the agg narrow)
+    # vectors rejoin after the argmin, keeping the agg narrow).  The
+    # max_by key is a struct (sim, -cid): max sim wins, exact-sim ties
+    # break to the smallest cid — a total order, so the assignment is
+    # deterministic and oracle-replicable, while staying a map-side-
+    # combinable hash agg (no window shuffle over the corpus).
     c_assign = (
         c_base.join(F.broadcast(cents))
         .select(
             "neighbor_id", "cid", cosine(F.col("cv"), F.col("cvec")).alias("sim")
         )
         .groupBy("neighbor_id")
-        .agg(F.min_by("cid", -F.col("sim")).alias("cid"))
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
+            ).alias("cid")
+        )
     )
     # probe → its n_probe nearest lists
     p_assign = top_k_per_group(

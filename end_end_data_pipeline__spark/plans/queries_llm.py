@@ -590,15 +590,74 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, probes, k=10)
 
 
+# DuckDB replica of similarity.lsh_topk's full pipeline: identical
+# md5-seeded hyperplanes (16^12 = 2^48, so the /2^48*2−1 scaling is
+# exact in float64 on both engines), identical sign-bit bucket packing,
+# identical hamming-1 multi-probe expansion, identical exact-cosine
+# rank — so even the LSH candidate set is deterministic and
+# hash-checkable, as done for the MinHash band keys.
+_ANN_LSH_SQL = """
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    planes AS (
+        SELECT t, p,
+               list(('0x' || substr(md5('table' || t || ':' || p || ':' || d),
+                                    1, 12))::BIGINT
+                    / 281474976710656.0 * 2.0 - 1.0 ORDER BY d) AS pv
+        FROM range(8) ts(t), range(4) ps(p), range(64) ds(d)
+        GROUP BY t, p
+    ),
+    cbuck AS (
+        SELECT b.vec_id, pl.t,
+               SUM(CASE WHEN list_sum(list_transform(
+                              range(1, 65), i -> b.e[i] * pl.pv[i])) >= 0
+                        THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+        FROM base b CROSS JOIN planes pl
+        GROUP BY b.vec_id, pl.t
+    ),
+    pbuck AS (SELECT * FROM cbuck WHERE vec_id < 5),
+    pent AS (
+        SELECT vec_id, t, bucket FROM pbuck
+        UNION
+        SELECT vec_id, t, xor(bucket, (1::BIGINT << i)) AS bucket
+        FROM pbuck, range(0, 4) r(i)
+    ),
+    cand AS (
+        SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+        FROM pent p JOIN cbuck c ON p.t = c.t AND p.bucket = c.bucket
+        WHERE c.vec_id <> p.vec_id
+    ),
+    scored AS (
+        SELECT cand.probe_id, cand.neighbor_id,
+               list_sum(list_transform(range(1, 65), i -> pb.e[i] * cb.e[i]))
+                 / (sqrt(list_sum(list_transform(pb.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(cb.e, x -> x * x)))) AS cos
+        FROM cand
+        JOIN base pb ON pb.vec_id = cand.probe_id
+        JOIN base cb ON cb.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT probe_id, neighbor_id, cos FROM ranked WHERE rn <= 10
+"""
+
+
 @register(
     "embedding_ann_lsh_topk",
-    oracle=None,  # approximate — recall vs brute force asserted in tests
+    oracle=_ANN_LSH_SQL,
     survey_ids=("J9", "UD7"),
 )
 def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via multi-table sign-LSH (8 tables × 4 planes,
     hamming-1 multi-probe) — the scale path: bucket equi-joins instead
-    of a full scan, recall 1.0 on the fixture (tests assert ≥ 0.8)."""
+    of a full scan, recall 1.0 on the fixture (tests assert ≥ 0.8).
+    The hyperplanes are md5-seeded, so the oracle replays the exact
+    candidate generation, not just a recall floor."""
     emb = lake.load_table(spark, "embeddings", sf_dir)
     probes = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(emb, probes, k=10)
@@ -721,16 +780,72 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB replica of similarity.ivf_topk: identical md5-ordered centroid
+# pick, identical nearest-centroid assignment (sim DESC, cid ASC ties),
+# identical n_probe list expansion and exact-cosine rank.
+_ANN_IVF_SQL = """
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cid, e AS cvec FROM base
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+    ),
+    sims AS (
+        SELECT b.vec_id, c.cid,
+               list_sum(list_transform(range(1, 65), i -> b.e[i] * c.cvec[i]))
+                 / (sqrt(list_sum(list_transform(b.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))) AS sim
+        FROM base b CROSS JOIN cents c
+    ),
+    c_assign AS (
+        SELECT vec_id AS neighbor_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ),
+    p_assign AS (
+        SELECT vec_id AS probe_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM sims WHERE vec_id < 5
+        ) WHERE rn <= 8
+    ),
+    cand AS (
+        SELECT probe_id, neighbor_id
+        FROM p_assign JOIN c_assign USING (cid)
+        WHERE probe_id <> neighbor_id
+    ),
+    scored AS (
+        SELECT cand.probe_id, cand.neighbor_id,
+               list_sum(list_transform(range(1, 65), i -> pb.e[i] * cb.e[i]))
+                 / (sqrt(list_sum(list_transform(pb.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(cb.e, x -> x * x)))) AS cos
+        FROM cand
+        JOIN base pb ON pb.vec_id = cand.probe_id
+        JOIN base cb ON cb.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT probe_id, neighbor_id, cos FROM ranked WHERE rn <= 10
+"""
+
+
 @register(
     "embedding_ann_ivf_topk",
-    oracle=None,  # approximate — recall floor asserted in tests
+    oracle=_ANN_IVF_SQL,
     survey_ids=("J9", "UD7"),
 )
 def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-10 for 5 probes: nearest-of-
     16-centroids inverted lists, 8 probed per query — the clustered-
-    corpus ANN scale path (LSH's complement).  Deterministic centroid
-    choice (xxhash64 order), so results are stable across runs."""
+    corpus ANN scale path (LSH's complement).  Deterministic md5-ordered
+    centroid choice, so the oracle replays the exact inverted lists."""
     emb = lake.load_table(spark, "embeddings", sf_dir)
     probes = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(emb, probes, k=10, n_centroids=16, n_probe=8)

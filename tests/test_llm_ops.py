@@ -79,11 +79,19 @@ def test_simhash_chunk_candidates_near_linear(spark):
 
 def test_simhash_chunking_validation(spark):
     sig = spark.range(4).select(F.col("id").alias("doc"), F.xxhash64("id").alias("simhash"))
-    with pytest.raises(ValueError, match="exceed 64"):
+    with pytest.raises(ValueError, match="exceed the 64-bit"):
         dedup.simhash_chunk_candidates(sig, 5, 16)
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="cannot guarantee recall"):
         dedup.simhash_neardup_pairs(df, "text", "doc_id", max_hamming=3, n_chunks=2)
+    # chunking must be validated against the FAMILY's signature width:
+    # 4x16 fits 64-bit xxhash64 but overhangs the 60-bit md5 family
+    # (bits 60-63 are always zero — dead selectivity)
+    with pytest.raises(ValueError, match="exceed the 60-bit"):
+        dedup.simhash_neardup_pairs(
+            df, "text", "doc_id", max_hamming=3,
+            n_chunks=4, chunk_width=16, hash_family="md5",
+        )
 
 
 def test_minhash_lsh_recall_vs_exact(spark, docs):
