@@ -38,23 +38,33 @@ _nanos_probe_cache: dict[str, tuple[str, ...]] = {}
 
 
 def _nanos_ts_cols(path: str, candidates: tuple[str, ...]) -> tuple[str, ...]:
-    """Which of ``candidates`` are physically TIMESTAMP(NANOS) in the
-    parquet footer at ``path`` (file or directory of files — one footer
-    read, cached per path; never assume the unit)."""
+    """Which of ``candidates`` are stored as physical INT64 with a
+    TIMESTAMP(NANOS) logical type in the parquet footer at ``path``
+    (file or directory of files — one footer read, cached per path;
+    never assume the unit).  The check is at the PARQUET level, not
+    arrow's (arrow also reports legacy INT96 timestamps as ``ns``, but
+    INT96 must be read natively — the legacy long path would fail on
+    it)."""
     if path in _nanos_probe_cache:
         return _nanos_probe_cache[path]
     try:
-        import pyarrow.dataset as ds
+        import glob
 
-        arrow_schema = ds.dataset(path, format="parquet").schema
-        import pyarrow as pa
+        import pyarrow.parquet as pq
 
+        f = (
+            path
+            if os.path.isfile(path)
+            else sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        )
+        sch = pq.ParquetFile(f).schema
+        by_name = {sch.column(i).name: sch.column(i) for i in range(len(sch))}
         out = tuple(
             c
             for c in candidates
-            if (f := arrow_schema.field(c)) is not None
-            and isinstance(f.type, pa.TimestampType)
-            and f.type.unit == "ns"
+            if (col := by_name.get(c)) is not None
+            and col.physical_type == "INT64"
+            and "nanos" in str(col.logical_type).lower()
         )
     except Exception:
         out = ()  # unreadable footer → let the normal reader surface it

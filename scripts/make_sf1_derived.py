@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Materialize a DERIVED ~sf1 dataset for the scale-trend study
+(BASELINE.md): 10 key-shifted copies of the read-only sf0.1 fixtures,
+written to /tmp/sf1-derived.  Perf-measurement data ONLY — correctness
+oracles always run against the driver's own fixtures.
+
+Key shifting preserves join integrity (copy i offsets every key by
+i x 10^9, so customer->orders->lineitem chains stay intact and result
+cardinalities grow ~10x); dimension tables (region/nation) are shared
+across copies like real dims.  Document text is word-salted per copy
+(word -> word_i) so the dedup pipelines see 10x distinct documents
+instead of a pathological 10-way duplicate corpus that would measure
+the duplicate explosion, not the scale trend.
+
+    python scripts/make_sf1_derived.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1-derived"
+COPIES = 10
+OFF = 1_000_000_000
+
+# per-table key columns to shift per copy (dims omitted = shared)
+SHIFT: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation"]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from end_end_data_pipeline__spark.session import get_spark
+    from end_end_data_pipeline__spark.sources import lake
+
+    out = Path(OUT)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    spark = get_spark("make-sf1")
+    # write micros (not legacy INT96) so the derived files read back
+    # through the same typed-scan path as the fixtures
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    for name in DIMS:
+        df = lake.load_table(spark, name, SRC)
+        df.coalesce(1).write.parquet(str(out / f"{name}.parquet"))
+    for name, keys in SHIFT.items():
+        base = lake.load_table(spark, name, SRC)
+        copies = []
+        for i in range(COPIES):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * OFF))
+            if name == "documents":
+                # distinct text per copy: salt every word with the copy
+                # index so shingle/minhash dfs scale, not duplicate
+                c = c.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split(F.col("text"), r"\s+"),
+                            lambda w: F.concat(w, F.lit(f"_{i}")),
+                        ),
+                    ),
+                )
+            copies.append(c)
+        full = copies[0]
+        for c in copies[1:]:
+            full = full.unionByName(c)
+        full.write.parquet(str(out / f"{name}.parquet"))
+        print(f"{name}: {COPIES}x shifted copies written")
+    spark.stop()
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
