@@ -715,9 +715,46 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# DuckDB replica of the deterministic fake decoder in
+# multimodal.extract_features: byte histogram acc[(byte+i) % 8] +=
+# byte over the UTF-8 payload, L1-normalized.  Byte extraction slices
+# to_hex(blob) two hex digits at a time; the double division is exact
+# on both engines (all sums < 2^53), and the REAL→DOUBLE round-trip
+# reproduces the operator's float32 output width bit-for-bit.
+_FEATURE_SQL = """
+    WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+    idx AS (
+        SELECT doc_id, p, unnest(range(0, octet_length(p))) AS i FROM b
+    ),
+    bytes AS (
+        SELECT doc_id, i,
+               ('0x' || substr(to_hex(p), 2 * i + 1, 2))::BIGINT AS byte
+        FROM idx
+    ),
+    acc AS (
+        SELECT doc_id, (byte + i) % 8 AS dim, SUM(byte)::BIGINT AS v
+        FROM bytes GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, SUM(v)::BIGINT AS total FROM acc GROUP BY 1),
+    grid AS (
+        SELECT b.doc_id, d.dim, octet_length(b.p)::BIGINT AS n_bytes
+        FROM b, range(0, 8) d(dim)
+    )
+    SELECT g.doc_id, CAST(g.dim AS INT) AS dim,
+           CAST(CAST(CAST(COALESCE(a.v, 0) AS DOUBLE)
+                     / CAST(CASE WHEN COALESCE(t.total, 0) = 0
+                                 THEN 1 ELSE t.total END AS DOUBLE)
+                AS REAL) AS DOUBLE) AS val,
+           g.n_bytes
+    FROM grid g
+    LEFT JOIN acc a ON a.doc_id = g.doc_id AND a.dim = g.dim
+    LEFT JOIN tot t ON t.doc_id = g.doc_id
+"""
+
+
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # Arrow/mapInPandas plumbing — batch semantics tested
+    oracle=_FEATURE_SQL,
     survey_ids=("UD8", "UD1"),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,18 +762,20 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     opaque binary 'media' payload with typed metadata, pushed through
     the Arrow-batched ``mapInPandas`` decode/feature pipeline
     (deterministic fake decoder — real codecs are stubbed, the Spark
-    plumbing is real)."""
+    plumbing is real).  The feature array is exploded to scalar
+    (doc_id, dim, val) rows so the driver can sort and hash-verify
+    every component against the DuckDB byte-histogram replica."""
     docs = lake.load_table(spark, "documents", sf_dir)
     media = multimodal.attach_media(
         docs, F.encode(F.col("text"), "utf-8"), "image", "raw"
     )
     feats = multimodal.extract_features(media, "media", "doc_id", dims=8)
-    # scalar projection of the array column: the driver's rows-only
-    # canonicalizer sorts with pandas, which cannot hash list cells —
-    # md5(to_json(feature)) keeps the full feature content checkable.
     return feats.select(
+        "doc_id", F.posexplode("feature").alias("dim", "val"), "n_bytes"
+    ).select(
         "doc_id",
-        F.md5(F.to_json(F.col("feature"))).alias("feature_md5"),
+        F.col("dim").cast("int").alias("dim"),
+        F.col("val").cast("double").alias("val"),
         "n_bytes",
     )
 
@@ -851,17 +890,52 @@ def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, probes, k=10, n_centroids=16, n_probe=8)
 
 
+# DuckDB replica of the fake stride-resize in multimodal.resize_images:
+# >=1024-byte payloads are resampled to the 1024 bytes at indexes
+# int(i * len/1024) (both engines truncate the same float64 product);
+# smaller payloads zero-pad.  Payload content is checked as
+# md5-of-uppercase-hex (DuckDB's md5 takes VARCHAR only; Spark hex and
+# DuckDB to_hex agree on case).
+_RESIZE_SQL = """
+    WITH b AS (
+        SELECT doc_id, to_hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    big_px AS (
+        SELECT doc_id, unnest(range(0, 1024)) AS i, hx, n
+        FROM b WHERE n >= 1024
+    ),
+    big_hex AS (
+        SELECT doc_id,
+               string_agg(
+                   substr(hx, 2 * CAST(floor(i * (n / 1024.0)) AS BIGINT) + 1, 2),
+                   '' ORDER BY i) AS rhx
+        FROM big_px GROUP BY doc_id
+    ),
+    small_hex AS (
+        SELECT doc_id, hx || repeat('00', 1024 - n) AS rhx
+        FROM b WHERE n < 1024
+    ),
+    all_hex AS (SELECT * FROM big_hex UNION ALL SELECT * FROM small_hex)
+    SELECT doc_id, 32 AS width, 32 AS height,
+           1024::BIGINT AS n_bytes, md5(rhx) AS payload_md5
+    FROM all_hex
+"""
+
+
 @register(
     "multimodal_resize_batch",
-    oracle=None,  # binary payloads — batch/shape semantics pytest-checked
+    oracle=_RESIZE_SQL,
     survey_ids=("UD8", "UD1"),
 )
 def multimodal_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing: binary payloads stride-resampled to 32x32
     through Arrow batches, metadata struct updated with the target
     dimensions (real codec stubbed; deterministic fake).  Returns
-    (doc_id, width, height, n_bytes) so the row-check pins the
-    post-resize metadata."""
+    (doc_id, width, height, n_bytes, payload_md5) — the md5-of-hex of
+    every resized payload hash-checks the exact resample arithmetic
+    against the DuckDB replica."""
     docs = lake.load_table(spark, "documents", sf_dir)
     media = multimodal.attach_media(
         docs, F.encode(F.col("text"), "utf-8"), "image", "raw"
@@ -872,18 +946,43 @@ def multimodal_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.height").alias("height"),
         F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.md5(F.hex(F.col("media"))).alias("payload_md5"),
     )
+
+
+# DuckDB replica of the fake frame sampler in multimodal.sample_frames:
+# frame i = payload[i*chunk : (i+1)*chunk] with chunk = max(len//4, 1);
+# both the slice clamping and the empty-tail frames reproduce via
+# substr on the hex text.
+_FRAMES_SQL = """
+    WITH b AS (
+        SELECT doc_id, to_hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id < 100
+    ),
+    f AS (
+        SELECT doc_id, unnest(range(0, 4)) AS frame_idx, hx,
+               greatest(n // 4, 1) AS chunk
+        FROM b
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(substr(hx, 2 * (frame_idx * chunk) + 1, 2 * chunk)) // 2
+                AS BIGINT) AS n_bytes,
+           md5(substr(hx, 2 * (frame_idx * chunk) + 1, 2 * chunk)) AS frame_md5
+    FROM f
+"""
 
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # one-row-to-N binary fan-out — pytest-checked
+    oracle=_FRAMES_SQL,
     survey_ids=("UD8", "UD4"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: each payload fans out to 4 frame
     rows inside ``mapInPandas`` (UDTF shape, no shuffle) — returns
-    per-frame byte accounting."""
+    per-frame byte accounting plus the md5-of-hex of every frame's
+    bytes, hash-checked against the DuckDB slice replica."""
     docs = lake.load_table(spark, "documents", sf_dir).filter(
         F.col("doc_id") < 100
     )
@@ -891,7 +990,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, F.encode(F.col("text"), "utf-8"), "video", "raw"
     )
     frames = multimodal.sample_frames(media, "media", "doc_id", n_frames=4)
-    return frames.select("doc_id", "frame_idx", "n_bytes")
+    return frames.select(
+        "doc_id", "frame_idx", "n_bytes",
+        F.md5(F.hex(F.col("frame"))).alias("frame_md5"),
+    )
 
 
 # ---------------------------------------------------------------------------
