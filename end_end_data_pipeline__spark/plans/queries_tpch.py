@@ -3,12 +3,12 @@ the D-class mart workload, exercised end-to-end).
 
 These are the classic decision-support shapes a user of the reference's
 declared dbt layer would run, adapted to the fixture's columns (no
-partsupp table, so Q2/Q11/Q16 are out of reach and Q9/Q20 substitute
-``p_retailprice``-derived supply cost / lineitem-aggregated stock for
-the partsupp columns while keeping the join and subquery shapes;
-lineitem carries shipdate only, so Q12/Q21 express lateness as shipdate
-vs orderdate and Q12 groups by linestatus in place of the absent
-shipmode).  Q1 lives in
+partsupp table, so Q2/Q9/Q11/Q16/Q20 substitute lineitem-derived
+supplier-part offers / ``p_retailprice``-derived supply cost for the
+partsupp columns while keeping every join and subquery shape — all 22
+classic shapes are now present; lineitem carries shipdate only, so
+Q12/Q21 express lateness as shipdate vs orderdate and Q12 groups by
+linestatus in place of the absent shipmode).  Q1 lives in
 the catalog as ``agg_pricing_summary``.  Every query is ONE
 ANSI SQL text executed verbatim by BOTH engines — Spark via
 ``spark.sql`` over temp views (the engine's SQL API surface), DuckDB as
@@ -68,6 +68,35 @@ _register_sql(
     """,
     ("J5", "A2", "O2", "P5"),
     bench=True,
+)
+
+_register_sql(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH offers AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(l_extendedprice / l_quantity) AS cost
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, cost
+    FROM part
+    JOIN offers ON p_partkey = partkey
+    JOIN supplier ON s_suppkey = suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND cost = (
+          SELECT MIN(o2.cost)
+          FROM offers o2
+          JOIN supplier s2 ON s2.s_suppkey = o2.suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE o2.partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    ("J5", "J6", "A2", "O2"),
 )
 
 _register_sql(
@@ -238,6 +267,29 @@ _register_sql(
 )
 
 _register_sql(
+    "tpch_q11_important_stock",
+    """
+    SELECT l_partkey AS partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) > (
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               * 0.001
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+    )
+    ORDER BY value DESC, partkey
+    """,
+    ("A2", "A3", "J5"),
+)
+
+_register_sql(
     "tpch_q12_late_shipment_priority",
     """
     SELECT l_linestatus,
@@ -303,6 +355,24 @@ _register_sql(
     ORDER BY s_suppkey
     """,
     ("J1", "A2", "O2"),
+)
+
+_register_sql(
+    "tpch_q16_supplier_part_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 15, 23, 25, 36, 39, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    ("A4", "J6", "P5"),
 )
 
 _register_sql(
