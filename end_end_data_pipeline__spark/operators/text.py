@@ -151,6 +151,44 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 8, w: int = 4):
     )
 
 
+# PII patterns (conservative syntax that parses identically under
+# Java regex and RE2, so the DuckDB oracle replays the exact scrub).
+# Application ORDER is part of the contract: emails first, then IPv4
+# (else the phone pattern would eat dotted digit runs), then long card
+# numbers, then phones.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("card", r"\b\d{12,19}\b", "[NUM]"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "[PHONE]"),
+)
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Occurrence count per PII class, measured on the progressively
+    redacted text (the same order the scrub applies), so counts and
+    redaction agree — an email's digits are never double-counted as a
+    phone."""
+    c = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    for name, pat, rep in PII_PATTERNS:
+        out[name] = F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        c = F.regexp_replace(c, pat, rep)
+    return out
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Training-data scrub: replace emails / IPv4s / long card-like
+    digit runs / phone numbers with typed placeholders.  Pure
+    ``regexp_replace`` chain — JVM-side, whole-stage-codegen'd, and
+    bit-reproducible in the DuckDB oracle (same patterns, same order,
+    global flag)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
 def fingerprint(text: Column | str) -> Column:
     """Normalization fingerprint: md5 of lowercased,
     whitespace-collapsed text — the exact-dedup key (rolling-hash

@@ -129,6 +129,75 @@ def text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII salt appended to every 10th document so redaction counts are
+# non-trivial; the oracle SQL is generated from the SAME
+# text.PII_PATTERNS tuple the operator applies, in the same order —
+# pattern identity is by construction, not by transcription.
+_PII_SALT = (
+    " Contact john.doe99@example.com or 192.168.1.77,"
+    " call +1 (415) 555-0133, card 4111111111111111."
+)
+
+
+def _pii_oracle() -> str:
+    sql = f"""
+        WITH s0 AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 10 = 0
+                                THEN '{_PII_SALT}' ELSE '' END AS t
+            FROM documents
+        )"""
+    prev = "s0"
+    for i, (name, pat, rep) in enumerate(text.PII_PATTERNS, 1):
+        carried = ", ".join(
+            f"n_{n}" for n, _, _ in text.PII_PATTERNS[: i - 1]
+        )
+        carried = (carried + ", ") if carried else ""
+        sql += f""",
+        s{i} AS (
+            SELECT doc_id, {carried}
+                   len(regexp_extract_all(t, '{pat}')) AS n_{name},
+                   regexp_replace(t, '{pat}', '{rep.replace("'", "''")}', 'g') AS t
+            FROM {prev}
+        )"""
+        prev = f"s{i}"
+    cols = ", ".join(f"n_{n}" for n, _, _ in text.PII_PATTERNS)
+    sql += f"""
+        SELECT doc_id, {cols}, md5(t) AS redacted_md5 FROM {prev}
+    """
+    return sql
+
+
+@register(
+    "text_pii_redaction",
+    oracle=_pii_oracle(),
+    survey_ids=("UD5", "F3"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training corpora: emails, IPv4s, card-like digit
+    runs, and phone numbers replaced by typed placeholders, with
+    per-class occurrence counts — a pure ``regexp_replace``/
+    ``regexp_extract_all`` chain (JVM-side, codegen'd, linear scan).
+    The md5 of every redacted document hash-checks the exact scrub
+    against the DuckDB replica built from the same pattern table."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    salted = docs.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 == 0, F.lit(_PII_SALT)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    counts = text.pii_counts("t")
+    return salted.select(
+        "doc_id",
+        *[counts[name].alias(f"n_{name}") for name, _, _ in text.PII_PATTERNS],
+        F.md5(text.redact_pii("t").cast("binary")).alias("redacted_md5"),
+    )
+
+
 @register(
     "text_exact_dedup",
     oracle="""

@@ -200,6 +200,38 @@ def test_winnow_shared_substring_guarantee(spark):
     assert len(sets[1]) < n_chars - 7
 
 
+def test_pii_redaction(spark):
+    """The scrub replaces every PII class with its placeholder, counts
+    agree with the replacements, and clean text passes untouched."""
+    from end_end_data_pipeline__spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@c.org and x_1@y.co.uk now"),
+            (2, "server at 10.0.255.3 port open"),
+            (3, "card 4111111111111111 exp 12/26"),
+            (4, "call +44 20 7946 0958 today"),
+            (5, "perfectly clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = text_ops.pii_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[counts[n].alias(n) for n, _, _ in text_ops.PII_PATTERNS],
+            text_ops.redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert out[1]["email"] == 2 and "[EMAIL]" in out[1]["red"] and "@" not in out[1]["red"]
+    assert out[2]["ip"] == 1 and "[IP]" in out[2]["red"]
+    assert out[3]["card"] == 1 and "4111" not in out[3]["red"]
+    assert out[4]["phone"] == 1 and "[PHONE]" in out[4]["red"]
+    assert out[5]["red"] == "perfectly clean text with no identifiers"
+    assert all(out[5][n] == 0 for n, _, _ in text_ops.PII_PATTERNS)
+
+
 def test_ivf_recall_floor_and_exactness(spark, emb):
     """IVF on the unclustered fixture: recall ~ n_probe/n_centroids;
     every returned score must equal the brute-force cosine."""
