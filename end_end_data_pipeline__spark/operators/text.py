@@ -151,6 +151,21 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 8, w: int = 4):
     )
 
 
+def word_bigrams(text: Column | str) -> Column:
+    """Adjacent word pairs ("a b") of the whitespace tokens — the unit
+    of the repetition quality signal."""
+    t = tokens(text)
+    n = F.size(t)
+    return F.transform(
+        F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.concat(
+            F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+        ),
+    )
+
+
 # PII patterns (conservative syntax that parses identically under
 # Java regex and RE2, so the DuckDB oracle replays the exact scrub).
 # Application ORDER is part of the contract: emails first, then IPv4

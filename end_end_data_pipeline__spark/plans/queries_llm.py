@@ -199,6 +199,93 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_stats",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM toks WHERE len(t) >= 2
+        ),
+        counts AS (
+            SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+        ),
+        per_doc AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                   CAST(MAX(c) AS BIGINT) AS top_count
+            FROM counts GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(t.t)) AS DOUBLE) / len(t.t)
+                 AS distinct_ratio,
+               COALESCE(p.n_bigrams, 0) AS n_bigrams,
+               CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+                    ELSE CAST(p.top_count AS DOUBLE) / p.n_bigrams
+               END AS top_bigram_share
+        FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    """,
+    survey_ids=("UD5", "A1"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (Gopher-style): per-document distinct
+    token ratio and the share of the most frequent word bigram — high
+    top-bigram share flags boilerplate/template spam for corpus
+    filtering.  One explode + one two-level hash agg; linear in corpus
+    size, partial-agg combinable (the hot key is (doc, gram), which is
+    unique-ish — no skew)."""
+    from end_end_data_pipeline__spark.functions.arrays import explode_safe
+
+    docs = lake.load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        text.tokens("text").alias("t"),
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        (F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias(
+            "distinct_ratio"
+        ),
+    )
+    grams = explode_safe(
+        docs.select("doc_id", text.word_bigrams("text").alias("g")),
+        ["doc_id"],
+        F.col("g"),
+        "gram",
+    )
+    per_doc = (
+        grams.groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_bigrams"),
+            F.max("count").alias("top_count"),
+        )
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_ratio",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.col("top_count").cast("double") / F.col("n_bigrams")
+            )
+            .alias("top_bigram_share"),
+        )
+    )
+
+
+@register(
     "text_exact_dedup",
     oracle="""
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
