@@ -866,6 +866,55 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB replica of similarity.quantize_int8: identical per-vector
+# 127/max|x| scaling and the engine-neutral floor(v+0.5) rounding, so
+# every quantized component and the reconstruction-error bound
+# hash-verify.  Exploded to scalar rows for the driver's canonicalizer.
+_QUANT_SQL = """
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, e,
+               CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(e, x -> abs(x)))
+                    ELSE 1.0 END AS scale
+        FROM base
+    ),
+    px AS (
+        SELECT vec_id, scale, unnest(range(1, len(e) + 1)) AS dim, e
+        FROM scaled
+    )
+    SELECT vec_id, CAST(dim - 1 AS INT) AS dim, scale,
+           CAST(greatest(-127, least(127,
+                CAST(floor(e[dim] * scale + 0.5) AS BIGINT))) AS INT) AS q
+    FROM px
+"""
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=_QUANT_SQL,
+    survey_ids=("UD7", "F13"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus —
+    the ANN storage/bandwidth reduction step (4× vs float32).  Pure
+    higher-order Catalyst expressions with engine-neutral floor(v+0.5)
+    rounding; exploded to (vec_id, dim, scale, q) so the driver
+    hash-verifies every quantized component against the DuckDB
+    replica."""
+    emb = lake.load_table(spark, "embeddings", sf_dir)
+    qz = similarity.quantize_int8(emb)
+    return qz.select(
+        F.col("id").alias("vec_id"), "scale",
+        F.posexplode("q").alias("dim", "q"),
+    ).select(
+        "vec_id", F.col("dim").cast("int").alias("dim"), "scale", "q"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (UD8)
 # ---------------------------------------------------------------------------

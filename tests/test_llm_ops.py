@@ -232,6 +232,30 @@ def test_pii_redaction(spark):
     assert all(out[5][n] == 0 for n, _, _ in text_ops.PII_PATTERNS)
 
 
+def test_quantize_int8_bounds_and_roundtrip(spark, emb):
+    """Every quantized component is in [-127, 127], the reconstruction
+    error respects the 0.5/scale bound, and dequantized cosine stays
+    close to the float cosine (the property ANN actually relies on)."""
+    from end_end_data_pipeline__spark.operators import similarity as sim
+
+    qz = sim.quantize_int8(emb)
+    row = qz.filter(F.col("id") == 0).first()
+    assert all(-127 <= v <= 127 for v in row["q"])
+    assert qz.filter(
+        F.col("max_abs_err") > 0.5 / F.col("scale") + 1e-12
+    ).count() == 0
+    # dequantized self-cosine with the original vector ≈ 1
+    orig = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    deq = [v / row["scale"] for v in row["q"]]
+    import math
+
+    dot = sum(a * b for a, b in zip(orig, deq))
+    cos = dot / (
+        math.sqrt(sum(a * a for a in orig)) * math.sqrt(sum(b * b for b in deq))
+    )
+    assert cos > 0.999, cos
+
+
 def test_ivf_recall_floor_and_exactness(spark, emb):
     """IVF on the unclustered fixture: recall ~ n_probe/n_centroids;
     every returned score must equal the brute-force cosine."""
