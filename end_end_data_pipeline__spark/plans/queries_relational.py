@@ -621,6 +621,45 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_priority_metrics",
+    oracle="""
+        WITH agg AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                     AS total_value,
+                   CAST(MAX(o_totalprice) AS DOUBLE) AS max_value
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM agg
+        UNION ALL
+        SELECT o_orderpriority, 'total_value', total_value FROM agg
+        UNION ALL
+        SELECT o_orderpriority, 'max_value', max_value FROM agg
+    """,
+    survey_ids=("U1", "A5", "F11"),
+)
+def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — pivot's inverse, the wide→long reshape
+    (``DataFrame.unpivot``): per-priority order metrics melted to
+    (priority, metric, value) rows.  Plans as a Generate over the
+    metric array — no shuffle beyond the upstream agg; the oracle is
+    the equivalent UNION ALL, engine-neutral."""
+    orders = _t(spark, sf_dir, "orders")[0]
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        dec_sum("o_totalprice", "total_value"),
+        F.max("o_totalprice").cast("double").alias("max_value"),
+    )
+    return agg.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_value", "max_value"],
+        "metric",
+        "value",
+    )
+
+
+@register(
     "grouping_sets_priority_status",
     oracle="""
         SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
