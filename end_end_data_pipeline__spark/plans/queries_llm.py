@@ -866,6 +866,43 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_train_val_split",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN b < 95 THEN 'train'
+                    WHEN b < 99 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 100 AS b
+            FROM documents
+        )
+    """,
+    survey_ids=("F9", "F4"),
+)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (95/4/1) —
+    the reproducible corpus-splitting primitive every training pipeline
+    needs: membership is a pure function of the document id (md5
+    bucket), so it is stable across runs, engines, cluster layouts,
+    and incremental corpus growth (new docs never reshuffle old
+    assignments).  No shuffle at all — a scan-level projection."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 95, "train")
+        .when(bucket < 99, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 # DuckDB replica of similarity.quantize_int8: identical per-vector
 # 127/max|x| scaling and the engine-neutral floor(v+0.5) rounding, so
 # every quantized component and the reconstruction-error bound
