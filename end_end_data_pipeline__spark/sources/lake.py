@@ -225,6 +225,56 @@ def read_jdbc(
     return reader.load()
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (+ optionally sorted) managed table
+    — the co-located-join layout (SURVEY.md §4): two tables bucketed on
+    the same key with the same bucket count join with NO exchange on
+    either side, and sorted buckets skip the sort of a sort-merge join
+    too.  This is how a 100 TB fact table amortizes its shuffle: paid
+    once at write, skipped by every subsequent join/agg on the key.
+
+    Bucketing requires the table catalog (``saveAsTable``); plain
+    ``.parquet(path)`` writes cannot carry bucket metadata.  Bucket
+    pruning also serves point lookups on the bucket key.
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def write_bucketed_at(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """:func:`write_bucketed` as an EXTERNAL table at ``path`` (tests
+    and ad-hoc layouts — keeps bucket metadata in the catalog while the
+    files live outside the warehouse dir)."""
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def zorder_value(cols: list[str], n_bits: int = 16) -> "F.Column":
     """Z-order (Morton) curve value for multi-column clustering: each
     column is rank-normalized to ``n_bits`` via percent_rank upstream

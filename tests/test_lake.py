@@ -154,3 +154,46 @@ def test_load_table_bad_sf_dir_fails_cleanly(spark):
 
     with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
         lake.load_table(spark, "orders", "/root/testdata/sf-does-not-exist").count()
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The co-located-join layout: both sides bucketed+sorted on the
+    join key with equal bucket counts -> the join plans with ZERO
+    shuffle exchanges and no extra sort, and results equal the plain
+    join.  This is the write-once/shuffle-never contract that matters
+    at 100 TB."""
+    from pyspark.sql import functions as F
+
+    orders = lake.load_table(spark, "orders", SF_SMOKE).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = lake.load_table(spark, "lineitem", SF_SMOKE).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    try:
+        lake.write_bucketed_at(
+            orders, "b_orders", str(tmp_path / "bo"), ["o_orderkey"],
+            n_buckets=8, sort_cols=["o_orderkey"],
+        )
+        lake.write_bucketed_at(
+            li, "b_lineitem", str(tmp_path / "bl"), ["l_orderkey"],
+            n_buckets=8, sort_cols=["l_orderkey"],
+        )
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy(
+            "o_orderkey"
+        ).agg(F.count("*").alias("n"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Exchange hashpartitioning" not in plan, plan
+        # parity with the unbucketed join
+        base = orders.join(li, orders.o_orderkey == li.l_orderkey).groupBy(
+            "o_orderkey"
+        ).agg(F.count("*").alias("n"))
+        got = {r["o_orderkey"]: r["n"] for r in joined.collect()}
+        want = {r["o_orderkey"]: r["n"] for r in base.collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
