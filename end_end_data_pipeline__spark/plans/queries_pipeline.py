@@ -117,6 +117,47 @@ def connector_config_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "jdbc_roundtrip_live",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey <= 200
+    """,
+    survey_ids=("S1", "S8"),
+)
+def jdbc_roundtrip_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE JDBC round-trip (S1/S8) against the Derby engine bundled
+    with Spark's jars — no external database needed: a slice of orders
+    is INSERTed through the JDBC sink, then read back through the
+    range-partitioned JDBC source (4 partitions on o_orderkey, the
+    production parallel-scan shape of ``lake.read_jdbc``).  The oracle
+    states the expected table directly, so the driver hash-checks that
+    the full JDBC write+read path is lossless — upgrading S1/S8 from
+    config-surface evidence to a live integration check."""
+    db = os.path.join(tempfile.mkdtemp(prefix="jdbc_live_"), "db")
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    orders = (
+        lake.load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 200)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    )
+    (
+        orders.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_rt")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    return lake.read_jdbc(
+        spark, url, "orders_rt",
+        partition_column="o_orderkey", num_partitions=4,
+        lower_bound=0, upper_bound=201, driver=driver,
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
 # ---------------------------------------------------------------------------
 # P7 — constraint / data-quality audit
 # ---------------------------------------------------------------------------

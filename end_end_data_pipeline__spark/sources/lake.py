@@ -209,8 +209,10 @@ def read_jdbc(
 
     The reference reads/writes Postgres row-at-a-time via psycopg2
     (reference ``generator.py:168-176,204-208``); the engine's analog is
-    a partitioned JDBC scan.  Untested in this container (no JDBC
-    driver jar) — wiring only.
+    a partitioned JDBC scan.  Live-tested in-container against the
+    Derby engine bundled in Spark's jars (catalog query
+    ``jdbc_roundtrip_live`` + tests/test_connectors.py); against
+    Postgres the only delta is the url/driver pair.
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None and lower_bound is not None and upper_bound is not None:

@@ -123,3 +123,34 @@ def test_truncate_reset_preserves_schema(spark, tmp_path):
     assert after.columns == orders.columns
     # still queryable post-reset
     assert after.filter(F.col("o_orderkey") > 0).count() == 0
+
+
+def test_jdbc_live_roundtrip_with_pushdown(spark, tmp_path):
+    """Live JDBC (embedded Derby from Spark's own jars): partitioned
+    write+read round-trip is lossless, the ranged read fans out to the
+    requested partitions, and a filter on the JDBC source is pushed
+    into the remote scan (PushedFilters in the plan) rather than
+    applied post-transfer."""
+    from pyspark.sql import functions as F
+
+    from end_end_data_pipeline__spark.sources import lake
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.range(1000).selectExpr("id", "id % 7 AS grp", "id * 1.5 AS v")
+    (
+        df.write.format("jdbc")
+        .option("url", url).option("dbtable", "t")
+        .option("driver", driver).mode("overwrite").save()
+    )
+    back = lake.read_jdbc(
+        spark, url, "t", partition_column="id",
+        num_partitions=4, lower_bound=0, upper_bound=1000, driver=driver,
+    )
+    assert back.count() == 1000
+    assert back.rdd.getNumPartitions() == 4
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    filtered = back.filter(F.col("grp") == 3)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GRP" in plan.upper(), plan
+    assert filtered.count() == df.filter(F.col("grp") == 3).count()
