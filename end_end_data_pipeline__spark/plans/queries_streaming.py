@@ -66,6 +66,72 @@ def cdc_roundtrip_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_merge_time_travel",
+    oracle="""
+        SELECT 1 AS version, o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey <= 100
+        UNION ALL
+        SELECT 2, o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN CAST(o_totalprice AS DOUBLE) + 100.0
+                    ELSE CAST(o_totalprice AS DOUBLE) END
+        FROM orders WHERE o_orderkey <= 100 AND o_orderkey % 7 <> 0
+    """,
+    survey_ids=("ST5", "ST6", "S5"),
+)
+def versioned_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional table format in action (the piece plain parquet
+    lacks): two change batches merge through the manifest-committed
+    table (``sources.manifest_table`` — atomic manifest-rename commits,
+    immutable data files), then BOTH snapshots are read back by version
+    — time travel — and hash-checked against the oracle's statement of
+    each state.  Version 1: the first 100 orders as inserts; version 2:
+    +100 on every key%3==0, deletes of key%7==0."""
+    from end_end_data_pipeline__spark.sources import manifest_table as mt
+
+    target = tempfile.mkdtemp(prefix="mct_") + "/t"
+    orders = lake.load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") <= 100
+    )
+
+    def to_batch(df, op, ts):
+        after = (
+            F.struct(
+                F.col("o_orderkey"),
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            )
+            if op != "d"
+            else F.lit(None).cast("struct<o_orderkey:bigint,o_totalprice:double>")
+        )
+        return df.select(
+            F.col("o_orderkey"),
+            F.lit(op).alias("op"),
+            F.lit(ts).cast("long").alias("ts_ms"),
+            after.alias("after"),
+        )
+
+    mt.merge_versioned(to_batch(orders, "c", 1), target, ["o_orderkey"], n_buckets=8)
+    updates = to_batch(
+        orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 100.0
+        ),
+        "u", 2,
+    )
+    deletes = to_batch(orders.filter(F.col("o_orderkey") % 7 == 0), "d", 2)
+    mt.merge_versioned(
+        updates.unionByName(deletes), target, ["o_orderkey"], n_buckets=8
+    )
+    v1 = mt.read_snapshot(spark, target, 1).select(
+        F.lit(1).alias("version"), "o_orderkey", "o_totalprice"
+    )
+    v2 = mt.read_snapshot(spark, target, 2).select(
+        F.lit(2).alias("version"), "o_orderkey", "o_totalprice"
+    )
+    return v1.unionByName(v2)
+
+
+@register(
     "window_tumbling_daily",
     oracle=f"""
         SELECT date_trunc('day', ts) AS win_start,

@@ -42,6 +42,12 @@ would drop previously merged keys.  (Deleting the marker up front is
 what makes detection sound: dynamic partition overwrite never removes
 the *previous* root marker on its own, so without the explicit delete
 a mid-commit crash would masquerade as a committed table.)
+
+For targets that need TRUE atomicity (no refusal window at all) plus
+snapshot isolation and time travel, use the manifest-committed table
+(``sources.manifest_table.merge_versioned``) — same change-row
+contract and per-bucket cost model, immutable data files, commit =
+one manifest rename.
 """
 
 from __future__ import annotations

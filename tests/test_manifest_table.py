@@ -1,0 +1,159 @@
+"""Manifest-committed table (sources/manifest_table.py): atomic commit
+via manifest rename — crash at ANY point leaves the previous version
+fully visible (no refusal window, unlike the plain-parquet merge's
+detection protocol), plus snapshot isolation / time travel / vacuum /
+optimistic concurrency."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from end_end_data_pipeline__spark import schemas
+from end_end_data_pipeline__spark.sources import cdc
+from end_end_data_pipeline__spark.sources import manifest_table as mt
+
+
+def _batch(spark, rows):
+    """rows: (id, amount, op, ts_ms) → decode-shaped change frame."""
+    df = spark.createDataFrame(rows, "id long, amount double, op string, ts_ms long")
+    return df.select(
+        "id", "op", "ts_ms",
+        F.when(F.col("op") != "d", F.struct("id", "amount")).alias("after"),
+    )
+
+
+def test_merge_versioned_roundtrip_and_time_travel(spark, tmp_path):
+    target = str(tmp_path / "t")
+    v1 = mt.merge_versioned(
+        _batch(spark, [(1, 10.0, "c", 1), (2, 20.0, "c", 1)]), target, ["id"],
+        n_buckets=4,
+    )
+    v2 = mt.merge_versioned(
+        _batch(spark, [(1, 99.0, "u", 2), (3, 30.0, "c", 2)]), target, ["id"],
+        n_buckets=4,
+    )
+    v3 = mt.merge_versioned(
+        _batch(spark, [(2, None, "d", 3)]), target, ["id"], n_buckets=4,
+    )
+    assert (v1, v2, v3) == (1, 2, 3)
+    snap = lambda v: {  # noqa: E731
+        r["id"]: r["amount"]
+        for r in mt.read_snapshot(spark, target, v).collect()
+    }
+    assert snap(1) == {1: 10.0, 2: 20.0}
+    assert snap(2) == {1: 99.0, 2: 20.0, 3: 30.0}
+    assert snap(3) == {1: 99.0, 3: 30.0}
+    assert snap(None) == snap(3)  # latest
+
+
+def test_merge_versioned_crash_is_atomic(spark, tmp_path, monkeypatch):
+    """Kill the writer between data write and manifest rename: the
+    table stays at the OLD version with no ambiguity — readers and the
+    next merge proceed normally (the plain-parquet merge can only
+    refuse here; the manifest commit makes the crash invisible)."""
+    target = str(tmp_path / "t")
+    mt.merge_versioned(
+        _batch(spark, [(1, 10.0, "c", 1), (2, 20.0, "c", 1)]), target, ["id"],
+        n_buckets=4,
+    )
+
+    real = mt._commit_manifest
+
+    def crashing(spark_, target_, manifest):
+        raise RuntimeError("simulated crash before manifest rename")
+
+    monkeypatch.setattr(mt, "_commit_manifest", crashing)
+    with pytest.raises(RuntimeError, match="simulated"):
+        mt.merge_versioned(
+            _batch(spark, [(1, 99.0, "u", 2)]), target, ["id"], n_buckets=4
+        )
+    monkeypatch.undo()
+    # old state fully intact and readable — no refusal, no data loss
+    assert mt.list_versions(spark, target) == [1]
+    state = {r["id"]: r["amount"] for r in mt.read_snapshot(spark, target).collect()}
+    assert state == {1: 10.0, 2: 20.0}
+    # and the retried merge commits cleanly on top
+    v = mt.merge_versioned(
+        _batch(spark, [(1, 99.0, "u", 2)]), target, ["id"], n_buckets=4
+    )
+    assert v == 2
+    state = {r["id"]: r["amount"] for r in mt.read_snapshot(spark, target).collect()}
+    assert state == {1: 99.0, 2: 20.0}
+    assert real is mt._commit_manifest
+
+
+def test_merge_versioned_detects_concurrent_commit(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency: two writers read version 1, both try to
+    commit version 2 — the second one's commit must refuse instead of
+    clobbering.  Simulated by pinning this writer's version listing to
+    the stale view while the racing writer's manifest-v2 lands."""
+    target = str(tmp_path / "t")
+    mt.merge_versioned(_batch(spark, [(1, 1.0, "c", 1)]), target, ["id"], n_buckets=2)
+    monkeypatch.setattr(mt, "list_versions", lambda s, t: [1])  # stale read
+    with open(os.path.join(target, "manifest-v2.json"), "w") as f:
+        f.write('{"version": 2, "buckets": {}}')  # racing writer wins
+    with pytest.raises(RuntimeError, match="race"):
+        mt.merge_versioned(
+            _batch(spark, [(1, 2.0, "u", 2)]), target, ["id"], n_buckets=2
+        )
+    monkeypatch.undo()
+    # the losing writer's retry (fresh read) commits v3 on top
+    v = mt.merge_versioned(
+        _batch(spark, [(1, 2.0, "u", 2)]), target, ["id"], n_buckets=2
+    )
+    assert v == 3
+
+
+def test_vacuum_keeps_recent_versions_readable(spark, tmp_path):
+    target = str(tmp_path / "t")
+    for i in range(1, 5):
+        mt.merge_versioned(
+            _batch(spark, [(1, float(i), "u" if i > 1 else "c", i)]),
+            target, ["id"], n_buckets=2,
+        )
+    removed = mt.vacuum(spark, target, keep_last=2)
+    assert removed == [1, 2]
+    assert mt.list_versions(spark, target) == [3, 4]
+    assert {r["amount"] for r in mt.read_snapshot(spark, target, 3).collect()} == {3.0}
+    assert {r["amount"] for r in mt.read_snapshot(spark, target, 4).collect()} == {4.0}
+    with pytest.raises(FileNotFoundError):
+        mt.read_snapshot(spark, target, 1)
+
+
+def test_merge_versioned_cdc_envelope_end_to_end(spark, tmp_path):
+    """The same banking CDC envelopes the streaming upsert consumes
+    merge through the versioned table identically."""
+    import json as _json
+
+    target = str(tmp_path / "t")
+
+    def env(id, amount, op, ts):
+        after = None if op == "d" else {
+            "id": id, "account_id": 1, "txn_type": "DEPOSIT", "amount": amount,
+            "related_account_id": None, "status": "COMPLETED",
+            "created_at": 1719792000000000,
+        }
+        before = None if op == "c" else dict(after or {}, id=id)
+        if op == "d":
+            before = {"id": id, "account_id": 1, "txn_type": "DEPOSIT",
+                      "amount": 1.0, "related_account_id": None,
+                      "status": "COMPLETED", "created_at": 1719792000000000}
+        return _json.dumps({"payload": {"before": before, "after": after,
+                                        "op": op, "ts_ms": ts,
+                                        "source": {"table": "transactions"}}})
+
+    raw = spark.createDataFrame(
+        [(env(1, 10.0, "c", 1),), (env(2, 5.0, "c", 1),),
+         (env(1, 42.0, "u", 2),), (env(2, None, "d", 2),)],
+        ["value"],
+    )
+    batch = cdc.decode(
+        cdc.parse_envelope(raw, schemas.cdc_row_schema("transactions")), ["id"]
+    )
+    mt.merge_versioned(batch, target, ["id"], n_buckets=4)
+    state = {r["id"]: r["amount"] for r in mt.read_snapshot(spark, target).collect()}
+    assert state == {1: 42.0}
