@@ -232,6 +232,45 @@ def stream_cdc_file_source(
     )
 
 
+def stream_cdc_file_source_versioned(
+    spark: SparkSession,
+    source_dir: str,
+    row_schema: T.StructType,
+    key_cols: list[str],
+    target_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 10,
+    n_buckets: int = 64,
+) -> "object":
+    """:func:`stream_cdc_file_source` on the manifest-committed table
+    backend (``sources.manifest_table``): each micro-batch commits one
+    atomic table version.  Crash semantics compose with the checkpoint:
+    crash before the manifest rename → no version, the replayed batch
+    commits it; crash after the rename but before the checkpoint
+    advances → the replay commits one more version with identical
+    content (converges; versions are cheap — vacuum reclaims).  Unlike
+    the plain-parquet path there is NO operator-repair refusal state.
+    """
+    from end_end_data_pipeline__spark.sources import manifest_table as mt
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(source_dir)
+    )
+    changes = cdc.decode(cdc.parse_envelope(raw, row_schema), key_cols)
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        mt.merge_versioned(batch, target_path, key_cols, n_buckets=n_buckets)
+
+    return (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def kafka_cdc_source(
     spark: SparkSession,
     bootstrap: str,
