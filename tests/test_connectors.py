@@ -154,3 +154,22 @@ def test_jdbc_live_roundtrip_with_pushdown(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GRP" in plan.upper(), plan
     assert filtered.count() == df.filter(F.col("grp") == 3).count()
+
+
+def test_jdbc_truncate_reset_live(spark, tmp_path):
+    """S9 against a live JDBC database: TRUNCATE empties the table but
+    keeps it queryable with the same schema (not DROP/CREATE)."""
+    from end_end_data_pipeline__spark.sources import connectors
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    spark.range(50).selectExpr("id", "id * 2 AS v").write.format("jdbc").option(
+        "url", url
+    ).option("dbtable", "t9").option("driver", driver).mode("overwrite").save()
+    out = connectors.truncate_reset_jdbc(spark, url, "t9", driver)
+    assert out == {"rows_before": 50, "rows_after": 0}
+    back = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "t9").option("driver", driver).load()
+    )
+    assert back.columns == ["id", "v"] and back.count() == 0
