@@ -121,6 +121,47 @@ def _read_files(spark: SparkSession, target: str, rel_files: list[str]) -> DataF
     return out
 
 
+def read_keys(
+    spark: SparkSession,
+    target: str,
+    key_cols: list[str],
+    keys: list[tuple],
+    n_buckets: int = 64,
+    version: int | None = None,
+) -> DataFrame:
+    """Bucket-pruned point lookup: the key→bucket mapping is immutable
+    (same xxhash64 the merge uses), so a lookup reads only the manifest
+    files of the touched buckets — O(touched/n_buckets) of the table,
+    the lakehouse stand-in for the reference's primary-key index.
+    ``n_buckets`` must match the table's layout."""
+    versions = list_versions(spark, target)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest under {target!r}")
+    v = version if version is not None else versions[-1]
+    manifest = _read_manifest(spark, target, v)
+    key_df = spark.createDataFrame(keys, key_cols)
+    wanted = {
+        str(r[0])
+        for r in key_df.select(
+            F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    files = [
+        f for b, fl in manifest["buckets"].items() if b in wanted for f in fl
+    ]
+    if not files:
+        # none of the touched buckets exist → empty result, keyed schema
+        return _read_files(
+            spark, target,
+            [f for fl in manifest["buckets"].values() for f in fl],
+        ).limit(0).join(key_df, key_cols, "inner")
+    return _read_files(spark, target, files).join(
+        F.broadcast(key_df), key_cols, "inner"
+    )
+
+
 def _commit_manifest(
     spark: SparkSession, target: str, manifest: dict
 ) -> None:

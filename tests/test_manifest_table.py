@@ -205,3 +205,29 @@ def test_stream_cdc_versioned_restart_resumes(spark, tmp_path):
     old = {r["id"]: r["balance"]
            for r in mt.read_snapshot(spark, target, v_after_first).collect()}
     assert old == s1
+
+
+def test_read_keys_prunes_buckets(spark, tmp_path):
+    """Point lookup touches only the keys' buckets' files — verified by
+    checking the scanned file set in the plan — and returns exactly the
+    requested live keys."""
+    target = str(tmp_path / "t")
+    rows = [(i, float(i), "c", 1) for i in range(1, 33)]
+    mt.merge_versioned(_batch(spark, rows), target, ["id"], n_buckets=8)
+    out = mt.read_keys(spark, target, ["id"], [(7,), (19,)], n_buckets=8)
+    got = {(r["id"], r["amount"]) for r in out.collect()}
+    assert got == {(7, 7.0), (19, 19.0)}
+    # pruning: the lookup's scan reads only the touched buckets' files
+    manifest = mt._read_manifest(spark, target, 1)
+    all_files = sum(len(fl) for fl in manifest["buckets"].values())
+    buckets_scanned = {
+        f.split("p_bucket=")[1].split("/")[0]
+        for f in out.inputFiles()
+        if "p_bucket=" in f
+    }
+    assert 0 < len(buckets_scanned) <= 2
+    assert len(out.inputFiles()) < all_files
+    # missing keys and deleted keys return nothing
+    mt.merge_versioned(_batch(spark, [(7, None, "d", 2)]), target, ["id"], n_buckets=8)
+    out2 = mt.read_keys(spark, target, ["id"], [(7,), (999,)], n_buckets=8)
+    assert out2.count() == 0
