@@ -60,32 +60,47 @@ def register(
 
 # Deterministic presentation order for the registry.  The driver
 # records correctness rows for only the FIRST 50 ``load_all()``
-# entries, so the order is a rotating evidence window.  Round-4
-# rotation: every query with NO driver row yet (the 7 never-checked,
-# then the 41 checked only in round 1, then the round-4 additions)
-# fills the window; the round-3-green queries move just past it — their
-# evidence is fresh (CORRECTNESS_r03.json) and tests/test_oracle_parity
-# re-proves their oracles every pytest run.  Goal: every catalog query
-# has a green driver row in r01∪r03∪r04.  Names not listed here sort
-# after the listed ones in registration order.
+# entries, so the order is a rotating evidence window.  Round-5
+# rotation: lead with the 10 round-4 additions that have never had a
+# driver row (they landed after the r04 window was set), then the
+# queries whose oracles are new this round, then the new round-5
+# queries, then r04-green sentinels fill the window.  With this
+# rotation every oracle-backed catalog query has a green driver row in
+# r01∪r03∪r04∪r05.  Names not listed here sort after the listed ones
+# in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # --- never green in any round: the 7 never-checked plus the
-    # twice-ERR multimodal feature query (now canonicalizable) ---
+    # --- never driver-checked: the 10 round-4 additions ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_count",
+    "text_pii_redaction",
+    "text_repetition_stats",
+    "corpus_train_val_split",
+    "embedding_quantize_int8",
+    "unpivot_priority_metrics",
+    "versioned_merge_time_travel",
+    "jdbc_roundtrip_live",
+    # --- oracle-ized this round (previously no_oracle rows-only) ---
+    "approx_distinct_users_daily",
+    "gold_marts_build",
+    # --- new round-5 queries ---
+    "multimodal_decode_image_stats",
+    "stream_cdc_upsert_pipeline",
+    # --- r01-only greens whose slots were ceded in r04 ---
+    "functions_string_battery",
+    "functions_datetime_battery",
+    # --- r04-green sentinels (evidence fresh in CORRECTNESS_r04.json;
+    # oracle parity re-proven every pytest run) ---
     "tpch_q6_forecast_revenue",
     "tpch_q12_late_shipment_priority",
+    "tpch_q9_product_type_profit",
+    "tpch_q20_potential_part_promotion",
     "corpus_chunk_documents",
     "stream_custom_sessionize",
     "multimodal_resize_batch",
     "multimodal_frame_sample",
-    "maintenance_truncate_reset",
     "multimodal_feature_extract",
-    # --- first hash-checkable row for the newly oracle-ized IVF ANN
-    # (its r03 row was a weaker rows-only check) ---
     "embedding_ann_ivf_topk",
-    # --- green in round 1 only; unwitnessed for two rounds (39 of 41;
-    # the string/datetime function batteries cede their slots — their
-    # r01 rows keep union coverage and their functions are co-covered
-    # by the TPC-H/SCD2/winnow queries) ---
     "embedding_ann_lsh_topk",
     "text_exact_dedup",
     "stream_daily_event_agg",
@@ -111,6 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_replayed_events",
     "pivot_status_by_segment",
     "grouping_sets_priority_status",
+    # --- window boundary (~50) ---
     "window_percentile_standing",
     "window_lag_event_gap",
     "window_moving_avg_7d",
@@ -121,15 +137,10 @@ _PRIORITY: tuple[str, ...] = (
     "window_tumbling_daily",
     "window_sliding_10m_5m",
     "window_session_30m",
-    "stream_cdc_upsert_pipeline",
+    "maintenance_truncate_reset",
     "banking_generator_fanout",
     "text_token_stats",
     "text_quality_language",
-    # --- round-4 additions (need their first driver row) ---
-    "tpch_q9_product_type_profit",
-    "tpch_q20_potential_part_promotion",
-    # --- round-3-green sentinels (past the 50-entry window; evidence
-    # current as of CORRECTNESS_r03.json) ---
     "flagship_monthly_segment_volume",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
@@ -145,7 +156,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q8_national_market_share",
     "tpch_q15_top_supplier",
     "tpch_q21_waiting_supplier",
-    "gold_marts_build",
     "scd2_order_history",
     "transfer_network_components",
     "skew_salted_join_segment_counts",
@@ -169,9 +179,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stream_click_purchase",
     "pandas_grouped_minmax_scale",
     "pandas_grouped_agg_money_sum",
-    "functions_string_battery",
-    "functions_datetime_battery",
-    "approx_distinct_users_daily",
     "join_order_lineitem_detail",
     "join_geo_rollup",
     "agg_pricing_summary",

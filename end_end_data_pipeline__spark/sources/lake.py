@@ -26,27 +26,29 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 # Tables whose parquet files MAY store TIMESTAMP(NANOS) — illegal for
-# Spark's vectorized reader.  The actual unit is probed from the parquet
-# footer per path (test fixtures have been regenerated with different
-# units across rounds): nanos files are read as raw long (legacy conf)
-# and converted to micros — the fixture data is micros-precision
-# (ns % 1000 == 0 for every row), so no information is lost and values
-# match the DuckDB oracle bit-for-bit; micros files read natively.
+# Spark's vectorized reader when requested as a timestamp.  The actual
+# unit is probed from the parquet footer per path (test fixtures have
+# been regenerated with different units across rounds): nanos files are
+# read as raw long — an explicit LongType in the read schema is enough;
+# no session conf involved — and converted to micros.  The fixture data
+# is micros-precision (ns % 1000 == 0 for every row), so no information
+# is lost and values match the DuckDB oracle bit-for-bit; micros files
+# read natively.
 _MAYBE_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
-_nanos_probe_cache: dict[str, tuple[str, ...]] = {}
+# keyed on (resolved file, mtime): an in-process fixture regeneration
+# (same path, new unit) invalidates naturally
+_nanos_probe_cache: dict[tuple[str, float], tuple[str, ...]] = {}
 
 
 def _nanos_ts_cols(path: str, candidates: tuple[str, ...]) -> tuple[str, ...]:
     """Which of ``candidates`` are stored as physical INT64 with a
     TIMESTAMP(NANOS) logical type in the parquet footer at ``path``
-    (file or directory of files — one footer read, cached per path;
-    never assume the unit).  The check is at the PARQUET level, not
-    arrow's (arrow also reports legacy INT96 timestamps as ``ns``, but
-    INT96 must be read natively — the legacy long path would fail on
-    it)."""
-    if path in _nanos_probe_cache:
-        return _nanos_probe_cache[path]
+    (file or directory of files — one footer read, cached per
+    (file, mtime); never assume the unit).  The check is at the PARQUET
+    level, not arrow's (arrow also reports legacy INT96 timestamps as
+    ``ns``, but INT96 must be read natively — the raw-long path would
+    fail on it)."""
     try:
         import glob
 
@@ -57,6 +59,9 @@ def _nanos_ts_cols(path: str, candidates: tuple[str, ...]) -> tuple[str, ...]:
             if os.path.isfile(path)
             else sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
         )
+        key = (f, os.path.getmtime(f))
+        if key in _nanos_probe_cache:
+            return _nanos_probe_cache[key]
         sch = pq.ParquetFile(f).schema
         by_name = {sch.column(i).name: sch.column(i) for i in range(len(sch))}
         out = tuple(
@@ -66,9 +71,9 @@ def _nanos_ts_cols(path: str, candidates: tuple[str, ...]) -> tuple[str, ...]:
             and col.physical_type == "INT64"
             and "nanos" in str(col.logical_type).lower()
         )
+        _nanos_probe_cache[key] = out
     except Exception:
         out = ()  # unreadable footer → let the normal reader surface it
-    _nanos_probe_cache[path] = out
     return out
 
 
@@ -91,7 +96,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name in schemas.STAR:
         schema = schemas.STAR[name]
         if ns_cols:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # explicit LongType per nanos column — no session-global
+            # legacy conf (a leaked nanosAsLong=true would make LATER
+            # schema-inferred reads of other nanos files silently
+            # return longs)
             schema = T.StructType(
                 [
                     T.StructField(f.name, T.LongType() if f.name in ns_cols else f.dataType)
@@ -115,7 +123,6 @@ def stream_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFram
     path = os.path.join(sf_dir, "events.parquet")
     ns = _nanos_ts_cols(path, ("ts",))
     if ns:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw_schema = (
             "event_id long, ts long, user_id long, event_type string,"
             " value double, props string"

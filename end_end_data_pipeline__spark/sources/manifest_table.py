@@ -8,40 +8,54 @@ the Spark-first ~150-line equivalent of their core commit protocol).
 Layout::
 
     target/
-      data/v{N}/p_bucket={b}/part-*.parquet   -- immutable once written
-      manifest-v{N}.json                      -- {"version": N,
-                                                  "buckets": {b: [files]}}
+      data/v{N}-{token}/p_bucket={b}/part-*.parquet  -- immutable once written
+      manifest-v{N}.json   -- {"version": N, "schema": <json>,
+                               "buckets": {b: [files]}}
 
-Commit protocol (single writer, optimistic):
+Commit protocol (optimistic, multi-writer safe):
 
 1. read the current manifest (highest N); compute the affected buckets;
-2. write the NEW state of those buckets under ``data/v{N+1}/`` —
-   existing files are never touched or deleted;
+2. write the NEW state of those buckets under a WRITER-UNIQUE dir
+   ``data/v{N+1}-{token}/`` — existing files are never touched or
+   deleted, and two racers writing the same target version cannot
+   clobber each other's part files (each attempt owns its own dir);
 3. write ``_tmp-manifest-v{N+1}`` carrying forward the unaffected
    buckets' file lists and swapping in the new files, then ``rename``
    it to ``manifest-v{N+1}.json``.
 
 The rename is the commit point: atomic on local/HDFS-like stores, and
 it FAILS if the destination exists — which doubles as optimistic
-concurrency control (a racing writer loses cleanly).  A crash anywhere
-before the rename leaves only orphan data files; the current manifest
-— and therefore every reader and the next merge — still sees the old
-committed state.  No ambiguity, no refusal path, no re-seed risk.
-Object stores without atomic rename (S3) need a conditional-put
-catalog instead; that swap is isolated to ``_commit_manifest``.
+concurrency control.  The losing racer's data dir is an orphan the
+loser deletes on the way out (and ``vacuum`` would reap anyway); the
+committed manifest only ever references files under the winner's dir,
+so "a racing writer loses cleanly" holds for data files too.  A crash
+anywhere before the rename leaves only orphan data files; the current
+manifest — and therefore every reader and the next merge — still sees
+the old committed state.  Object stores without atomic rename (S3)
+need a conditional-put catalog instead; that swap is isolated to
+``_commit_manifest``.  ``merge_versioned_retry`` is the bounded
+re-read/re-merge/re-commit loop a loser runs.
 
 Readers pin a manifest version → snapshot isolation and time travel
 for free (``read_snapshot(..., version=K)``).  ``vacuum`` drops data
-dirs unreferenced by the kept manifests.
+dirs unreferenced by the kept manifests.  The manifest carries the
+table schema, so an empty committed state (a merge that deleted every
+key) reads back as an empty DataFrame, not an error, and point lookups
+hash keys with the TABLE's column types (Spark's ``xxhash64`` is
+type-sensitive: a long hashes differently from an int, so bucketing
+inferred-type Python literals directly could silently prune to the
+wrong buckets).
 """
 
 from __future__ import annotations
 
 import json
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from end_end_data_pipeline__spark.sources import cdc
 
@@ -80,6 +94,13 @@ def _read_manifest(spark: SparkSession, target: str, version: int) -> dict:
     return json.loads("\n".join(r[0] for r in lines))
 
 
+def _manifest_schema(manifest: dict) -> StructType | None:
+    """The table schema persisted at commit time (None for pre-schema
+    manifests)."""
+    sj = manifest.get("schema")
+    return StructType.fromJson(sj) if sj else None
+
+
 def read_snapshot(
     spark: SparkSession, target: str, version: int | None = None
 ) -> DataFrame:
@@ -95,7 +116,11 @@ def read_snapshot(
     manifest = _read_manifest(spark, target, v)
     files = [f for fl in manifest["buckets"].values() for f in fl]
     if not files:
-        raise FileNotFoundError(f"version {v} of {target!r} is empty")
+        # a merge that deleted every key is a legitimate empty state
+        schema = _manifest_schema(manifest)
+        if schema is None:
+            raise FileNotFoundError(f"version {v} of {target!r} is empty")
+        return spark.createDataFrame([], schema)
     return _read_files(spark, target, files)
 
 
@@ -139,7 +164,16 @@ def read_keys(
         raise FileNotFoundError(f"no committed manifest under {target!r}")
     v = version if version is not None else versions[-1]
     manifest = _read_manifest(spark, target, v)
+    schema = _manifest_schema(manifest)
     key_df = spark.createDataFrame(keys, key_cols)
+    if schema is not None:
+        # pin the probe keys to the TABLE's column types before hashing
+        # — xxhash64(int) != xxhash64(long), so inferred-literal types
+        # would silently prune to the wrong buckets
+        table_types = {f.name: f.dataType for f in schema.fields}
+        key_df = key_df.select(
+            *[F.col(k).cast(table_types[k]).alias(k) for k in key_cols]
+        )
     wanted = {
         str(r[0])
         for r in key_df.select(
@@ -152,11 +186,22 @@ def read_keys(
         f for b, fl in manifest["buckets"].items() if b in wanted for f in fl
     ]
     if not files:
-        # none of the touched buckets exist → empty result, keyed schema
-        return _read_files(
-            spark, target,
-            [f for fl in manifest["buckets"].values() for f in fl],
-        ).limit(0).join(key_df, key_cols, "inner")
+        # none of the touched buckets exist → empty result, table schema
+        # straight from the manifest (no file listing / footer reads)
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        all_files = [f for fl in manifest["buckets"].values() for f in fl]
+        if not all_files:
+            raise FileNotFoundError(
+                f"version {v} of {target!r} is empty and pre-dates "
+                "manifest schemas — cannot derive a result schema"
+            )
+        # pre-schema fallback: one file is enough for the schema
+        return (
+            _read_files(spark, target, all_files[:1])
+            .limit(0)
+            .join(key_df, key_cols, "inner")
+        )
     return _read_files(spark, target, files).join(
         F.broadcast(key_df), key_cols, "inner"
     )
@@ -230,6 +275,25 @@ def merge_versioned(
     bucket_of = lambda cols: F.pmod(F.xxhash64(*cols), F.lit(n_buckets))  # noqa: E731
     versions = list_versions(spark, target)
     current_v = versions[-1] if versions else 0
+    carried: dict[str, list[str]] = {}
+    manifest: dict | None = None
+    if versions:
+        manifest = _read_manifest(spark, target, current_v)
+        schema = _manifest_schema(manifest)
+        if schema is not None:
+            # xxhash64 is type-sensitive: a batch whose key columns
+            # drifted (int vs long) would bucket to different ids than
+            # the committed layout — refuse loudly, never merge wrong
+            table_types = {f.name: f.dataType for f in schema.fields}
+            for k in key_cols:
+                bt = batch.schema[k].dataType
+                if bt != table_types[k]:
+                    raise TypeError(
+                        f"key column {k!r} is {bt.simpleString()} in the "
+                        f"batch but {table_types[k].simpleString()} in "
+                        f"{target!r} — cast the batch before merging "
+                        "(bucket hashing is type-sensitive)"
+                    )
     affected = sorted(
         str(r[0])
         for r in batch.select(
@@ -238,9 +302,7 @@ def merge_versioned(
         .distinct()
         .collect()
     )
-    carried: dict[str, list[str]] = {}
-    if versions:
-        manifest = _read_manifest(spark, target, current_v)
+    if manifest is not None:
         current_files = [
             f for b in affected for f in manifest["buckets"].get(b, [])
         ]
@@ -266,7 +328,10 @@ def merge_versioned(
         all_changes, key_cols, version_col=version_col
     ).withColumn(BUCKET_COL, bucket_of(key_cols))
     new_v = current_v + 1
-    data_dir = f"{target}/data/v{new_v}"
+    # writer-unique dir: racing writers targeting the same version can
+    # never overwrite each other's part files; the loser's dir becomes
+    # an unreferenced orphan it deletes below
+    data_dir = f"{target}/data/v{new_v}-{uuid.uuid4().hex[:8]}"
     new_state.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_dir)
     new_files = _bucket_files(spark, data_dir)  # only non-empty buckets
     buckets = dict(carried)
@@ -274,10 +339,44 @@ def merge_versioned(
         buckets.pop(b, None)
         if b in new_files:
             buckets[b] = new_files[b]
-    _commit_manifest(
-        spark, target, {"version": new_v, "buckets": buckets}
-    )
+    schema_json = new_state.drop(BUCKET_COL).schema.jsonValue()
+    try:
+        _commit_manifest(
+            spark, target,
+            {"version": new_v, "schema": schema_json, "buckets": buckets},
+        )
+    except RuntimeError:
+        fs, jvm = _fs(spark, target)
+        fs.delete(_jpath(jvm, data_dir), True)  # own orphan, safe to drop
+        raise
     return new_v
+
+
+def merge_versioned_retry(
+    batch: DataFrame,
+    target: str,
+    key_cols: list[str],
+    version_col: str = "ts_ms",
+    n_buckets: int = 64,
+    max_attempts: int = 4,
+) -> int:
+    """Bounded optimistic-concurrency loop around
+    :func:`merge_versioned`: on a lost commit race, re-read the (now
+    newer) manifest, re-merge against it, re-commit.  Each retry reads
+    only the affected buckets again, so the cost is O(retries × touched
+    data), and the batch DataFrame is a logical plan — recomputing it
+    is safe.  Raises the final :class:`RuntimeError` if every attempt
+    loses (pathological contention)."""
+    last: RuntimeError | None = None
+    for _ in range(max_attempts):
+        try:
+            return merge_versioned(
+                batch, target, key_cols,
+                version_col=version_col, n_buckets=n_buckets,
+            )
+        except RuntimeError as e:  # lost the commit race; state moved on
+            last = e
+    raise last  # type: ignore[misc]
 
 
 def vacuum(spark: SparkSession, target: str, keep_last: int = 2) -> list[int]:
