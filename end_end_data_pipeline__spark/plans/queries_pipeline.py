@@ -756,32 +756,141 @@ def skew_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gold_marts_build",
-    oracle=None,  # filesystem build; each mart is DuckDB-oracled in tests/test_marts.py
+    # the whole silver→gold chain as one DuckDB CTE pipeline over the
+    # same star inputs — the driver hash-checks the MART CONTENT, not a
+    # write-audit row
+    oracle="""
+        WITH accounts AS (
+            SELECT c_custkey AS id,
+                   CASE c_nationkey % 3 WHEN 0 THEN 'USD'
+                        WHEN 1 THEN 'EUR' ELSE 'GBP' END AS currency
+            FROM customer
+        ), txns AS (
+            SELECT o_custkey AS account_id,
+                   CASE substr(o_orderpriority, 1, 1)
+                        WHEN '1' THEN 'DEPOSIT' WHEN '2' THEN 'WITHDRAWAL'
+                        WHEN '3' THEN 'TRANSFER' WHEN '4' THEN 'PAYMENT'
+                        ELSE 'FEE' END AS txn_type,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+                   CASE o_orderstatus WHEN 'F' THEN 'COMPLETED'
+                        WHEN 'O' THEN 'PENDING'
+                        ELSE 'PROCESSING' END AS status,
+                   CAST(o_orderdate AS TIMESTAMP) AS created_at
+            FROM orders
+        )
+        SELECT strftime(t.created_at, '%Y-%m-%d') AS txn_date,
+               t.txn_type, a.currency, t.status,
+               CAST(COUNT(*) AS BIGINT) AS n_txns,
+               CAST(CAST(SUM(t.amount) AS DECIMAL(28,2)) AS DOUBLE) AS total_amount
+        FROM txns t JOIN accounts a ON t.account_id = a.id
+        GROUP BY 1, 2, 3, 4
+    """,
     survey_ids=("J5", "A2", "A9", "W1", "S5"),
 )
 def gold_marts_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Airflow/dbt layer the reference declared but never shipped
-    (``banking_dbt/`` + ``docker/dags/`` — SURVEY.md §0), realized:
-    the banking-marts DAG (silver synth → gold marts) executed by the
-    dependency-ordered runner (``plans.orchestrate``) with per-job
-    status; returns (job, status, n_rows) for every artifact.  Re-runs
-    converge bit-identically (tests/test_marts.py)."""
-    from end_end_data_pipeline__spark.plans.orchestrate import (
-        banking_marts_dag,
-        run_dag,
-    )
+    (``banking_dbt/`` + ``docker/dags/`` — SURVEY.md §0), realized: a
+    silver→gold DAG executed by the dependency-ordered runner
+    (``plans.orchestrate``).  Silver = deterministic banking-shaped
+    projections of the star (customer→customers/accounts,
+    orders→transactions), persisted as parquet; gold = the REAL mart
+    builders (``plans.marts``) over that silver, persisted; the query
+    returns the daily-volume mart READ BACK from its gold files, so the
+    driver hash-checks the materialized artifact end-to-end (the other
+    two marts still build in the same run; tests/test_marts.py oracles
+    them individually on synth data)."""
+    from end_end_data_pipeline__spark.plans import marts
+    from end_end_data_pipeline__spark.plans.orchestrate import Job, run_dag
 
     tmp = tempfile.mkdtemp(prefix="gold_marts_")
-    run = run_dag(spark, banking_marts_dag(tmp, n_customers=100))
-    rows = [
-        (
-            name,
-            res.status,
-            spark.read.parquet(res.output).count() if res.status == "ok" else 0,
-        )
-        for name, res in sorted(run.results.items())
-    ]
-    return spark.createDataFrame(rows, "job string, status string, n_rows long")
+
+    def silver_customers_job(spark_, ctx):
+        p = f"{tmp}/silver/customers"
+        lake.load_table(spark_, "customer", sf_dir).select(
+            F.col("c_custkey").alias("id"),
+            F.concat(
+                F.lit("cust"), F.col("c_custkey"), F.lit("@bank.example")
+            ).alias("email"),
+        ).write.mode("overwrite").parquet(p)
+        return p
+
+    def silver_accounts_job(spark_, ctx):
+        p = f"{tmp}/silver/accounts"
+        lake.load_table(spark_, "customer", sf_dir).select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_custkey").alias("customer_id"),
+            F.when(F.col("c_nationkey") % 3 == 0, "USD")
+            .when(F.col("c_nationkey") % 3 == 1, "EUR")
+            .otherwise("GBP")
+            .alias("currency"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("balance"),
+        ).write.mode("overwrite").parquet(p)
+        return p
+
+    def silver_transactions_job(spark_, ctx):
+        p = f"{tmp}/silver/transactions"
+        lake.load_table(spark_, "orders", sf_dir).select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").alias("account_id"),
+            F.when(F.substring("o_orderpriority", 1, 1) == "1", "DEPOSIT")
+            .when(F.substring("o_orderpriority", 1, 1) == "2", "WITHDRAWAL")
+            .when(F.substring("o_orderpriority", 1, 1) == "3", "TRANSFER")
+            .when(F.substring("o_orderpriority", 1, 1) == "4", "PAYMENT")
+            .otherwise("FEE")
+            .alias("txn_type"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("amount"),
+            F.when(F.col("o_orderstatus") == "F", "COMPLETED")
+            .when(F.col("o_orderstatus") == "O", "PENDING")
+            .otherwise("PROCESSING")
+            .alias("status"),
+            F.col("o_orderdate").cast("timestamp").alias("created_at"),
+        ).write.mode("overwrite").parquet(p)
+        return p
+
+    def gold(builder, *dep_tables):
+        def _run(spark_, ctx):
+            frames = [
+                spark_.read.parquet(ctx[f"silver_{t}"]) for t in dep_tables
+            ]
+            p = f"{tmp}/gold/{builder.__name__.removeprefix('mart_')}"
+            builder(*frames).write.mode("overwrite").parquet(p)
+            return p
+
+        return _run
+
+    jobs = {
+        "silver_customers": Job("silver_customers", silver_customers_job),
+        "silver_accounts": Job("silver_accounts", silver_accounts_job),
+        "silver_transactions": Job("silver_transactions", silver_transactions_job),
+        "gold_daily_txn_volume": Job(
+            "gold_daily_txn_volume",
+            gold(marts.mart_daily_txn_volume, "transactions", "accounts"),
+            deps=("silver_transactions", "silver_accounts"),
+        ),
+        "gold_customer_value": Job(
+            "gold_customer_value",
+            gold(marts.mart_customer_value, "customers", "accounts", "transactions"),
+            deps=("silver_customers", "silver_accounts", "silver_transactions"),
+        ),
+        "gold_account_running_balance": Job(
+            "gold_account_running_balance",
+            gold(marts.mart_account_running_balance, "transactions"),
+            deps=("silver_transactions",),
+        ),
+    }
+    run = run_dag(spark, jobs)
+    if not run.ok:
+        bad = {n: r.error for n, r in run.results.items() if r.status != "ok"}
+        raise RuntimeError(f"marts DAG failed: {bad}")
+    final = spark.read.parquet(f"{tmp}/gold/daily_txn_volume")
+    return final.select(
+        F.date_format("txn_date", "yyyy-MM-dd").alias("txn_date"),
+        "txn_type",
+        "currency",
+        "status",
+        "n_txns",
+        F.col("total_amount").cast("double").alias("total_amount"),
+    )
 
 
 @register(
@@ -845,7 +954,17 @@ def nested_address_country_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "approx_distinct_users_daily",
-    oracle=None,  # sketch estimates are engine-specific; bounds pytest-checked
+    # the sketch ESTIMATE is engine-specific, so the oracle checks the
+    # exact column by value and the sketch by its accuracy CONTRACT: a
+    # boolean "estimate within 3×rsd of exact" that must be TRUE for
+    # every group on both sides — hash-comparable without demanding
+    # HLL++ bit-parity from DuckDB
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS approx_within_3rsd
+        FROM events GROUP BY 1
+    """,
     survey_ids=("A4", "A6"),
 )
 def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,19 +972,24 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``approx_count_distinct``, rsd 2%) next to the exact count per day
     — at scale the exact form's per-group hash set becomes the memory
     bottleneck and the sketch is the drop-in replacement (SURVEY §4
-    scale posture: "HLL sketches for A4").  Returns both so the
-    relative-error contract is visible data."""
+    scale posture: "HLL sketches for A4").  The exact count is oracle-
+    checked by value; the sketch by the rsd error bound (3× margin —
+    2%-rsd HLL++ landing within 6% is the documented contract, and a
+    broken sketch would blow it by orders of magnitude)."""
     events = lake.load_table(spark, "events", sf_dir)
     return (
-        events.groupBy(F.to_date("ts").alias("event_date"))
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
         .agg(
             F.countDistinct("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         )
-        .withColumn(
-            "rel_err",
-            F.abs(F.col("approx_users") - F.col("exact_users"))
-            / F.col("exact_users"),
+        .select(
+            "event_date",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.06 * F.col("exact_users")
+            ).alias("approx_within_3rsd"),
         )
     )
 
