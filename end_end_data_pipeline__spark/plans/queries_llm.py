@@ -1238,6 +1238,64 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# REAL image decode (round 5): every doc_id is rendered as a
+# deterministic 16x12 RGB test pattern, encoded into a REAL container
+# (PNG with all five scanline filters / BMP bottom-up BGR / PPM, by
+# doc_id % 3), then decoded back by the pure-stdlib codecs and reduced
+# to exact per-channel pixel sums.  The oracle recomputes the sums from
+# the generative closed form — any encoder/decoder bug (filter math,
+# row order, padding, channel order) breaks the hash.
+_DECODE_SQL = """
+    WITH px AS (
+        SELECT doc_id, x.x AS x, y.y AS y
+        FROM (SELECT doc_id FROM documents) d,
+             (SELECT unnest(range(0, 16)) AS x) x,
+             (SELECT unnest(range(0, 12)) AS y) y
+    )
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                ELSE 'ppm' END AS fmt,
+           16 AS width, 12 AS height,
+           CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 11 + x + 2 * y) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 13 + 2 * x + y) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+"""
+
+
+@register(
+    "multimodal_decode_image_stats",
+    oracle=_DECODE_SQL,
+    survey_ids=("UD8", "UD1", "F13"),
+)
+def multimodal_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (UD8's decode path, no longer a
+    stub): render → encode (PNG/BMP/PPM round-robin) → decode →
+    channel stats, all inside Arrow-batched ``mapInPandas``.  The PNG
+    leg inflates with stdlib ``zlib`` and reconstructs all five
+    scanline filters; BMP flips bottom-up padded BGR rows; PPM parses
+    the ASCII header."""
+    import pandas as pd
+
+    docs = lake.load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(it):
+        encoders = (
+            multimodal.encode_png, multimodal.encode_bmp, multimodal.encode_ppm
+        )
+        for pdf in it:
+            payloads = [
+                encoders[int(d) % 3](
+                    16, 12, multimodal.render_test_image(int(d), 16, 12)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, media binary")
+    return multimodal.image_stats(media, "media", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation: sampling, shard packing, vocabulary (UD5/UD6 adjuncts)
 # ---------------------------------------------------------------------------

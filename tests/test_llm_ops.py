@@ -173,10 +173,68 @@ def test_multimodal_batch_shapes(spark, docs):
     assert m["n_bytes"] == m["n"]
 
 
-def test_multimodal_real_decoder_is_stubbed(spark, docs):
-    media = multimodal.attach_media(docs, F.encode(F.col("text"), "utf-8"), "image", "raw")
+def test_multimodal_audio_decoder_is_stubbed(spark, docs):
+    media = multimodal.attach_media(docs, F.encode(F.col("text"), "utf-8"), "audio", "raw")
     with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, "media", "doc_id", decoder="image")
+        multimodal.extract_features(media, "media", "doc_id", decoder="audio")
+
+
+def test_image_codec_roundtrips():
+    """encode→decode is the identity for all three real containers;
+    the PNG leg covers every scanline filter (height > 5 rows, filter
+    = y % 5)."""
+    rgb = multimodal.render_test_image(99, 16, 12)
+    for enc, name in [
+        (multimodal.encode_png, "png"),
+        (multimodal.encode_bmp, "bmp"),
+        (multimodal.encode_ppm, "ppm"),
+    ]:
+        fmt, w, h, out = multimodal.decode_image(enc(16, 12, rgb))
+        assert (fmt, w, h) == (name, 16, 12)
+        assert out == rgb
+    with pytest.raises(ValueError, match="unrecognized"):
+        multimodal.decode_image(b"not an image at all")
+
+
+def test_extract_features_real_decode_is_container_invariant(spark):
+    """The SAME pixels through different containers → the SAME feature
+    (the real decoder strips framing/compression); the fake
+    container-byte path must differ between those containers."""
+    import pandas as pd  # noqa: F401
+
+    rgb = multimodal.render_test_image(7, 16, 12)
+    rows = [
+        (1, multimodal.encode_png(16, 12, rgb)),
+        (2, multimodal.encode_bmp(16, 12, rgb)),
+        (3, multimodal.encode_ppm(16, 12, rgb)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    real = multimodal.extract_features(df, "media", "doc_id", decoder="image")
+    feats = {r["doc_id"]: tuple(r["feature"]) for r in real.collect()}
+    assert feats[1] == feats[2] == feats[3]
+    fake = multimodal.extract_features(df, "media", "doc_id", decoder="fake")
+    ffeats = {r["doc_id"]: tuple(r["feature"]) for r in fake.collect()}
+    assert len(set(ffeats.values())) > 1
+
+
+def test_resize_images_real_decode_nearest_neighbor(spark):
+    rgb = multimodal.render_test_image(5, 16, 12)
+    df = spark.createDataFrame(
+        [(1, multimodal.encode_png(16, 12, rgb))], "doc_id long, media binary"
+    )
+    out = multimodal.resize_images(
+        df, "media", "doc_id", width=8, height=6, decoder="image"
+    ).first()
+    assert out["media_meta"]["format"] == "rgb24"
+    assert out["media_meta"]["n_bytes"] == 8 * 6 * 3
+    expected = bytearray()
+    for ty in range(6):
+        sy = ty * 12 // 6
+        for tx in range(8):
+            sx = tx * 16 // 8
+            s = (sy * 16 + sx) * 3
+            expected += rgb[s : s + 3]
+    assert bytes(out["media"]) == bytes(expected)
 
 
 def test_winnow_shared_substring_guarantee(spark):
@@ -282,8 +340,9 @@ def test_multimodal_resize_shapes(spark, docs):
     for r in rows[:20]:
         assert len(bytes(r["media"])) == 32
         assert (r["media_meta"]["width"], r["media_meta"]["height"]) == (8, 4)
+    # 'image' is REAL now; a non-image decoder stays stubbed
     with pytest.raises(NotImplementedError):
-        multimodal.resize_images(media, decoder="image")
+        multimodal.resize_images(media, decoder="tiff")
 
 
 def test_multimodal_frame_sample_fanout(spark, docs):
