@@ -270,48 +270,95 @@ def stream_daily_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_cdc_upsert_pipeline",
-    oracle=None,  # exercises checkpointed foreachBatch + filesystem sink
+    # the CDC waves are deterministic projections of `customer`, so the
+    # final merged state is plain SQL: live keys = not deleted; balance
+    # doubled where the update wave hit.  Upgrades ST5/ST6/ST8 from a
+    # rows-only check to a full hash check of the streamed merge.
+    oracle="""
+        SELECT c_custkey AS id, c_custkey AS customer_id,
+               CASE WHEN c_custkey % 5 = 0 THEN 'SAVINGS'
+                    ELSE 'CHECKING' END AS account_type,
+               CAST(CAST(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal * 2
+                              ELSE c_acctbal END AS DECIMAL(18,2))
+                    AS DOUBLE) AS balance,
+               CASE c_nationkey % 3 WHEN 0 THEN 'USD'
+                    WHEN 1 THEN 'EUR' ELSE 'GBP' END AS currency
+        FROM customer
+        WHERE c_custkey <= 500 AND c_custkey % 7 <> 0
+    """,
     survey_ids=("ST5", "ST6", "ST8", "S5"),
 )
 def stream_cdc_upsert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end streaming upsert: banking-shaped CDC envelopes (synth
-    generator → JSONL files) streamed through decode → checkpointed
-    ``foreachBatch`` latest-wins merge into a parquet lake table; returns
-    the final silver state.  Rows-only check (filesystem side effects
-    aren't SQL-expressible)."""
+    """End-to-end streaming upsert on the MANIFEST-COMMITTED backend
+    (round 5: the flagship runs the atomic path, not plain parquet):
+    three deterministic CDC waves derived from ``customer`` — inserts
+    for every key, doubled-balance updates for even keys, deletes for
+    multiples of 7 — are written as JSONL envelope files, streamed
+    through decode → checkpointed ``foreachBatch`` →
+    ``merge_versioned`` (one atomic table version per micro-batch, 3
+    files per trigger so several versions commit), and the final
+    snapshot is read back FROM THE MANIFEST.  Latest-wins semantics
+    make the outcome independent of which wave lands in which
+    micro-batch."""
     import os
 
     from end_end_data_pipeline__spark import schemas
-    from end_end_data_pipeline__spark.streaming.upsert import stream_cdc_file_source
+    from end_end_data_pipeline__spark.sources import manifest_table as mt
+    from end_end_data_pipeline__spark.streaming.upsert import (
+        stream_cdc_file_source_versioned,
+    )
 
     tmp = tempfile.mkdtemp(prefix="cdc_upsert_")
     src, target, ckpt = (os.path.join(tmp, d) for d in ("src", "target", "ckpt"))
 
-    accounts = datagen.accounts(datagen.customers(spark, 50))
-    wire_rows = accounts.select(
-        F.col("id"),
-        F.col("customer_id"),
-        F.col("account_type"),
-        F.col("balance").cast("double").alias("balance"),
-        F.col("currency"),
-        F.unix_micros(F.col("created_at")).alias("created_at"),
-        F.lit("c").alias("op"),
-        (F.col("id") + 1000).alias("ts_ms"),
+    base = (
+        lake.load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_custkey") <= 500)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_custkey").alias("customer_id"),
+            F.when(F.col("c_custkey") % 5 == 0, "SAVINGS")
+            .otherwise("CHECKING")
+            .alias("account_type"),
+            F.col("c_acctbal").cast("double").alias("balance"),
+            F.when(F.col("c_nationkey") % 3 == 0, "USD")
+            .when(F.col("c_nationkey") % 3 == 1, "EUR")
+            .otherwise("GBP")
+            .alias("currency"),
+            F.lit(1_700_000_000_000_000).alias("created_at"),
+        )
     )
-    # updates for even ids arrive later (higher ts_ms) with doubled balance
-    upd = wire_rows.filter(F.col("id") % 2 == 0).withColumn(
-        "balance", F.col("balance") * 2
-    ).withColumn("op", F.lit("u")).withColumn("ts_ms", F.col("ts_ms") + 1_000_000)
-    envelopes = cdc.encode_envelope(
-        wire_rows.unionByName(upd), "op", "ts_ms", "accounts"
+    inserts = base.withColumn("op", F.lit("c")).withColumn(
+        "ts_ms", F.col("id") + 1000
     )
-    envelopes.coalesce(2).write.mode("overwrite").text(src)
+    updates = (
+        base.filter(F.col("id") % 2 == 0)
+        .withColumn("balance", F.col("balance") * 2)
+        .withColumn("op", F.lit("u"))
+        .withColumn("ts_ms", F.col("id") + 2_000_000)
+    )
+    deletes = (
+        base.filter(F.col("id") % 7 == 0)
+        .withColumn("op", F.lit("d"))
+        .withColumn("ts_ms", F.col("id") + 4_000_000)
+    )
+    # one file per wave → availableNow + maxFilesPerTrigger=1 commits one
+    # atomic manifest version per wave
+    for wave in (inserts, updates, deletes):
+        cdc.encode_envelope(wave, "op", "ts_ms", "accounts").coalesce(
+            1
+        ).write.mode("append").text(src)
 
-    q = stream_cdc_file_source(
-        spark, src, schemas.cdc_row_schema("accounts"), ["id"], target, ckpt
+    q = stream_cdc_file_source_versioned(
+        spark, src, schemas.cdc_row_schema("accounts"), ["id"], target, ckpt,
+        max_files_per_trigger=1, n_buckets=8,
     )
     q.awaitTermination()
-    return cdc.silver_banking(spark.read.parquet(target), "accounts")
+    silver = cdc.silver_banking(mt.read_snapshot(spark, target), "accounts")
+    return silver.select(
+        "id", "customer_id", "account_type",
+        F.col("balance").cast("double").alias("balance"), "currency",
+    )
 
 
 @register(

@@ -336,3 +336,84 @@ def test_merge_refuses_key_type_drift(spark, tmp_path):
         mt.merge_versioned(
             _int_batch(spark, [(2, 2.0, "c", 2)]), target, ["id"], n_buckets=2
         )
+
+
+def test_stream_versioned_crash_mid_batch_exactly_once(spark, tmp_path, monkeypatch):
+    """Crash injection on BOTH sides of the streaming commit point:
+
+    1. crash BEFORE the manifest rename (batch 2) → no version exists;
+       the restart replays the batch and commits it;
+    2. crash AFTER the rename but before the checkpoint advances
+       (batch 3) → the restart replays batch 3 and commits ONE MORE
+       version with identical content (latest-wins makes the replay a
+       no-op on content).
+
+    Net: content converges to the batch-replay truth through two kill
+    points — the exactly-once story is checkpoint replay + atomic
+    manifest versions, end to end."""
+    import pytest as _pytest
+
+    from end_end_data_pipeline__spark.streaming.upsert import (
+        stream_cdc_file_source_versioned,
+    )
+
+    src, target, ckpt = (str(tmp_path / d) for d in ("src", "t", "ckpt"))
+    os.makedirs(src)
+    schema = schemas.cdc_row_schema("accounts")
+
+    def envelopes(rows):
+        df = spark.createDataFrame(
+            rows,
+            "id long, customer_id long, account_type string, balance double,"
+            " currency string, created_at long, op string, ts_ms long",
+        )
+        cdc.encode_envelope(df, "op", "ts_ms", "accounts").coalesce(
+            1
+        ).write.mode("append").text(src)
+
+    envelopes([(i, 1, "SAVINGS", 100.0 * i, "USD", 1_700_000_000_000_000, "c", i)
+               for i in range(1, 5)])                     # wave 1: ids 1-4
+    envelopes([(2, 1, "SAVINGS", 999.0, "USD", 1_700_000_000_000_000, "u", 10)])
+    envelopes([(3, 1, "SAVINGS", 0.0, "USD", 1_700_000_000_000_000, "d", 20),
+               (4, 1, "SAVINGS", 444.0, "USD", 1_700_000_000_000_000, "u", 21)])
+
+    real = mt.merge_versioned
+    calls = {"n": 0, "mode": "pre"}
+
+    def crashing(batch, target_, key_cols, **kw):
+        calls["n"] += 1
+        if calls["mode"] == "pre" and calls["n"] == 2:
+            raise RuntimeError("simulated crash BEFORE commit")
+        v = real(batch, target_, key_cols, **kw)
+        if calls["mode"] == "post" and calls["n"] == 4:
+            raise RuntimeError("simulated crash AFTER commit")
+        return v
+
+    monkeypatch.setattr(mt, "merge_versioned", crashing)
+
+    def start():
+        return stream_cdc_file_source_versioned(
+            spark, src, schema, ["id"], target, ckpt,
+            max_files_per_trigger=1, n_buckets=4,
+        )
+
+    with _pytest.raises(Exception, match="BEFORE commit"):
+        start().awaitTermination()
+    assert mt.list_versions(spark, target) == [1]  # batch 2 never committed
+
+    calls["mode"] = "post"
+    with _pytest.raises(Exception, match="AFTER commit"):
+        start().awaitTermination()
+    # batch 2 replayed (v2) and batch 3 committed (v3) before the crash
+    assert mt.list_versions(spark, target) == [1, 2, 3]
+
+    calls["mode"] = "done"
+    start().awaitTermination()
+    # batch 3 replay commits v4 with content identical to v3
+    assert mt.list_versions(spark, target) == [1, 2, 3, 4]
+    final = {r["id"]: r["balance"]
+             for r in mt.read_snapshot(spark, target).collect()}
+    assert final == {1: 100.0, 2: 999.0, 4: 444.0}
+    v3 = {r["id"]: r["balance"]
+          for r in mt.read_snapshot(spark, target, 3).collect()}
+    assert v3 == final  # replay was a content no-op
