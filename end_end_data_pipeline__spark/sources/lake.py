@@ -234,6 +234,36 @@ def read_jdbc(
     return reader.load()
 
 
+def register_jdbc_catalog(
+    spark: SparkSession,
+    name: str,
+    url: str,
+    driver: str | None = None,
+    push_down_aggregate: bool = True,
+    push_down_limit: bool = True,
+    **options: str,
+) -> None:
+    """Register a DataSource-V2 JDBC catalog (``SELECT ... FROM
+    <name>.<TABLE>``) — the AGGREGATE-pushdown path.  The V1 reader
+    (:func:`read_jdbc`) pushes only filters; the V2 catalog also ships
+    ``COUNT/SUM/MIN/MAX/AVG + GROUP BY`` (``PushedAggregates`` /
+    ``PushedGroupByExpressions`` in the plan) and LIMIT to the remote
+    engine, so a 100 TB-side aggregation transfers one row per group
+    instead of the table.  Plan-asserted live against Derby in
+    tests/test_connectors.py."""
+    base = f"spark.sql.catalog.{name}"
+    spark.conf.set(
+        base, "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog"
+    )
+    spark.conf.set(f"{base}.url", url)
+    if driver:
+        spark.conf.set(f"{base}.driver", driver)
+    spark.conf.set(f"{base}.pushDownAggregate", str(push_down_aggregate).lower())
+    spark.conf.set(f"{base}.pushDownLimit", str(push_down_limit).lower())
+    for k, v in options.items():
+        spark.conf.set(f"{base}.{k}", v)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
