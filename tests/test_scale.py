@@ -184,3 +184,46 @@ def test_connected_components_vs_union_find(spark):
             g[c].add(n)
         return {frozenset(s) for s in g.values()}
     assert groups(got) == groups(expected)
+
+
+def test_skew_stress_fixture_study(spark, tmp_path):
+    """The skewed-FIXTURE study (scripts/skew_stress.py) at sf0.01: a
+    hot orderkey holding ~10% of lineitem re-keyed rows must (a) trip
+    AQE's skew split on the real join_order_lineitem_detail shape —
+    requires the multi-mapper fixture layout; a single-file shuffle is
+    unsplittable — and (b) produce identical results across naive /
+    AQE-split / salted plans.  run() asserts both internally."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import skew_stress as sk
+
+    out = str(tmp_path / "skew")
+    # sf0.01, not SF_SMOKE: at sf0.001 the hot partition is ~15KB —
+    # below any meaningful skew threshold
+    sk.make_skewed(spark, "/root/testdata/sf0.01", out, hot_frac=0.2)
+    # sf0.01 files are ~100KB: default 128MB bin-packing would read all
+    # 32 files as ONE map task, making the shuffle unsplittable — force
+    # one mapper per file so the sf0.1-scale mapper layout reproduces
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        # the test session runs 8 shuffle partitions; at 8 the hot
+        # partition is only ~2x median (non-hot rows dilute it) — 32
+        # reproduces the production-shaped skew ratio
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        res = sk.run(spark, out, threshold="32KB", advisory="32KB")
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert set(res) == {"naive", "aqe", "salted"}
+    assert all(v > 0 for v in res.values())
