@@ -172,6 +172,7 @@ def _pii_oracle() -> str:
     "text_pii_redaction",
     oracle=_pii_oracle(),
     survey_ids=("UD5", "F3"),
+    bench=True,
 )
 def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub for training corpora: emails, IPv4s, card-like digit

@@ -79,6 +79,7 @@ def cdc_roundtrip_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey <= 100 AND o_orderkey % 7 <> 0
     """,
     survey_ids=("ST5", "ST6", "S5"),
+    bench=True,
 )
 def versioned_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactional table format in action (the piece plain parquet

@@ -223,6 +223,7 @@ _register_sql(
     ORDER BY nation, o_year DESC
     """,
     ("J5", "A3", "A5", "F6"),
+    bench=True,
 )
 
 _register_sql(
