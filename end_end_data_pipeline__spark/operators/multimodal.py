@@ -22,6 +22,7 @@ buckets) before heavy decode stages.
 from __future__ import annotations
 
 import struct
+import sys
 import zlib
 from collections.abc import Iterator
 
@@ -273,6 +274,65 @@ def decode_image(raw: bytes) -> tuple[str, int, int, bytes]:
     raise ValueError(f"unrecognized image container (magic={raw[:8]!r})")
 
 
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal RIFF/WAVE container: PCM, mono, 16-bit little-endian.
+    Pure stdlib — the audio twin of the image codecs above."""
+    import array
+
+    pcm = array.array("h", samples)
+    if sys.byteorder == "big":
+        pcm.byteswap()
+    data = pcm.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio(raw: bytes) -> tuple[int, list[int]]:
+    """Parse a RIFF/WAVE PCM16 mono payload → (sample_rate, samples).
+    Walks the chunk list (tolerates extra chunks like LIST/INFO); only
+    uncompressed 16-bit mono is supported — anything else raises."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(raw):
+        tag = raw[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            audio_format, channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if (audio_format, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono WAV supported")
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    import array
+
+    pcm = array.array("h")
+    pcm.frombytes(data)
+    if sys.byteorder == "big":
+        pcm.byteswap()
+    return sample_rate, pcm.tolist()
+
+
+def render_test_audio(doc_id: int, n_samples: int = 480) -> list[int]:
+    """Deterministic PCM16 test signal keyed by ``doc_id`` — same
+    closed form a SQL oracle can recompute per sample."""
+    return [
+        ((doc_id * 31 + i * 7) % 65536) - 32768 for i in range(n_samples)
+    ]
+
+
 def render_test_image(doc_id: int, width: int = 16, height: int = 12) -> bytes:
     """Deterministic RGB24 test pattern keyed by ``doc_id`` — the same
     closed form a SQL oracle can recompute per pixel, so an
@@ -310,23 +370,32 @@ def extract_features(
     ``decoder='fake'`` → deterministic byte-histogram features over the
     CONTAINER bytes (plumbing tests).  ``decoder='image'`` → REAL: the
     payload is decoded (PNG/BMP/PPM, ``decode_image``) and the feature
-    is the histogram of the decoded RGB pixels — container framing,
-    compression, and filters no longer leak into the embedding, so the
-    same image encoded as PNG and BMP maps to the SAME feature.  Other
-    decoders (audio) remain stubs.
+    is the histogram of the decoded RGB pixels.  ``decoder='audio'`` →
+    REAL: the payload is parsed as RIFF/WAVE PCM16 (``decode_audio``)
+    and the feature is the histogram of the decoded sample bytes.  In
+    both real paths container framing no longer leaks into the
+    embedding, so the same content in different containers maps to the
+    SAME feature.  Video remains a stub.
     """
-    if decoder not in ("fake", "image"):
+    if decoder not in ("fake", "image", "audio"):
         raise NotImplementedError(
             f"decoder={decoder!r} decode path is not implemented (stub); "
-            "use decoder='image' (real) or 'fake'"
+            "use decoder='image'/'audio' (real) or 'fake'"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import array
+
         for pdf in it:
             feats, sizes = [], []
             for p in pdf[payload_col]:
                 raw = bytes(p) if p is not None else b""
-                src = decode_image(raw)[3] if decoder == "image" else raw
+                if decoder == "image":
+                    src = decode_image(raw)[3]
+                elif decoder == "audio":
+                    src = array.array("h", decode_audio(raw)[1]).tobytes()
+                else:
+                    src = raw
                 feats.append(_fake_feature(src, dims))
                 sizes.append(len(raw))
             yield pd.DataFrame(
@@ -478,6 +547,40 @@ IMAGE_STATS_SCHEMA = T.StructType(
         T.StructField("sum_b", T.LongType()),
     ]
 )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_samples", T.LongType()),
+        T.StructField("min_sample", T.IntegerType()),
+        T.StructField("max_sample", T.IntegerType()),
+    ]
+)
+
+
+def audio_stats(
+    df: DataFrame, payload_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL WAV decode → per-clip sample statistics (exact integers,
+    hash-checkable).  Arrow-batched like every operator here."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in AUDIO_STATS_SCHEMA.fields}
+            for doc, p in zip(pdf[id_col], pdf[payload_col]):
+                sr, samples = decode_audio(bytes(p))
+                rows["doc_id"].append(doc)
+                rows["sample_rate"].append(sr)
+                rows["n_samples"].append(len(samples))
+                rows["sum_samples"].append(sum(samples))
+                rows["min_sample"].append(min(samples))
+                rows["max_sample"].append(max(samples))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_STATS_SCHEMA)
 
 
 def image_stats(

@@ -1297,6 +1297,54 @@ def multimodal_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return multimodal.image_stats(media, "media", "doc_id")
 
 
+# REAL audio decode (round 5): per doc_id a deterministic PCM16 signal
+# is wrapped in a genuine RIFF/WAVE container, parsed back by the
+# pure-stdlib chunk walker, and reduced to exact sample statistics the
+# oracle recomputes from the closed form sample_i = ((doc_id*31 +
+# i*7) % 65536) - 32768.
+_AUDIO_SQL = """
+    WITH s AS (
+        SELECT doc_id, ((doc_id * 31 + i.i * 7) % 65536) - 32768 AS v
+        FROM (SELECT doc_id FROM documents) d,
+             (SELECT unnest(range(0, 480)) AS i) i
+    )
+    SELECT doc_id, 48000 AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_samples,
+           CAST(MIN(v) AS INT) AS min_sample,
+           CAST(MAX(v) AS INT) AS max_sample
+    FROM s GROUP BY doc_id
+"""
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle=_AUDIO_SQL,
+    survey_ids=("UD8", "UD1"),
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (the WAV twin of
+    ``multimodal_decode_image_stats``): render → RIFF/WAVE PCM16
+    encode → chunk-walking decode → exact sample stats inside
+    Arrow-batched ``mapInPandas``."""
+    import pandas as pd
+
+    docs = lake.load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = [
+                multimodal.encode_wav(
+                    48000, multimodal.render_test_audio(int(d), 480)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, media binary")
+    return multimodal.audio_stats(media, "media", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation: sampling, shard packing, vocabulary (UD5/UD6 adjuncts)
 # ---------------------------------------------------------------------------

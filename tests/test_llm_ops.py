@@ -173,10 +173,19 @@ def test_multimodal_batch_shapes(spark, docs):
     assert m["n_bytes"] == m["n"]
 
 
-def test_multimodal_audio_decoder_is_stubbed(spark, docs):
-    media = multimodal.attach_media(docs, F.encode(F.col("text"), "utf-8"), "audio", "raw")
+def test_multimodal_video_decoder_is_stubbed(spark, docs):
+    media = multimodal.attach_media(docs, F.encode(F.col("text"), "utf-8"), "video", "raw")
     with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, "media", "doc_id", decoder="audio")
+        multimodal.extract_features(media, "media", "doc_id", decoder="video")
+
+
+def test_wav_codec_roundtrip_and_features():
+    samples = multimodal.render_test_audio(7, 480)
+    raw = multimodal.encode_wav(48000, samples)
+    sr, back = multimodal.decode_audio(raw)
+    assert (sr, back) == (48000, samples)
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_audio(b"not audio")
 
 
 def test_image_codec_roundtrips():
