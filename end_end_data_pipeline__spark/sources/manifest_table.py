@@ -115,13 +115,26 @@ def read_snapshot(
         raise FileNotFoundError(f"version {v} not in {versions}")
     manifest = _read_manifest(spark, target, v)
     files = [f for fl in manifest["buckets"].values() for f in fl]
+    schema = _manifest_schema(manifest)
     if not files:
         # a merge that deleted every key is a legitimate empty state
-        schema = _manifest_schema(manifest)
         if schema is None:
             raise FileNotFoundError(f"version {v} of {target!r} is empty")
         return spark.createDataFrame([], schema)
-    return _read_files(spark, target, files)
+    out = _read_files(spark, target, files)
+    if schema is not None:
+        # pin the snapshot to ITS version's schema (column order, and
+        # nulls for columns newer files carry that this version's
+        # pre-evolution files lack)
+        out = out.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in out.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+    return out
 
 
 def _read_files(spark: SparkSession, target: str, rel_files: list[str]) -> DataFrame:
@@ -129,7 +142,9 @@ def _read_files(spark: SparkSession, target: str, rel_files: list[str]) -> DataF
     dirs.  Each version dir is its own partition-discovery base (one
     shared basePath would make Spark see conflicting ``v1``/``v2``
     levels); the bucket partition column is dropped — manifests, not
-    directory layout, are the source of truth for bucket membership."""
+    directory layout, are the source of truth for bucket membership.
+    ``allowMissingColumns`` handles schema evolution: files written
+    before a column was added read back with nulls for it."""
     by_vdir: dict[str, list[str]] = {}
     for f in rel_files:
         vdir = "/".join(f.split("/")[:2])  # data/vN
@@ -142,7 +157,7 @@ def _read_files(spark: SparkSession, target: str, rel_files: list[str]) -> DataF
     ]
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
@@ -277,6 +292,7 @@ def merge_versioned(
     current_v = versions[-1] if versions else 0
     carried: dict[str, list[str]] = {}
     manifest: dict | None = None
+    after_fields = None  # batch's after-struct fields (evolution target)
     if versions:
         manifest = _read_manifest(spark, target, current_v)
         schema = _manifest_schema(manifest)
@@ -293,6 +309,26 @@ def merge_versioned(
                         f"batch but {table_types[k].simpleString()} in "
                         f"{target!r} — cast the batch before merging "
                         "(bucket hashing is type-sensitive)"
+                    )
+            # schema evolution: NEW after-struct columns are allowed
+            # (existing rows read back null for them); dropping or
+            # retyping existing columns is refused — a latest-wins
+            # merge with partial rows would silently null data
+            after_fields = batch.schema["after"].dataType.fields
+            batch_types = {f.name: f.dataType for f in after_fields}
+            missing = sorted(set(table_types) - set(batch_types))
+            if missing:
+                raise ValueError(
+                    f"batch after-struct lacks existing column(s) "
+                    f"{missing} of {target!r} — merges carry full rows; "
+                    "to drop a column, rewrite the table"
+                )
+            for name, bt in batch_types.items():
+                if name in table_types and bt != table_types[name]:
+                    raise TypeError(
+                        f"column {name!r} is {bt.simpleString()} in the "
+                        f"batch but {table_types[name].simpleString()} "
+                        f"in {target!r} — type changes need a rewrite"
                     )
     affected = sorted(
         str(r[0])
@@ -313,11 +349,25 @@ def merge_versioned(
         }
         if current_files:
             current = _read_files(spark, target, current_files)
+            if after_fields is not None:
+                # mirror the BATCH's after-struct shape exactly (field
+                # order and any evolved new columns, null for rows
+                # that predate them) so the union is type-identical
+                struct_cols = [
+                    (
+                        F.col(f.name)
+                        if f.name in current.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in after_fields
+                ]
+            else:
+                struct_cols = [F.col(c) for c in current.columns]
             as_changes = current.select(
                 *[F.col(k) for k in key_cols],
                 F.lit("c").alias("op"),
                 F.lit(-1).cast("long").alias(version_col),
-                F.struct(*[F.col(c) for c in current.columns]).alias("after"),
+                F.struct(*struct_cols).alias("after"),
             )
             all_changes = batch.unionByName(as_changes)
         else:
@@ -377,6 +427,71 @@ def merge_versioned_retry(
         except RuntimeError as e:  # lost the commit race; state moved on
             last = e
     raise last  # type: ignore[misc]
+
+
+def compact(
+    spark: SparkSession,
+    target: str,
+    max_files_per_bucket: int = 1,
+) -> int | None:
+    """Rewrite every bucket holding more than ``max_files_per_bucket``
+    files into exactly one file per bucket, committed as a NEW version
+    (content-identical — readers of the old version are untouched, and
+    ``vacuum`` later reclaims the superseded files).  The lakehouse
+    OPTIMIZE: each merge can leave up to ``spark.sql.shuffle.
+    partitions`` part files per touched bucket, and at 100 TB the
+    accumulated small files dominate scan open cost; compaction pays
+    one bounded rewrite of only the OVER-LIMIT buckets.
+
+    Returns the new committed version, or None when nothing needed
+    compacting (no empty commits)."""
+    versions = list_versions(spark, target)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest under {target!r}")
+    current_v = versions[-1]
+    manifest = _read_manifest(spark, target, current_v)
+    over = {
+        b: fl
+        for b, fl in manifest["buckets"].items()
+        if len(fl) > max_files_per_bucket
+    }
+    if not over:
+        return None
+    parts = [
+        _read_files(spark, target, fl).withColumn(BUCKET_COL, F.lit(int(b)))
+        for b, fl in sorted(over.items())
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    new_v = current_v + 1
+    data_dir = f"{target}/data/v{new_v}-{uuid.uuid4().hex[:8]}"
+    (
+        df.repartition(len(over), F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(data_dir)
+    )
+    new_files = _bucket_files(spark, data_dir)
+    buckets = {
+        b: (new_files[b] if b in over else fl)
+        for b, fl in manifest["buckets"].items()
+        if b in new_files or b not in over
+    }
+    try:
+        _commit_manifest(
+            spark, target,
+            {
+                "version": new_v,
+                "schema": manifest.get("schema"),
+                "buckets": buckets,
+            },
+        )
+    except RuntimeError:
+        fs, jvm = _fs(spark, target)
+        fs.delete(_jpath(jvm, data_dir), True)
+        raise
+    return new_v
 
 
 def vacuum(spark: SparkSession, target: str, keep_last: int = 2) -> list[int]:

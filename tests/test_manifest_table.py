@@ -417,3 +417,114 @@ def test_stream_versioned_crash_mid_batch_exactly_once(spark, tmp_path, monkeypa
     v3 = {r["id"]: r["balance"]
           for r in mt.read_snapshot(spark, target, 3).collect()}
     assert v3 == final  # replay was a content no-op
+
+
+def test_compact_rewrites_small_files_content_identical(spark, tmp_path):
+    """OPTIMIZE for the manifest table: merges leave one part file per
+    shuffle task per touched bucket; compact() rewrites over-limit
+    buckets to one file each as a NEW content-identical version, old
+    snapshots stay readable, and vacuum reclaims the superseded
+    files."""
+    target = str(tmp_path / "t")
+    # 3 merges × 8 shuffle tasks → several files per bucket (AQE
+    # coalescing would fold this tiny data back to one task, hiding
+    # the very state compaction exists for — disable it for the setup)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        for wave in range(3):
+            rows = [(i, float(i + 100 * wave), "c" if wave == 0 else "u",
+                     wave + 1) for i in range(1, 65)]
+            mt.merge_versioned(_batch(spark, rows), target, ["id"], n_buckets=4)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    manifest = mt._read_manifest(spark, target, 3)
+    pre_files = {b: len(fl) for b, fl in manifest["buckets"].items()}
+    assert any(n > 1 for n in pre_files.values()), pre_files
+    before = {r["id"]: r["amount"]
+              for r in mt.read_snapshot(spark, target).collect()}
+
+    v = mt.compact(spark, target)
+    assert v == 4
+    after_manifest = mt._read_manifest(spark, target, 4)
+    assert all(len(fl) == 1 for fl in after_manifest["buckets"].values())
+    after = {r["id"]: r["amount"]
+             for r in mt.read_snapshot(spark, target).collect()}
+    assert after == before
+    # the pre-compaction snapshot is still independently readable
+    old = {r["id"]: r["amount"] for r in mt.read_snapshot(spark, target, 3).collect()}
+    assert old == before
+    # point lookups prune against the compacted layout
+    got = {(r["id"], r["amount"])
+           for r in mt.read_keys(spark, target, ["id"], [(7,)], n_buckets=4).collect()}
+    assert got == {(7, 207.0)}
+    # compacting an already-compact table is a no-op (no empty commit)
+    assert mt.compact(spark, target) is None
+    assert mt.list_versions(spark, target) == [1, 2, 3, 4]
+    # vacuum drops the superseded versions; the compacted one survives
+    removed = mt.vacuum(spark, target, keep_last=1)
+    assert removed == [1, 2, 3]
+    still = {r["id"]: r["amount"] for r in mt.read_snapshot(spark, target).collect()}
+    assert still == before
+
+
+def test_schema_evolution_add_column_on_merge(spark, tmp_path):
+    """A merge batch may carry NEW after-struct columns: rows that
+    predate the column read back null, every snapshot keeps ITS
+    version's schema, and partial-row batches / type changes are
+    refused."""
+    target = str(tmp_path / "t")
+    mt.merge_versioned(
+        _batch(spark, [(1, 1.0, "c", 1), (2, 2.0, "c", 1)]), target, ["id"],
+        n_buckets=2,
+    )
+
+    def batch_v2(rows):
+        df = spark.createDataFrame(
+            rows, "id long, amount double, status string, op string, ts_ms long"
+        )
+        return df.select(
+            "id", "op", "ts_ms",
+            F.when(F.col("op") != "d",
+                   F.struct("id", "amount", "status")).alias("after"),
+        )
+
+    v = mt.merge_versioned(
+        batch_v2([(2, 22.0, "ACTIVE", "u", 2), (3, 3.0, "NEW", "c", 2)]),
+        target, ["id"], n_buckets=2,
+    )
+    assert v == 2
+    snap = mt.read_snapshot(spark, target)
+    assert snap.columns == ["id", "amount", "status"]
+    state = {r["id"]: (r["amount"], r["status"]) for r in snap.collect()}
+    # untouched row 1 predates the column -> null status
+    assert state == {1: (1.0, None), 2: (22.0, "ACTIVE"), 3: (3.0, "NEW")}
+    # time travel: version 1 keeps the pre-evolution schema
+    assert mt.read_snapshot(spark, target, 1).columns == ["id", "amount"]
+    # point lookups see the evolved schema too
+    looked = mt.read_keys(spark, target, ["id"], [(1,), (3,)], n_buckets=2)
+    got = {(r["id"], r["amount"], r["status"]) for r in looked.collect()}
+    assert got == {(1, 1.0, None), (3, 3.0, "NEW")}
+    # partial-row batch (missing an existing column) is refused
+    def batch_only_amount(rows):
+        df = spark.createDataFrame(rows, "id long, status string, op string, ts_ms long")
+        return df.select(
+            "id", "op", "ts_ms",
+            F.when(F.col("op") != "d", F.struct("id", "status")).alias("after"),
+        )
+    with pytest.raises(ValueError, match="full rows"):
+        mt.merge_versioned(
+            batch_only_amount([(1, "X", "u", 3)]), target, ["id"], n_buckets=2
+        )
+    # type change on an existing column is refused
+    def batch_int_amount(rows):
+        df = spark.createDataFrame(rows, "id long, amount int, op string, ts_ms long")
+        return df.select(
+            "id", "op", "ts_ms",
+            F.when(F.col("op") != "d",
+                   F.struct("id", "amount",
+                            F.lit("Y").alias("status"))).alias("after"),
+        )
+    with pytest.raises(TypeError, match="type changes"):
+        mt.merge_versioned(
+            batch_int_amount([(1, 9, "u", 3)]), target, ["id"], n_buckets=2
+        )
