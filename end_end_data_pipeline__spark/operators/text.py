@@ -212,3 +212,62 @@ def fingerprint(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     normalized = F.regexp_replace(F.lower(F.trim(c)), WS_RE, " ")
     return F.md5(normalized.cast("binary"))
+
+
+def _word_grams(df, text_col: str, id_col: str, out_id: str, k: int):
+    """Distinct (doc, k-gram) pairs, JVM-side: tokenize once, one
+    Generate per doc (linear), gram = space-joined token window."""
+    d = (
+        df.select(F.col(id_col).alias(out_id), tokens(text_col).alias("toks"))
+        .filter(F.size("toks") >= k)
+    )
+    g = d.select(
+        out_id,
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - F.lit(k))
+        ).alias("i"),
+        "toks",
+    )
+    return g.select(
+        out_id,
+        F.concat_ws(" ", F.slice("toks", F.col("i") + 1, k)).alias("gram"),
+    ).distinct()
+
+
+def contamination_flags(
+    corpus,
+    benchmark,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_shared: int = 1,
+):
+    """Benchmark decontamination (the train/test-overlap gate every
+    training-data pipeline needs): a corpus document is CONTAMINATED
+    when it shares at least ``min_shared`` distinct ``k``-token word
+    grams with ANY benchmark document.  Returns one row per corpus doc:
+    (doc_id, n_shared_grams, contaminated).
+
+    Scale: the benchmark side reduces to a DISTINCT gram set —
+    benchmarks are tiny next to a 100 TB corpus, so it broadcasts and
+    the corpus side is one tokenize + Generate + broadcast-hash-join
+    + per-doc agg, no corpus-side shuffle beyond the count.  For a
+    benchmark too big to broadcast, drop the hint and the same plan
+    runs as a shuffle join on the gram key."""
+    cg = _word_grams(corpus, text_col, id_col, "doc_id", k)
+    bg = _word_grams(benchmark, text_col, id_col, "bench_id", k).select(
+        "gram"
+    ).distinct()
+    counts = (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    base = corpus.select(F.col(id_col).alias("doc_id"))
+    return base.join(counts, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        (F.coalesce("n_shared_grams", F.lit(0)) >= min_shared).alias(
+            "contaminated"
+        ),
+    )

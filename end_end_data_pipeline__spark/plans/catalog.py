@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- new round-5 queries ---
     "multimodal_decode_image_stats",
     "multimodal_audio_stats",
+    "corpus_decontaminate",
     "stream_cdc_upsert_pipeline",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",

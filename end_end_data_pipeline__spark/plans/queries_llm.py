@@ -945,11 +945,18 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica."""
     emb = lake.load_table(spark, "embeddings", sf_dir)
     qz = similarity.quantize_int8(emb)
-    return qz.select(
-        F.col("id").alias("vec_id"), "scale",
-        F.posexplode("q").alias("dim", "q"),
-    ).select(
-        "vec_id", F.col("dim").cast("int").alias("dim"), "scale", "q"
+    # posexplode_outer + notNull filter: plain posexplode makes
+    # InferFiltersFromGenerate push `size(q) > 0` — i.e. the whole
+    # transform/aggregate chain — into the SCAN filter, evaluating the
+    # quantization twice per row (the explode_safe rule,
+    # functions/arrays.py)
+    return (
+        qz.select(
+            F.col("id").alias("vec_id"), "scale",
+            F.posexplode_outer("q").alias("dim", "q"),
+        )
+        .filter(F.col("q").isNotNull())
+        .select("vec_id", F.col("dim").cast("int").alias("dim"), "scale", "q")
     )
 
 
@@ -1343,6 +1350,59 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(gen, "doc_id long, media binary")
     return multimodal.audio_stats(media, "media", "doc_id")
+
+
+# Benchmark decontamination (round 5): every 10th document plays the
+# held-out benchmark; a corpus document is contaminated when it shares
+# any 5-token word gram with any benchmark document.  The oracle
+# rebuilds the same gram sets with DuckDB list ops.
+_DECON_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS gram
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - 4, 0))) AS i
+            FROM toks
+        )
+    ),
+    cg AS (
+        SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 10 <> 0
+    ),
+    bg AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+    ),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n FROM cg JOIN bg USING (gram)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
+           COALESCE(h.n, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=_DECON_SQL,
+    survey_ids=("UD5", "UD6", "J6", "F12"),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test-overlap gate (benchmark decontamination): flag every
+    corpus document sharing a 5-token gram with the held-out slice.
+    One tokenize + Generate per side, benchmark grams broadcast,
+    per-doc count — no corpus-side shuffle beyond the agg
+    (``operators.text.contamination_flags``)."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 10 == 0)
+    return text.contamination_flags(corpus, benchmark, "text", "doc_id", k=5)
 
 
 # ---------------------------------------------------------------------------

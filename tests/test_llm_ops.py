@@ -377,3 +377,26 @@ def test_approx_count_distinct_error_bound(spark):
     rows = out.collect()
     assert rows and all(r["approx_within_3rsd"] for r in rows)
     assert all(r["exact_users"] > 0 for r in rows)
+
+
+def test_contamination_flags_detects_injected_overlap(spark):
+    """A corpus doc embedding a verbatim benchmark passage is flagged;
+    clean docs are not; short docs (< k tokens) count as clean."""
+    from end_end_data_pipeline__spark.operators import text as text_ops
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(10, "prefix words the quick brown fox jumps over and more"),
+         (11, "completely unrelated content with different words here"),
+         (12, "tiny doc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+           for r in text_ops.contamination_flags(
+               corpus, bench, k=5).collect()}
+    assert out[10][1] is True and out[10][0] >= 1
+    assert out[11] == (0, False)
+    assert out[12] == (0, False)
