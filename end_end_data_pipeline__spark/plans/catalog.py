@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_audio_stats",
     "corpus_decontaminate",
     "stream_cdc_upsert_pipeline",
+    "versioned_stats_skipping",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -133,6 +133,58 @@ def versioned_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_stats_skipping",
+    oracle="""
+        SELECT event_id, ts, event_type, CAST(value AS DOUBLE) AS value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10'
+          AND ts <  TIMESTAMP '2024-01-15'
+          AND value >= 50.0
+    """,
+    survey_ids=("S5", "S10", "P6"),
+)
+def versioned_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping end to end: the events stream is
+    merged into a manifest-committed table, OPTIMIZE'd with
+    ``cluster_by=["ts"]`` (each hash bucket rewritten into ts-sorted
+    files with near-disjoint [min, max] ranges), then a time-band +
+    value predicate reads back through ``read_where`` — which opens
+    ONLY the files whose manifest stats can satisfy the band (the
+    range-predicate complement of hash-bucket point pruning; what the
+    reference gets from its (account_id, created_at) index,
+    reference ``SCHEMA.sql:31``, re-expressed as file skipping).  The
+    oracle states the same band over the raw events table — parity
+    proves pruning never drops a matching row."""
+    import datetime as dt
+
+    from end_end_data_pipeline__spark.sources import manifest_table as mt
+
+    target = tempfile.mkdtemp(prefix="mct_skip_") + "/t"
+    events = lake.load_table(spark, "events", sf_dir)
+    batch = events.select(
+        "event_id",
+        F.lit("c").alias("op"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.struct(
+            "event_id", "ts", "event_type",
+            F.col("value").cast("double").alias("value"),
+        ).alias("after"),
+    )
+    mt.merge_versioned(batch, target, ["event_id"], n_buckets=8)
+    mt.compact(spark, target, cluster_by=["ts"], max_records_per_file=256)
+    out = mt.read_where(
+        spark,
+        target,
+        [
+            ("ts", ">=", dt.datetime(2024, 1, 10)),
+            ("ts", "<", dt.datetime(2024, 1, 15)),
+            ("value", ">=", 50.0),
+        ],
+    )
+    return out.select("event_id", "ts", "event_type", "value")
+
+
+@register(
     "window_tumbling_daily",
     oracle=f"""
         SELECT date_trunc('day', ts) AS win_start,

@@ -10,7 +10,15 @@ Layout::
     target/
       data/v{N}-{token}/p_bucket={b}/part-*.parquet  -- immutable once written
       manifest-v{N}.json   -- {"version": N, "schema": <json>,
-                               "buckets": {b: [files]}}
+                               "buckets": {b: [files]},
+                               "stats": {file: {col: [min, max]}}}
+
+Per-file column [min, max] stats ride in the manifest (files are
+immutable, so stats are too — carried forward untouched for files a
+commit keeps), giving ``read_where`` Delta-style data skipping on
+range/point predicates without opening a single pruned file; see
+``compact(cluster_by=...)`` for the layout that makes skipping
+selective on an upsert table.
 
 Commit protocol (optimistic, multi-writer safe):
 
@@ -53,9 +61,18 @@ import json
 import re
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+import datetime as _dt
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    AtomicType,
+    BinaryType,
+    BooleanType,
+    DecimalType,
+    StructType,
+)
 
 from end_end_data_pipeline__spark.sources import cdc
 
@@ -126,14 +143,7 @@ def read_snapshot(
         # pin the snapshot to ITS version's schema (column order, and
         # nulls for columns newer files carry that this version's
         # pre-evolution files lack)
-        out = out.select(
-            *[
-                F.col(f.name).cast(f.dataType)
-                if f.name in out.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
-        )
+        out = _pin_schema(out, schema)
     return out
 
 
@@ -273,6 +283,180 @@ def _bucket_files(spark: SparkSession, data_dir: str) -> dict[str, list[str]]:
     return out
 
 
+def _stats_eligible(dtype) -> bool:
+    """Columns worth min/max stats: atomic, orderable, and losslessly
+    JSON-encodable.  Decimals are excluded (a float round-trip could
+    shave a boundary and mis-prune); binary/bool carry no range
+    selectivity; arrays/structs/maps are not orderable."""
+    return isinstance(dtype, AtomicType) and not isinstance(
+        dtype, (BinaryType, BooleanType, DecimalType)
+    )
+
+
+def _enc_stat(v):
+    """JSON-native, ORDER-PRESERVING encoding of a stat or predicate
+    value: numbers stay numbers; strings stay strings; date/timestamp
+    become fixed-width ISO-8601 strings (lexicographic == temporal
+    order, both sides encoded identically so mixed precision never
+    mis-compares)."""
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
+def _rel_file(path: str) -> str:
+    """input_file_name() URI → manifest-relative ``data/v{N}-{token}/
+    p_bucket={b}/part-*`` (the last three path segments under data/)."""
+    return "data/" + "/".join(path.rstrip("/").split("/")[-3:])
+
+
+def _collect_stats(
+    spark: SparkSession, data_dir: str
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for every stats-eligible column of a freshly
+    written version dir — one bounded O(new data) scan grouped by
+    ``input_file_name()``.  (At production scale these numbers already
+    sit in the parquet footers the write produced; lifting them from
+    there is a zero-scan swap isolated to this function.  min/max skip
+    nulls, so an all-null file stores [null, null] and is kept by every
+    prune — conservative, never wrong.)"""
+    df = spark.read.parquet(data_dir).drop(BUCKET_COL)
+    cols = [f.name for f in df.schema.fields if _stats_eligible(f.dataType)]
+    if not cols:
+        return {}
+    aggs = [
+        a
+        for c in cols
+        for a in (F.min(c).alias(f"mn__{c}"), F.max(c).alias(f"mx__{c}"))
+    ]
+    rows = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    return {
+        _rel_file(r["__f"]): {
+            c: [_enc_stat(r[f"mn__{c}"]), _enc_stat(r[f"mx__{c}"])]
+            for c in cols
+        }
+        for r in rows
+    }
+
+
+def _carry_stats(
+    prev: dict[str, dict], buckets: dict[str, list[str]], new_stats: dict[str, dict]
+) -> dict[str, dict]:
+    """Stats for the next manifest: fresh entries for new files, prior
+    entries carried for every file the new manifest still references
+    (files are immutable, so their stats are too)."""
+    live = {f for fl in buckets.values() for f in fl}
+    out = {f: s for f, s in prev.items() if f in live}
+    out.update({f: s for f, s in new_stats.items() if f in live})
+    return out
+
+
+def _file_matches(stats: dict[str, list] | None, col: str, op: str, v) -> bool:
+    """Can a file with these [min, max] stats possibly satisfy
+    ``col op v``?  Missing stats (pre-stats file, unknown column,
+    all-null file) ⇒ True — pruning is only ever an optimization."""
+    if not stats or col not in stats:
+        return True
+    lo, hi = stats[col]
+    if lo is None or hi is None:
+        return True
+    ev = _enc_stat(v)
+    if op == "=":
+        return lo <= ev <= hi
+    if op == "<":
+        return lo < ev
+    if op == "<=":
+        return lo <= ev
+    if op == ">":
+        return hi > ev
+    if op == ">=":
+        return hi >= ev
+    raise ValueError(f"unsupported prune op {op!r} (use = < <= > >=)")
+
+
+def prune_files(
+    manifest: dict, conjuncts: list[tuple[str, str, object]]
+) -> list[str]:
+    """The file subset of ``manifest`` that can satisfy ALL conjuncts
+    ``(col, op, value)`` — pure manifest-driven data skipping, no
+    filesystem access.  Exposed separately so tests and operators can
+    measure skipping effectiveness."""
+    stats = manifest.get("stats", {})
+    return [
+        f
+        for fl in manifest["buckets"].values()
+        for f in fl
+        if all(_file_matches(stats.get(f), c, op, v) for c, op, v in conjuncts)
+    ]
+
+
+def _pin_schema(df: DataFrame, schema: StructType) -> DataFrame:
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
+def read_where(
+    spark: SparkSession,
+    target: str,
+    conjuncts: list[tuple[str, str, object]],
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with manifest-stats data skipping: files whose
+    [min, max] cannot satisfy the conjunction are never opened, then
+    the full predicate is re-applied row-level on the survivors — so
+    the result is exactly ``read_snapshot(...).filter(...)`` at
+    O(matching files) scan cost.  This is the range-predicate
+    complement of ``read_keys``'s hash-bucket pruning: hash bucketing
+    is blind to time/value ranges, file stats are blind to point keys;
+    together they cover both the reference's indexed lookups and its
+    date-partitioned scans.  Skipping selectivity follows the physical
+    layout — tightest after ``compact(cluster_by=[...])``."""
+    versions = list_versions(spark, target)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest under {target!r}")
+    v = version if version is not None else versions[-1]
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    manifest = _read_manifest(spark, target, v)
+    schema = _manifest_schema(manifest)
+    kept = prune_files(manifest, conjuncts)
+
+    def residual(df: DataFrame) -> DataFrame:
+        preds: list[Column] = []
+        for c, op, val in conjuncts:
+            col = F.col(c)
+            preds.append(
+                {
+                    "=": col == val,
+                    "<": col < val,
+                    "<=": col <= val,
+                    ">": col > val,
+                    ">=": col >= val,
+                }[op]
+            )
+        return df.filter(reduce(lambda a, b: a & b, preds)) if preds else df
+
+    if not kept:
+        if schema is None:
+            raise FileNotFoundError(
+                f"version {v} of {target!r} pre-dates manifest schemas — "
+                "cannot derive an empty result schema"
+            )
+        return residual(spark.createDataFrame([], schema))
+    out = _read_files(spark, target, kept)
+    if schema is not None:
+        out = _pin_schema(out, schema)
+    return residual(out)
+
+
 def merge_versioned(
     batch: DataFrame,
     target: str,
@@ -390,10 +574,20 @@ def merge_versioned(
         if b in new_files:
             buckets[b] = new_files[b]
     schema_json = new_state.drop(BUCKET_COL).schema.jsonValue()
+    stats = _carry_stats(
+        manifest.get("stats", {}) if manifest else {},
+        buckets,
+        _collect_stats(spark, data_dir) if new_files else {},
+    )
     try:
         _commit_manifest(
             spark, target,
-            {"version": new_v, "schema": schema_json, "buckets": buckets},
+            {
+                "version": new_v,
+                "schema": schema_json,
+                "buckets": buckets,
+                "stats": stats,
+            },
         )
     except RuntimeError:
         fs, jvm = _fs(spark, target)
@@ -433,15 +627,26 @@ def compact(
     spark: SparkSession,
     target: str,
     max_files_per_bucket: int = 1,
+    cluster_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
 ) -> int | None:
-    """Rewrite every bucket holding more than ``max_files_per_bucket``
-    files into exactly one file per bucket, committed as a NEW version
-    (content-identical — readers of the old version are untouched, and
-    ``vacuum`` later reclaims the superseded files).  The lakehouse
-    OPTIMIZE: each merge can leave up to ``spark.sql.shuffle.
-    partitions`` part files per touched bucket, and at 100 TB the
-    accumulated small files dominate scan open cost; compaction pays
-    one bounded rewrite of only the OVER-LIMIT buckets.
+    """Rewrite over-limit buckets into ``max_files_per_bucket`` files
+    each, committed as a NEW content-identical version (readers of the
+    old version are untouched; ``vacuum`` later reclaims superseded
+    files).  The lakehouse OPTIMIZE: each merge can leave up to
+    ``spark.sql.shuffle.partitions`` part files per touched bucket, and
+    at 100 TB the accumulated small files dominate scan open cost;
+    compaction pays one bounded rewrite of only the OVER-LIMIT buckets.
+
+    ``cluster_by`` is the Z-ORDER analog (1-D): EVERY bucket is
+    rewritten sorted by those columns (``sortWithinPartitions``, no
+    extra shuffle beyond the bucket repartition), and
+    ``max_records_per_file`` splits each bucket into several sorted
+    files — so consecutive files carry tight, near-disjoint
+    [min, max] ranges and ``read_where`` skips everything outside the
+    predicate.  An upsert table's per-file ranges otherwise converge
+    to the full column span (every merge unions old bucket rows back
+    in); clustering is what restores skipping selectivity.
 
     Returns the new committed version, or None when nothing needed
     compacting (no empty commits)."""
@@ -453,7 +658,7 @@ def compact(
     over = {
         b: fl
         for b, fl in manifest["buckets"].items()
-        if len(fl) > max_files_per_bucket
+        if cluster_by or len(fl) > max_files_per_bucket
     }
     if not over:
         return None
@@ -466,18 +671,24 @@ def compact(
         df = df.unionByName(p)
     new_v = current_v + 1
     data_dir = f"{target}/data/v{new_v}-{uuid.uuid4().hex[:8]}"
-    (
-        df.repartition(len(over), F.col(BUCKET_COL))
-        .write.mode("overwrite")
-        .partitionBy(BUCKET_COL)
-        .parquet(data_dir)
-    )
+    df = df.repartition(len(over), F.col(BUCKET_COL))
+    if cluster_by:
+        df = df.sortWithinPartitions(BUCKET_COL, *cluster_by)
+    writer = df.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(BUCKET_COL).parquet(data_dir)
     new_files = _bucket_files(spark, data_dir)
     buckets = {
         b: (new_files[b] if b in over else fl)
         for b, fl in manifest["buckets"].items()
         if b in new_files or b not in over
     }
+    stats = _carry_stats(
+        manifest.get("stats", {}),
+        buckets,
+        _collect_stats(spark, data_dir) if new_files else {},
+    )
     try:
         _commit_manifest(
             spark, target,
@@ -485,6 +696,7 @@ def compact(
                 "version": new_v,
                 "schema": manifest.get("schema"),
                 "buckets": buckets,
+                "stats": stats,
             },
         )
     except RuntimeError:

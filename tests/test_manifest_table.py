@@ -528,3 +528,146 @@ def test_schema_evolution_add_column_on_merge(spark, tmp_path):
         mt.merge_versioned(
             batch_int_amount([(1, 9, "u", 3)]), target, ["id"], n_buckets=2
         )
+
+
+# ---------------------------------------------------------------- stats
+
+
+def test_file_matches_prune_semantics():
+    """Pure prune logic: conservative on missing/all-null stats, exact
+    interval arithmetic on every supported op."""
+    s = {"v": [10, 20]}
+    fm = mt._file_matches
+    assert fm(None, "v", "=", 15)          # no stats at all
+    assert fm({}, "v", "=", 15)            # column unknown
+    assert fm({"v": [None, None]}, "v", "=", 15)  # all-null file
+    assert fm(s, "v", "=", 10) and fm(s, "v", "=", 20)
+    assert not fm(s, "v", "=", 9) and not fm(s, "v", "=", 21)
+    assert fm(s, "v", "<", 11) and not fm(s, "v", "<", 10)
+    assert fm(s, "v", "<=", 10) and not fm(s, "v", "<=", 9)
+    assert fm(s, "v", ">", 19) and not fm(s, "v", ">", 20)
+    assert fm(s, "v", ">=", 20) and not fm(s, "v", ">=", 21)
+    with pytest.raises(ValueError, match="prune op"):
+        fm(s, "v", "!=", 5)
+
+
+def test_merge_commits_file_stats_and_read_where_matches_filter(spark, tmp_path):
+    """Every commit carries per-file [min, max] for eligible columns,
+    and read_where returns exactly read_snapshot().filter(...)."""
+    target = str(tmp_path / "t")
+    rows = [(i, float(i), "c", 1) for i in range(1, 65)]
+    mt.merge_versioned(_batch(spark, rows), target, ["id"], n_buckets=4)
+    manifest = mt._read_manifest(spark, target, 1)
+    files = [f for fl in manifest["buckets"].values() for f in fl]
+    assert files and set(manifest["stats"]) == set(files)
+    for st in manifest["stats"].values():
+        assert set(st) == {"id", "amount"}
+        lo, hi = st["amount"]
+        assert 1.0 <= lo <= hi <= 64.0
+    got = {
+        (r["id"], r["amount"])
+        for r in mt.read_where(
+            spark, target, [("amount", ">=", 10.0), ("amount", "<", 13.0)]
+        ).collect()
+    }
+    assert got == {(10, 10.0), (11, 11.0), (12, 12.0)}
+
+
+def test_compact_cluster_by_restores_skipping_selectivity(spark, tmp_path):
+    """The OPTIMIZE-with-clustering path: after cluster_by compaction
+    each bucket splits into value-sorted files with near-disjoint
+    ranges, so a narrow band prunes MOST files while the result stays
+    identical to the unpruned filter."""
+    target = str(tmp_path / "t")
+    rows = [(i, float(i), "c", 1) for i in range(1, 257)]
+    mt.merge_versioned(_batch(spark, rows), target, ["id"], n_buckets=4)
+    v = mt.compact(
+        spark, target, cluster_by=["amount"], max_records_per_file=16
+    )
+    assert v == 2
+    manifest = mt._read_manifest(spark, target, 2)
+    n_total = sum(len(fl) for fl in manifest["buckets"].values())
+    assert n_total >= 12  # ~256/16 split across 4 buckets
+    assert set(manifest["stats"]) == {
+        f for fl in manifest["buckets"].values() for f in fl
+    }
+    band = [("amount", ">=", 100.0), ("amount", "<=", 110.0)]
+    kept = mt.prune_files(manifest, band)
+    assert 0 < len(kept) <= n_total // 2, (len(kept), n_total)
+    out = mt.read_where(spark, target, band)
+    assert set(out.inputFiles()) <= {
+        f"file:{target}/{f}" for f in kept
+    } | {f"file://{target}/{f}" for f in kept}
+    expect = {(i, float(i)) for i in range(100, 111)}
+    assert {(r["id"], r["amount"]) for r in out.collect()} == expect
+    # content-identical to the pre-compaction version
+    assert mt.read_snapshot(spark, target, 2).count() == 256
+
+
+def test_stats_carry_forward_for_untouched_buckets(spark, tmp_path):
+    """Files are immutable, so a commit carries prior files' stats
+    untouched; every live file has stats after any merge sequence."""
+    target = str(tmp_path / "t")
+    mt.merge_versioned(
+        _batch(spark, [(i, float(i), "c", 1) for i in range(1, 33)]),
+        target, ["id"], n_buckets=8,
+    )
+    # touch one key → a few buckets rewritten, the rest carried
+    mt.merge_versioned(
+        _batch(spark, [(7, 700.0, "u", 2)]), target, ["id"], n_buckets=8
+    )
+    manifest = mt._read_manifest(spark, target, 2)
+    live = {f for fl in manifest["buckets"].values() for f in fl}
+    assert set(manifest["stats"]) == live
+    # the rewritten bucket's new file reflects the updated max
+    hits = mt.prune_files(manifest, [("amount", ">=", 700.0)])
+    assert len(hits) >= 1
+    got = {
+        (r["id"], r["amount"])
+        for r in mt.read_where(spark, target, [("amount", ">=", 700.0)]).collect()
+    }
+    assert got == {(7, 700.0)}
+
+
+def test_read_where_timestamp_predicates(spark, tmp_path):
+    """Timestamp stats round-trip through the ISO-8601 order-preserving
+    encoding: datetime predicate values prune and filter correctly."""
+    import datetime as dt
+
+    target = str(tmp_path / "t")
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=i), "c", 1) for i in range(1, 31)],
+        "id long, created timestamp, op string, ts_ms long",
+    ).select(
+        "id", "op", "ts_ms",
+        F.when(F.col("op") != "d", F.struct("id", "created")).alias("after"),
+    )
+    mt.merge_versioned(df, target, ["id"], n_buckets=2)
+    manifest = mt._read_manifest(spark, target, 1)
+    some = next(iter(manifest["stats"].values()))
+    assert isinstance(some["created"][0], str)  # ISO-encoded
+    lo = dt.datetime(2024, 1, 11)
+    hi = dt.datetime(2024, 1, 13)
+    got = {
+        r["id"]
+        for r in mt.read_where(
+            spark, target, [("created", ">=", lo), ("created", "<=", hi)]
+        ).collect()
+    }
+    assert got == {10, 11, 12}
+
+
+def test_read_where_empty_prune_returns_typed_empty(spark, tmp_path):
+    """A predicate outside every file's range reads ZERO files and
+    still returns the table schema."""
+    target = str(tmp_path / "t")
+    mt.merge_versioned(
+        _batch(spark, [(i, float(i), "c", 1) for i in range(1, 17)]),
+        target, ["id"], n_buckets=2,
+    )
+    manifest = mt._read_manifest(spark, target, 1)
+    assert mt.prune_files(manifest, [("amount", ">", 1e9)]) == []
+    out = mt.read_where(spark, target, [("amount", ">", 1e9)])
+    assert out.columns == ["id", "amount"]
+    assert out.count() == 0
