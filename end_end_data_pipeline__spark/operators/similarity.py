@@ -205,6 +205,91 @@ def lsh_topk(
     )
 
 
+def det_centroids(
+    base: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> DataFrame:
+    """``n_centroids`` deterministic pseudo-random corpus vectors as
+    centroids (md5-of-id order — reproducible, no RNG state, and
+    replicable by the DuckDB oracle, which has no xxhash64).  Returns
+    (cid, cvec)."""
+    return (
+        base.orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def nearest_centroid(
+    base: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment (ids only — vectors rejoin after the
+    argmin, keeping the agg narrow).  The max_by key is a struct
+    (sim, -cid): max sim wins, exact-sim ties break to the smallest
+    cid — a total order, so the assignment is deterministic and
+    oracle-replicable, while staying a map-side-combinable hash agg
+    (no window shuffle over the corpus).  One O(n × C) broadcast pass.
+    Returns (id_col, cid)."""
+    return (
+        base.join(F.broadcast(cents))
+        .select(
+            id_col, "cid", cosine(F.col(vec_col), F.col("cvec")).alias("sim")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
+            ).alias("cid")
+        )
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    tau: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    near-duplicate pruning for training corpora — cluster, then drop
+    every document whose cosine to a LOWER-ID document in the SAME
+    cluster is >= ``tau`` (keep-lowest-id is the deterministic stand-in
+    for the paper's keep-one-per-semantic-group; greedy, so a dropped
+    doc can itself be another doc's reason to drop — standard SemDeDup
+    behavior).  Returns the kept (id, cid) rows.
+
+    Scale: assignment is the IVF build — one broadcast-centroid scan,
+    no shuffle beyond the tiny centroid sort.  The pairwise stage is an
+    equi-join ON cid (never a global cross join): cost Σ c_i² over
+    cluster sizes c_i ≈ n/C, which is the SemDeDup design point — C
+    grows with the corpus (the paper runs 50k clusters on LAION) so
+    per-cluster work stays bounded; skew in cluster sizes is AQE's
+    skew-join case.  Cross-cluster near-dups are missed by design
+    (that's the approximation the paper accepts; recall knob = C)."""
+    base = corpus.select(
+        F.col(id_col).alias("vid"), as_double(vec_col).alias("v")
+    )
+    cents = det_centroids(base, "vid", "v", n_centroids)
+    assign = nearest_centroid(base, cents, "vid", "v").join(base, "vid")
+    a = assign.select(
+        F.col("cid"), F.col("vid").alias("keep_id"), F.col("v").alias("kv")
+    )
+    b = assign.select(
+        F.col("cid"), F.col("vid").alias("cand_id"), F.col("v").alias("bv")
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("keep_id") < F.col("cand_id"))
+        .filter(cosine(F.col("kv"), F.col("bv")) >= tau)
+        .select(F.col("cand_id").alias("vid"))
+        .distinct()
+    )
+    return (
+        assign.join(dropped, "vid", "left_anti")
+        .select(F.col("vid").alias(id_col), "cid")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -240,29 +325,8 @@ def ivf_topk(
     p_base = probes.select(
         F.col(id_col).alias("probe_id"), as_double(vec_col).alias("pv")
     )
-    cents = (
-        c_base.orderBy(F.md5(F.col("neighbor_id").cast("string")))
-        .limit(n_centroids)
-        .select(F.col("neighbor_id").alias("cid"), F.col("cv").alias("cvec"))
-    )
-    # inverted lists: nearest centroid per corpus vector (ids only —
-    # vectors rejoin after the argmin, keeping the agg narrow).  The
-    # max_by key is a struct (sim, -cid): max sim wins, exact-sim ties
-    # break to the smallest cid — a total order, so the assignment is
-    # deterministic and oracle-replicable, while staying a map-side-
-    # combinable hash agg (no window shuffle over the corpus).
-    c_assign = (
-        c_base.join(F.broadcast(cents))
-        .select(
-            "neighbor_id", "cid", cosine(F.col("cv"), F.col("cvec")).alias("sim")
-        )
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by(
-                "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
-            ).alias("cid")
-        )
-    )
+    cents = det_centroids(c_base, "neighbor_id", "cv", n_centroids)
+    c_assign = nearest_centroid(c_base, cents, "neighbor_id", "cv")
     # probe → its n_probe nearest lists
     p_assign = top_k_per_group(
         p_base.join(F.broadcast(cents)).select(

@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_decontaminate",
     "stream_cdc_upsert_pipeline",
     "versioned_stats_skipping",
+    "corpus_semantic_dedup",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -867,6 +867,84 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB replica of similarity.semantic_dedup on the salted corpus:
+# identical md5-ordered centroid pick, identical nearest-centroid
+# assignment (sim DESC, cid ASC ties), identical within-cluster
+# keep-lowest-id drop rule at cos >= 0.99.
+_SEMANTIC_DEDUP_SQL = """
+    WITH src AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    base AS (
+        SELECT vec_id, e FROM src
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(range(1, len(e) + 1),
+                              i -> CASE WHEN i = 1 THEN e[i] + 0.05 ELSE e[i] END)
+        FROM src WHERE vec_id % 50 = 0
+    ),
+    cents AS (
+        SELECT vec_id AS cid, e AS cvec FROM base
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+    ),
+    sims AS (
+        SELECT b.vec_id, c.cid,
+               list_sum(list_transform(range(1, 65), i -> b.e[i] * c.cvec[i]))
+                 / (sqrt(list_sum(list_transform(b.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))) AS sim
+        FROM base b CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a
+        JOIN assigned b USING (cid)
+        JOIN base ab ON ab.vec_id = a.vec_id
+        JOIN base bb ON bb.vec_id = b.vec_id
+        WHERE a.vec_id < b.vec_id
+          AND list_sum(list_transform(range(1, 65), i -> ab.e[i] * bb.e[i]))
+                / (sqrt(list_sum(list_transform(ab.e, x -> x * x)))
+                   * sqrt(list_sum(list_transform(bb.e, x -> x * x)))) >= 0.99
+    )
+    SELECT s.vec_id, s.cid FROM assigned s
+    WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@register(
+    "corpus_semantic_dedup",
+    oracle=_SEMANTIC_DEDUP_SQL,
+    survey_ids=("UD6", "J9", "UD7"),
+)
+def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the salted embedding corpus (perturbed copies at
+    vec_id+100000, first component +0.05 — near-dups at cos >= 0.99):
+    nearest-of-16-centroids clustering, then within-cluster
+    keep-lowest-id pruning drops the planted copies that landed in
+    their original's cluster.  Kept (vec_id, cid) rows hash-check
+    against the oracle's replay of the same deterministic pipeline."""
+    emb = lake.load_table(spark, "embeddings", sf_dir)
+    base = emb.select("vec_id", similarity.as_double("embedding").alias("e"))
+    perturbed = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("e"),
+            lambda x, i: F.when(i == 0, x + 0.05).otherwise(x),
+        ).alias("e"),
+    )
+    corpus = base.unionByName(perturbed)
+    return similarity.semantic_dedup(
+        corpus, vec_col="e", id_col="vec_id", n_centroids=16, tau=0.99
+    )
+
+
 @register(
     "corpus_train_val_split",
     oracle="""

@@ -400,3 +400,33 @@ def test_contamination_flags_detects_injected_overlap(spark):
     assert out[10][1] is True and out[10][0] >= 1
     assert out[11] == (0, False)
     assert out[12] == (0, False)
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark, emb):
+    """SemDeDup recovers the planted perturbations: every salted copy
+    (cos ~0.999 to its original) is dropped, every original is kept,
+    the keep-lowest-id rule holds, and at tau above the planted
+    similarity nothing is dropped."""
+    base = emb.select("vec_id", similarity.as_double("embedding").alias("e"))
+    salted = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("e"), lambda x, i: F.when(i == 0, x + 0.05).otherwise(x)
+        ).alias("e"),
+    )
+    corpus = base.unionByName(salted)
+    n_orig = base.count()
+    n_salt = salted.count()
+    kept = similarity.semantic_dedup(
+        corpus, vec_col="e", id_col="vec_id", n_centroids=16, tau=0.99
+    ).collect()
+    kept_ids = {r["vec_id"] for r in kept}
+    assert len(kept) == n_orig  # exactly the salted copies are gone
+    assert all(v < 100000 for v in kept_ids)
+    # cluster ids come from the assignment (every kept row carries one)
+    assert all(r["cid"] is not None for r in kept)
+    # tau above the planted cosine -> nothing qualifies as a dup
+    all_kept = similarity.semantic_dedup(
+        corpus, vec_col="e", id_col="vec_id", n_centroids=16, tau=1.0 - 1e-12
+    )
+    assert all_kept.count() == n_orig + n_salt
