@@ -1,0 +1,71 @@
+"""Time-series regularization: densify a per-group periodic series to
+its full span, distinguishing synthesized gap rows, zero-filling
+additive measures, and carrying state measures forward (LOCF).
+
+The reference's consumer writes irregular event batches keyed by
+arrival (reference ``consumer/consumer.py:45-48``); any downstream
+daily mart built on it silently skips silent days.  Gap filling is the
+operator that makes "no rows" an explicit zero/carried observation —
+the precondition for correct moving averages, day-over-day deltas, and
+SLA burn-down over sparse activity.
+
+Scale: the calendar is generated per group from its own [min, max]
+span (``sequence`` + ``explode`` — one Generate, linear in emitted
+days, never a global calendar cross join); the densifying join is an
+equi-join on (group, period); the LOCF window sorts within group only.
+At 100 TB the row count is bounded by groups × span-days, which the
+caller controls via the grouping — there is no quadratic stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_OBS = "__observed"
+
+
+def gap_fill(
+    df: DataFrame,
+    group_cols: list[str],
+    date_col: str,
+    zero_fill: dict[str, object] | None = None,
+    locf_cols: list[str] | None = None,
+    gap_col: str = "is_gap",
+) -> DataFrame:
+    """Densify ``df`` (one row per group × date, date-typed) to every
+    date in each group's [min, max] span.
+
+    Synthesized rows get ``gap_col`` = true; columns in ``zero_fill``
+    take their literal on gap rows; columns in ``locf_cols`` carry the
+    last observed value forward (rows-preceding window, deterministic).
+    Leading rows are never gaps (each group's span starts at an
+    observed date), so LOCF columns are never null in the output.
+    """
+    zero_fill = zero_fill or {}
+    locf_cols = locf_cols or []
+    marked = df.withColumn(_OBS, F.lit(True))
+    spans = df.groupBy(*group_cols).agg(
+        F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
+    )
+    cal = spans.select(
+        *group_cols,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(date_col),
+    )
+    dense = cal.join(marked, [*group_cols, date_col], "left")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cols: list[Column] = []
+    for name in dense.columns:
+        if name == _OBS:
+            continue
+        c = F.col(name)
+        if name in locf_cols:
+            c = F.last(c, ignorenulls=True).over(w).alias(name)
+        elif name in zero_fill:
+            c = F.coalesce(c, F.lit(zero_fill[name])).alias(name)
+        cols.append(c)
+    return dense.select(*cols, F.col(_OBS).isNull().alias(gap_col))

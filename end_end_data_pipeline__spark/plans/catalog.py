@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_cdc_upsert_pipeline",
     "versioned_stats_skipping",
     "corpus_semantic_dedup",
+    "timeseries_gap_fill_daily",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -214,3 +214,73 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
         right_value_cols=["click_id"],
     )
+
+
+@register(
+    "timeseries_gap_fill_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                       AS total_value
+            FROM events GROUP BY 1, 2
+        ),
+        spans AS (
+            SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
+        ),
+        cal AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                        AS DATE) AS d
+            FROM spans
+        ),
+        dense AS (
+            SELECT c.user_id, c.d, y.n_events, y.total_value
+            FROM cal c LEFT JOIN daily y USING (user_id, d)
+        )
+        SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+               COALESCE(n_events, 0) AS n_events,
+               COALESCE(total_value, 0.0) AS total_value,
+               LAST_VALUE(total_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS carried_value,
+               (n_events IS NULL) AS is_gap
+        FROM dense
+    """,
+    survey_ids=("A6", "W6", "F6"),
+)
+def timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily activity series per user: silent days inside a
+    user's active span become explicit rows — flagged ``is_gap``,
+    additive measures zero-filled, and the day's total carried forward
+    LOCF (``operators.timeseries.gap_fill``) — the regularization the
+    reference's arrival-keyed daily marts silently lack (reference
+    ``consumer/consumer.py:45-48``).  Dates emitted as strings (DATE
+    cells compare engine-differently in the harness)."""
+    from end_end_data_pipeline__spark.functions.scalar import dec_sum
+    from end_end_data_pipeline__spark.operators import timeseries
+
+    events = lake.load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value", "total_value"),
+    ).withColumn("carried_value", F.col("total_value"))
+    filled = timeseries.gap_fill(
+        daily,
+        group_cols=["user_id"],
+        date_col="d",
+        zero_fill={"n_events": 0, "total_value": 0.0},
+        locf_cols=["carried_value"],
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "total_value",
+        "carried_value",
+        "is_gap",
+    )

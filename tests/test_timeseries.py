@@ -1,0 +1,45 @@
+"""Gap-fill / LOCF regularization (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from end_end_data_pipeline__spark.operators import timeseries
+
+
+def test_gap_fill_densifies_zero_fills_and_carries(spark):
+    d = dt.date
+    rows = [
+        # group "a": observed 1st, 3rd, 6th — gaps on 2nd, 4th, 5th
+        ("a", d(2024, 1, 1), 2, 10.0),
+        ("a", d(2024, 1, 3), 1, 30.0),
+        ("a", d(2024, 1, 6), 4, 60.0),
+        # group "b": single day — no gaps, span of one
+        ("b", d(2024, 1, 9), 7, 99.0),
+    ]
+    daily = spark.createDataFrame(
+        rows, "g string, d date, n long, total double"
+    ).withColumn("carried", F.col("total"))
+    out = timeseries.gap_fill(
+        daily,
+        group_cols=["g"],
+        date_col="d",
+        zero_fill={"n": 0, "total": 0.0},
+        locf_cols=["carried"],
+    )
+    got = {
+        (r["g"], str(r["d"])): (r["n"], r["total"], r["carried"], r["is_gap"])
+        for r in out.collect()
+    }
+    assert len(got) == 6 + 1  # a: 6-day span, b: 1 day
+    assert got[("a", "2024-01-01")] == (2, 10.0, 10.0, False)
+    assert got[("a", "2024-01-02")] == (0, 0.0, 10.0, True)  # zero + LOCF
+    assert got[("a", "2024-01-03")] == (1, 30.0, 30.0, False)
+    assert got[("a", "2024-01-04")] == (0, 0.0, 30.0, True)
+    assert got[("a", "2024-01-05")] == (0, 0.0, 30.0, True)
+    assert got[("a", "2024-01-06")] == (4, 60.0, 60.0, False)
+    assert got[("b", "2024-01-09")] == (7, 99.0, 99.0, False)
+    # spans start at an observed date -> no leading gap, LOCF never null
+    assert all(v[2] is not None for v in got.values())
