@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "versioned_stats_skipping",
     "corpus_semantic_dedup",
     "timeseries_gap_fill_daily",
+    "versioned_merge_into_upsert",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

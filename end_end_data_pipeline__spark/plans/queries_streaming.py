@@ -133,6 +133,74 @@ def versioned_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_merge_into_upsert",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey <= 100
+        )
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus
+        FROM base WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000, o_totalprice * 2, 'N'
+        FROM base WHERE o_orderkey % 5 = 0
+    """,
+    survey_ids=("S5", "ST5", "J4"),
+)
+def versioned_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MERGE INTO on the manifest-committed table — the general
+    matched/not-matched clause surface (``manifest_table.merge_into``)
+    the reference's append-only consumer lacks entirely: one merge
+    applies source-replace updates (keys %3), a delete clause over the
+    source rows (keys %7, ``s.o_orderstatus = 'DEL'``), and inserts of
+    unmatched keys (+1000 rows) — atomically, as one table version.
+    The oracle states the post-merge table directly."""
+    from end_end_data_pipeline__spark.sources import manifest_table as mt
+
+    target = tempfile.mkdtemp(prefix="mct_mi_") + "/t"
+    base = (
+        lake.load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 100)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    mt.merge_into(base, target, ["o_orderkey"], n_buckets=8)
+    upd = base.filter(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 7 != 0)
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    dele = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit(0.0).alias("o_totalprice"),
+        F.lit("DEL").alias("o_orderstatus"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 5 == 0).select(
+        (F.col("o_orderkey") + 1000).alias("o_orderkey"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    mt.merge_into(
+        upd.unionByName(dele).unionByName(ins),
+        target,
+        ["o_orderkey"],
+        when_matched_delete="s.o_orderstatus = 'DEL'",
+        n_buckets=8,
+    )
+    return mt.read_snapshot(spark, target)
+
+
+@register(
     "versioned_stats_skipping",
     oracle="""
         SELECT event_id, ts, event_type, CAST(value AS DOUBLE) AS value

@@ -561,10 +561,27 @@ def merge_versioned(
     new_state = cdc.apply_latest_state(
         all_changes, key_cols, version_col=version_col
     ).withColumn(BUCKET_COL, bucket_of(key_cols))
-    new_v = current_v + 1
-    # writer-unique dir: racing writers targeting the same version can
-    # never overwrite each other's part files; the loser's dir becomes
-    # an unreferenced orphan it deletes below
+    return _commit_state(
+        spark, target, new_state, affected, carried,
+        manifest.get("stats", {}) if manifest else {}, current_v + 1,
+    )
+
+
+def _commit_state(
+    spark: SparkSession,
+    target: str,
+    new_state: DataFrame,
+    affected: list[str],
+    carried: dict[str, list[str]],
+    prev_stats: dict[str, dict],
+    new_v: int,
+) -> int:
+    """Shared commit tail for every state-rewriting operation: write
+    the affected buckets' new state to a writer-unique dir (racing
+    writers targeting the same version can never overwrite each
+    other's part files; the loser's dir becomes an unreferenced orphan
+    it deletes below), splice the manifest, collect file stats, and
+    atomically rename-commit."""
     data_dir = f"{target}/data/v{new_v}-{uuid.uuid4().hex[:8]}"
     new_state.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_dir)
     new_files = _bucket_files(spark, data_dir)  # only non-empty buckets
@@ -575,7 +592,7 @@ def merge_versioned(
             buckets[b] = new_files[b]
     schema_json = new_state.drop(BUCKET_COL).schema.jsonValue()
     stats = _carry_stats(
-        manifest.get("stats", {}) if manifest else {},
+        prev_stats,
         buckets,
         _collect_stats(spark, data_dir) if new_files else {},
     )
@@ -621,6 +638,147 @@ def merge_versioned_retry(
         except RuntimeError as e:  # lost the commit race; state moved on
             last = e
     raise last  # type: ignore[misc]
+
+
+def merge_into(
+    source: DataFrame,
+    target: str,
+    key_cols: list[str],
+    when_matched_update: dict[str, str] | str | None = "source",
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: bool = True,
+    n_buckets: int = 64,
+) -> int:
+    """SQL-style ``MERGE INTO`` against the manifest-committed table —
+    the general matched/not-matched clause surface next to
+    ``merge_versioned``'s CDC latest-wins contract:
+
+    - ``when_matched_delete``: SQL condition over ``t.*`` (current row)
+      and ``s.*`` (source row); matching pairs are deleted.  Checked
+      first, like Delta's clause order.
+    - ``when_matched_update``: ``"source"`` replaces the row with the
+      source row; a dict maps column → SQL expression over ``t``/``s``
+      for partial updates (e.g. ``{"balance": "t.balance +
+      s.balance"}``, unlisted columns keep the TARGET value); ``None``
+      leaves matched rows untouched.  Key columns cannot be updated.
+    - ``when_not_matched_insert``: source rows with no current match
+      are inserted (or dropped when False).
+
+    The source must carry the table's full schema (same names/types —
+    bucket hashing is type-sensitive); on a not-yet-created target the
+    merge degenerates to insert-all and commits version 1.
+
+    Scale: identical cost envelope to ``merge_versioned`` — source
+    keys pick the affected buckets, ONE full-outer equi-join on the
+    key columns pairs current and source rows (both sides hash-
+    partitioned on the keys; no window, no cross product), and only
+    the affected buckets rewrite through the same atomic commit tail.
+    """
+    spark = source.sparkSession
+    bucket_of = lambda cols: F.pmod(F.xxhash64(*cols), F.lit(n_buckets))  # noqa: E731
+    for k in key_cols:
+        if isinstance(when_matched_update, dict) and k in when_matched_update:
+            raise ValueError(f"key column {k!r} cannot be updated by MERGE")
+    versions = list_versions(spark, target)
+    current_v = versions[-1] if versions else 0
+    manifest = _read_manifest(spark, target, current_v) if versions else None
+    schema = _manifest_schema(manifest) if manifest else None
+    if schema is not None:
+        table_types = {f.name: f.dataType for f in schema.fields}
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        if src_types != table_types:
+            raise TypeError(
+                f"MERGE source schema {sorted(src_types)} must equal the "
+                f"table schema {sorted(table_types)} of {target!r} "
+                "(names and types; bucket hashing is type-sensitive)"
+            )
+        out_fields = schema.fields
+    else:
+        out_fields = source.schema.fields
+    non_keys = [f.name for f in out_fields if f.name not in key_cols]
+
+    affected = sorted(
+        str(r[0])
+        for r in source.select(
+            bucket_of([F.col(k) for k in key_cols]).alias(BUCKET_COL)
+        )
+        .distinct()
+        .collect()
+    )
+    carried: dict[str, list[str]] = {}
+    current = None
+    if manifest is not None:
+        current_files = [
+            f for b in affected for f in manifest["buckets"].get(b, [])
+        ]
+        carried = {
+            b: fl
+            for b, fl in manifest["buckets"].items()
+            if b not in affected
+        }
+        if current_files:
+            current = _read_files(spark, target, current_files)
+            if schema is not None:
+                current = _pin_schema(current, schema)
+
+    s_side = source.select(
+        *key_cols, F.struct(*non_keys).alias("s"), F.lit(True).alias("__s")
+    )
+    if current is None:
+        merged = s_side.select(*key_cols, "s", F.lit("ins").alias("__act"))
+        if not when_not_matched_insert:
+            merged = merged.filter(F.lit(False))
+    else:
+        t_side = current.select(
+            *key_cols, F.struct(*non_keys).alias("t"), F.lit(True).alias("__t")
+        )
+        joined = t_side.join(s_side, key_cols, "full_outer")
+        action = (
+            F.when(F.col("__s").isNull(), F.lit("keep"))
+            .when(
+                F.col("__t").isNull(),
+                F.lit("ins") if when_not_matched_insert else F.lit("drop"),
+            )
+        )
+        if when_matched_delete is not None:
+            action = action.when(F.expr(when_matched_delete), F.lit("drop"))
+        if when_matched_update is None:
+            action = action.otherwise(F.lit("keep"))
+        elif when_matched_update == "source":
+            action = action.otherwise(F.lit("src"))
+        else:
+            action = action.otherwise(F.lit("upd"))
+        merged = joined.withColumn("__act", action).filter(
+            F.col("__act") != "drop"
+        )
+        upd_map = (
+            when_matched_update
+            if isinstance(when_matched_update, dict)
+            else {}
+        )
+        types = {f.name: f.dataType for f in out_fields}
+        row = [
+            F.when(F.col("__act") == "keep", F.col(f"t.{c}"))
+            .when(F.col("__act") == "ins", F.col(f"s.{c}"))
+            .when(F.col("__act") == "src", F.col(f"s.{c}"))
+            .otherwise(F.expr(upd_map.get(c, f"t.{c}")))
+            .cast(types[c])
+            .alias(c)
+            for c in non_keys
+        ]
+        merged = merged.select(*key_cols, *row, F.col("__act"))
+    if current is None:
+        merged = merged.select(*key_cols, "s.*")
+    else:
+        merged = merged.drop("__act")
+    # restore the table's declared column order
+    new_state = merged.select(
+        *[F.col(f.name) for f in out_fields]
+    ).withColumn(BUCKET_COL, bucket_of(key_cols))
+    return _commit_state(
+        spark, target, new_state, affected, carried,
+        manifest.get("stats", {}) if manifest else {}, current_v + 1,
+    )
 
 
 def compact(

@@ -671,3 +671,113 @@ def test_read_where_empty_prune_returns_typed_empty(spark, tmp_path):
     out = mt.read_where(spark, target, [("amount", ">", 1e9)])
     assert out.columns == ["id", "amount"]
     assert out.count() == 0
+
+
+# ------------------------------------------------------------ MERGE INTO
+
+
+def _state_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, amount double, note string")
+
+
+def test_merge_into_full_clause_surface(spark, tmp_path):
+    """Delta-style MERGE: delete clause first, source-replace update,
+    insert of unmatched source rows; unmatched target rows (even in
+    affected buckets) survive untouched."""
+    target = str(tmp_path / "t")
+    # v1 via merge_into on a fresh table = insert-all
+    v = mt.merge_into(
+        _state_df(spark, [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"),
+                          (4, 40.0, "d")]),
+        target, ["id"], n_buckets=2,
+    )
+    assert v == 1
+    src = _state_df(spark, [(2, 99.0, "upd"),       # matched -> replace
+                            (3, 0.0, "kill"),        # matched -> delete
+                            (9, 90.0, "new")])       # unmatched -> insert
+    v = mt.merge_into(
+        src, target, ["id"],
+        when_matched_delete="s.note = 'kill'",
+        n_buckets=2,
+    )
+    assert v == 2
+    state = {r["id"]: (r["amount"], r["note"])
+             for r in mt.read_snapshot(spark, target).collect()}
+    assert state == {1: (10.0, "a"), 2: (99.0, "upd"),
+                     4: (40.0, "d"), 9: (90.0, "new")}
+    # time travel: v1 untouched
+    assert mt.read_snapshot(spark, target, 1).count() == 4
+
+
+def test_merge_into_partial_update_expressions(spark, tmp_path):
+    """Dict-valued update: listed columns evaluate SQL over t/s,
+    unlisted columns KEEP the target value."""
+    target = str(tmp_path / "t")
+    mt.merge_into(
+        _state_df(spark, [(1, 10.0, "keepme"), (2, 20.0, "orig")]),
+        target, ["id"], n_buckets=2,
+    )
+    src = _state_df(spark, [(1, 5.0, "ignored"), (2, 2.5, "ignored")])
+    mt.merge_into(
+        src, target, ["id"],
+        when_matched_update={"amount": "t.amount + s.amount"},
+        n_buckets=2,
+    )
+    state = {r["id"]: (r["amount"], r["note"])
+             for r in mt.read_snapshot(spark, target).collect()}
+    assert state == {1: (15.0, "keepme"), 2: (22.5, "orig")}
+
+
+def test_merge_into_no_insert_and_no_update(spark, tmp_path):
+    """when_matched_update=None + insert off = delete-only merge."""
+    target = str(tmp_path / "t")
+    mt.merge_into(
+        _state_df(spark, [(1, 1.0, "x"), (2, 2.0, "y")]),
+        target, ["id"], n_buckets=2,
+    )
+    src = _state_df(spark, [(1, 0.0, "z"), (7, 7.0, "z")])
+    mt.merge_into(
+        src, target, ["id"],
+        when_matched_update=None,
+        when_matched_delete="t.amount <= s.amount + 1.0",
+        when_not_matched_insert=False,
+        n_buckets=2,
+    )
+    state = {r["id"]: r["amount"] for r in mt.read_snapshot(spark, target).collect()}
+    assert state == {2: 2.0}  # 1 deleted (1.0 <= 0.0+1.0), 7 not inserted
+
+
+def test_merge_into_refuses_schema_drift_and_key_update(spark, tmp_path):
+    target = str(tmp_path / "t")
+    mt.merge_into(_state_df(spark, [(1, 1.0, "x")]), target, ["id"], n_buckets=2)
+    bad = spark.createDataFrame([(2, 2, "y")], "id long, amount int, note string")
+    with pytest.raises(TypeError, match="source schema"):
+        mt.merge_into(bad, target, ["id"], n_buckets=2)
+    with pytest.raises(ValueError, match="cannot be updated"):
+        mt.merge_into(
+            _state_df(spark, [(1, 1.0, "x")]), target, ["id"],
+            when_matched_update={"id": "s.id + 1"}, n_buckets=2,
+        )
+
+
+def test_merge_into_interops_with_cdc_merge_and_stats(spark, tmp_path):
+    """merge_into and merge_versioned share the commit tail: versions
+    interleave, stats stay complete, read_where still prunes."""
+    target = str(tmp_path / "t")
+    mt.merge_into(
+        _state_df(spark, [(i, float(i), "r") for i in range(1, 17)]),
+        target, ["id"], n_buckets=4,
+    )
+    batch = _state_df(spark, [(1, 500.0, "cdc")]).select(
+        "id", F.lit("u").alias("op"), F.lit(9).cast("long").alias("ts_ms"),
+        F.struct("id", "amount", "note").alias("after"),
+    )
+    mt.merge_versioned(batch, target, ["id"], n_buckets=4)
+    manifest = mt._read_manifest(spark, target, 2)
+    live = {f for fl in manifest["buckets"].values() for f in fl}
+    assert set(manifest["stats"]) == live
+    got = {
+        r["id"]
+        for r in mt.read_where(spark, target, [("amount", ">=", 500.0)]).collect()
+    }
+    assert got == {1}
