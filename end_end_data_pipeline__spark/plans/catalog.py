@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_semantic_dedup",
     "timeseries_gap_fill_daily",
     "versioned_merge_into_upsert",
+    "sketch_rollup_distinct_users",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

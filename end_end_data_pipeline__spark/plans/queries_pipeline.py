@@ -995,6 +995,58 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_rollup_distinct_users",
+    # same accuracy-contract oracle shape as approx_distinct_users_daily:
+    # exact weekly distinct by value, sketch by its error bound
+    oracle="""
+        SELECT strftime(date_trunc('week', CAST(ts AS DATE)), '%Y-%m-%d')
+                   AS week_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS sketch_within_3rsd
+        FROM events GROUP BY 1
+    """,
+    survey_ids=("A4", "A10"),
+)
+def sketch_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the piece plain approx_count_distinct
+    doesn't give you: per-DAY Datasketches HLL sketches
+    (``hll_sketch_agg``) are unioned into per-WEEK distinct-user
+    counts (``hll_union_agg`` → ``hll_sketch_estimate``) WITHOUT
+    touching the raw rows again.  At 100 TB this is the only sane
+    distinct-count architecture: daily sketch blobs (KBs) persist in
+    the mart, and any coarser window — week, month, arbitrary ad-hoc
+    range — is a sketch merge over a few hundred rows instead of a
+    re-scan of the raw events.  lgConfigK=12 → rsd ≈ 1.04/√4096 ≈
+    1.6%; the oracle checks the exact column by value and the merged
+    estimate by the 3×rsd contract, TRUE for every week on both
+    sides."""
+    events = lake.load_table(spark, "events", sf_dir)
+    daily_sketches = events.groupBy(
+        F.to_date("ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    weekly = daily_sketches.groupBy(
+        F.date_format(F.date_trunc("week", F.col("d")), "yyyy-MM-dd").alias(
+            "week_start"
+        )
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("sketch_users")
+    )
+    exact = events.groupBy(
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "week_start"
+        )
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.join(weekly, "week_start").select(
+        "week_start",
+        "exact_users",
+        (
+            F.abs(F.col("sketch_users") - F.col("exact_users"))
+            <= 0.0488 * F.col("exact_users")
+        ).alias("sketch_within_3rsd"),
+    )
+
+
+@register(
     "stream_dedup_within_watermark",
     oracle="""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_after_dedup
