@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "timeseries_gap_fill_daily",
     "versioned_merge_into_upsert",
     "sketch_rollup_distinct_users",
+    "stream_jdbc_upsert_live",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -133,6 +133,73 @@ def versioned_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_jdbc_upsert_live",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN CAST(o_totalprice AS DOUBLE) + 100.0
+                    ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey <= 150 AND o_orderkey % 7 <> 0
+    """,
+    survey_ids=("S8", "S1", "ST5", "ST6"),
+)
+def stream_jdbc_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming→OLTP sink end to end: a CDC change log over
+    orders (inserts, %3 updates, %7 deletes) replays through the
+    checkpointed file-source stream into an embedded-Derby table —
+    each micro-batch one database transaction with a batch-id ledger
+    (``streaming.upsert.jdbc_upsert_batch``; the reference's topology
+    REVERSED: its generator writes OLTP rows that Debezium streams out,
+    here the stream lands back in an OLTP serving table).  The final
+    table reads back through the range-partitioned JDBC source and
+    hash-checks against the oracle's statement of the merged state."""
+    import os as _os
+
+    from end_end_data_pipeline__spark.streaming import upsert as U
+
+    tmp = tempfile.mkdtemp(prefix="jdbc_stream_")
+    src, ckpt = _os.path.join(tmp, "src"), _os.path.join(tmp, "ckpt")
+    _os.makedirs(src)
+    url = f"jdbc:derby:{tmp}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    base = (
+        lake.load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 150)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    ins = base.select(
+        "*", F.lit("c").alias("op"), F.lit(1).cast("long").alias("ts_ms")
+    )
+    upd = (
+        base.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .select("*", F.lit("u").alias("op"), F.lit(2).cast("long").alias("ts_ms"))
+    )
+    dele = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "*", F.lit("d").alias("op"), F.lit(3).cast("long").alias("ts_ms")
+    )
+    changes = ins.unionByName(upd).unionByName(dele)
+    cdc.encode_envelope(changes, "op", "ts_ms", "orders").coalesce(
+        1
+    ).write.mode("append").text(src)
+    U.stream_cdc_file_source_jdbc(
+        spark, src, base.schema, ["o_orderkey"], url, "orders_live", ckpt,
+        driver=driver,
+    ).awaitTermination()
+    return lake.read_jdbc(
+        spark, url, "orders_live",
+        partition_column="o_orderkey", num_partitions=4,
+        lower_bound=0, upper_bound=151, driver=driver,
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+@register(
     "versioned_merge_into_upsert",
     oracle="""
         WITH base AS (

@@ -309,3 +309,185 @@ def upsert_pipeline_for_table(
         return cdc.silver_banking(state, table)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Live JDBC (OLTP) sink — the reverse of the reference's architecture
+# ---------------------------------------------------------------------------
+
+
+def _jdbc_conn(spark: SparkSession, url: str, driver: str):
+    spark._jvm.java.lang.Class.forName(driver)
+    return spark._jvm.java.sql.DriverManager.getConnection(url)
+
+
+def _exec_sql(conn, sql: str) -> None:
+    st = conn.createStatement()
+    try:
+        st.execute(sql)
+    finally:
+        st.close()
+
+
+def _ensure_ledger(conn, ledger: str) -> None:
+    try:
+        _exec_sql(conn, f'CREATE TABLE {ledger} ("batch_id" BIGINT PRIMARY KEY)')
+    except Exception as e:  # Derby X0Y32: table already exists
+        if "X0Y32" not in str(e) and "already exists" not in str(e):
+            raise
+
+
+def _batch_committed(conn, ledger: str, batch_id: int) -> bool:
+    st = conn.createStatement()
+    try:
+        rs = st.executeQuery(
+            f'SELECT COUNT(*) FROM {ledger} WHERE "batch_id" = {int(batch_id)}'
+        )
+        rs.next()
+        return rs.getInt(1) > 0
+    finally:
+        st.close()
+
+
+def jdbc_upsert_batch(
+    batch: DataFrame,
+    batch_id: int,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    driver: str = "org.apache.derby.jdbc.EmbeddedDriver",
+    version_col: str = "ts_ms",
+) -> bool:
+    """Transactionally upsert ONE micro-batch of decoded CDC changes
+    into a live JDBC table; returns False when ``batch_id`` was already
+    committed (checkpoint replay after a post-commit crash — skipped,
+    the exactly-once half foreachBatch itself doesn't give you).
+
+    Protocol (the standard idempotent-foreachBatch recipe, made
+    concrete): collapse the batch latest-wins per key (keeping final
+    deletes), stage upserts and delete-keys into JDBC staging tables
+    (plain overwrite — idempotent, outside the transaction), then in
+    ONE database transaction: SQL ``MERGE`` the upsert stage into the
+    target, delete the tombstoned keys, and record ``batch_id`` in the
+    ledger.  A crash anywhere inside the transaction rolls back whole;
+    a crash after commit is caught by the ledger on replay.  Staging
+    rides Spark's parallel JDBC writer, so the only driver-side SQL is
+    three constant-size statements — no per-row round-trips.
+
+    This is the reference's own topology reversed (its generator
+    writes OLTP rows that Debezium streams out; here the stream lands
+    back in an OLTP table transactionally — the serving-database sink
+    its stack never had).  Identifier casing: table names are passed
+    unquoted (DB-normalized), column names quoted exactly as Spark's
+    JDBC writer created them."""
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    ledger = f"{table}_commits"
+    conn = _jdbc_conn(spark, url, driver)
+    try:
+        _ensure_ledger(conn, ledger)
+        if _batch_committed(conn, ledger, batch_id):
+            return False
+    finally:
+        conn.close()
+
+    op_rank = (
+        F.when(F.col("op") == "d", 3).when(F.col("op") == "u", 2).otherwise(1)
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), op_rank.desc()
+    )
+    latest = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ups = latest.filter(F.col("op") != "d").select("after.*")
+    dels = latest.filter(F.col("op") == "d").select(*key_cols)
+    stage_u, stage_d = f"{table}_stage_u", f"{table}_stage_d"
+    for df, stage in ((ups, stage_u), (dels, stage_d)):
+        (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", stage)
+            .option("driver", driver)
+            .mode("overwrite")
+            .save()
+        )
+    # create the target on first contact (no-op when it exists)
+    (
+        ups.limit(0)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .mode("ignore")
+        .save()
+    )
+
+    cols = ups.columns
+    non_keys = [c for c in cols if c not in key_cols]
+    on = " AND ".join(f't."{k}" = s."{k}"' for k in key_cols)
+    set_sql = ", ".join(f'"{c}" = s."{c}"' for c in non_keys)
+    ins_cols = ", ".join(f'"{c}"' for c in cols)
+    ins_vals = ", ".join(f's."{c}"' for c in cols)
+    del_on = " AND ".join(f'{table}."{k}" = d."{k}"' for k in key_cols)
+
+    conn = _jdbc_conn(spark, url, driver)
+    try:
+        conn.setAutoCommit(False)
+        _exec_sql(
+            conn,
+            f"MERGE INTO {table} t USING {stage_u} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {set_sql} "
+            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})",
+        )
+        _exec_sql(
+            conn,
+            f"DELETE FROM {table} WHERE EXISTS "
+            f"(SELECT 1 FROM {stage_d} d WHERE {del_on})",
+        )
+        _exec_sql(
+            conn, f"INSERT INTO {ledger} VALUES ({int(batch_id)})"
+        )
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+    return True
+
+
+def stream_cdc_file_source_jdbc(
+    spark: SparkSession,
+    source_dir: str,
+    row_schema: T.StructType,
+    key_cols: list[str],
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    driver: str = "org.apache.derby.jdbc.EmbeddedDriver",
+    max_files_per_trigger: int = 10,
+) -> "object":
+    """:func:`stream_cdc_file_source` with a LIVE JDBC (OLTP) sink:
+    each micro-batch lands as one database transaction via
+    :func:`jdbc_upsert_batch`; the batch-id ledger makes checkpoint
+    replays no-ops, so content is exactly-once end to end."""
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(source_dir)
+    )
+    changes = cdc.decode(cdc.parse_envelope(raw, row_schema), key_cols)
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        jdbc_upsert_batch(batch, epoch_id, url, table, key_cols, driver)
+
+    return (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -214,3 +214,107 @@ def test_jdbc_v2_catalog_aggregate_pushdown_live(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_cdc_to_jdbc_live_exactly_once(spark, tmp_path, monkeypatch):
+    """LIVE streaming -> OLTP sink (embedded Derby): micro-batches land
+    as single transactions with a batch-id ledger.  Covers: initial
+    load, update+delete wave on restart, ledger-skip of a replayed
+    batch, and whole-transaction rollback on a mid-transaction crash."""
+    import os as _os
+
+    from end_end_data_pipeline__spark import schemas
+    from end_end_data_pipeline__spark.sources import cdc
+    from end_end_data_pipeline__spark.streaming import upsert as U
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _os.makedirs(src)
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    schema = schemas.cdc_row_schema("accounts")
+
+    def envelopes(rows):
+        df = spark.createDataFrame(
+            rows,
+            "id long, customer_id long, account_type string, balance double,"
+            " currency string, created_at long, op string, ts_ms long",
+        )
+        cdc.encode_envelope(df, "op", "ts_ms", "accounts").coalesce(
+            1
+        ).write.mode("append").text(src)
+
+    def state():
+        df = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "accounts_live")
+            .option("driver", driver)
+            .load()
+        )
+        return {r["id"]: r["balance"] for r in df.collect()}
+
+    envelopes([(i, 1, "SAVINGS", 100.0 * i, "USD", 1_700_000_000_000_000, "c", i)
+               for i in range(1, 4)])
+    U.stream_cdc_file_source_jdbc(
+        spark, src, schema, ["id"], url, "accounts_live", ckpt, driver=driver
+    ).awaitTermination()
+    assert state() == {1: 100.0, 2: 200.0, 3: 300.0}
+
+    envelopes([(2, 1, "SAVINGS", 999.0, "USD", 1_700_000_000_000_000, "u", 10),
+               (3, 1, "SAVINGS", 0.0, "USD", 1_700_000_000_000_000, "d", 11),
+               (4, 1, "SAVINGS", 444.0, "USD", 1_700_000_000_000_000, "c", 12)])
+    U.stream_cdc_file_source_jdbc(
+        spark, src, schema, ["id"], url, "accounts_live", ckpt, driver=driver
+    ).awaitTermination()
+    assert state() == {1: 100.0, 2: 999.0, 4: 444.0}
+
+    # replaying an already-committed batch is a ledger-skip no-op
+    batch = cdc.decode(
+        cdc.parse_envelope(
+            spark.read.text(src), schema
+        ),
+        ["id"],
+    )
+    assert U.jdbc_upsert_batch(
+        batch, 0, url, "accounts_live", ["id"], driver=driver
+    ) is False
+    assert state() == {1: 100.0, 2: 999.0, 4: 444.0}
+
+    # crash INSIDE the transaction (on the tombstone DELETE) → full
+    # rollback: no partial MERGE, no ledger row; the retry lands whole
+    real_exec = U._exec_sql
+
+    def crashing(conn, sql):
+        if sql.startswith("DELETE FROM accounts_live"):
+            raise RuntimeError("simulated crash mid-transaction")
+        real_exec(conn, sql)
+
+    monkeypatch.setattr(U, "_exec_sql", crashing)
+    crash_batch = cdc.decode(
+        cdc.parse_envelope(
+            spark.createDataFrame(
+                [(r,) for r in [
+                    '{"payload": {"before": null, "after": {"id": 1, '
+                    '"customer_id": 1, "account_type": "SAVINGS", '
+                    '"balance": 777.0, "currency": "USD", '
+                    '"created_at": 1700000000000000}, "op": "u", '
+                    '"ts_ms": 99, "source": {"table": "accounts"}}}',
+                    '{"payload": {"before": {"id": 4}, "after": null, '
+                    '"op": "d", "ts_ms": 99, '
+                    '"source": {"table": "accounts"}}}',
+                ]], ["value"],
+            ),
+            schema,
+        ),
+        ["id"],
+    )
+    with pytest.raises(RuntimeError, match="mid-transaction"):
+        U.jdbc_upsert_batch(
+            crash_batch, 777, url, "accounts_live", ["id"], driver=driver
+        )
+    assert state() == {1: 100.0, 2: 999.0, 4: 444.0}  # rolled back whole
+    monkeypatch.undo()
+    assert U.jdbc_upsert_batch(
+        crash_batch, 777, url, "accounts_live", ["id"], driver=driver
+    ) is True
+    assert state() == {1: 777.0, 2: 999.0}
