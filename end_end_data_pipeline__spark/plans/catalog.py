@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "versioned_merge_into_upsert",
     "sketch_rollup_distinct_users",
     "stream_jdbc_upsert_live",
+    "corpus_sequence_packing",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

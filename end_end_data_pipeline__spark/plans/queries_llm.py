@@ -1537,6 +1537,83 @@ def corpus_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_sequence_packing",
+    oracle="""
+        WITH sized AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\\s+')) > 0
+        ),
+        spans AS (
+            SELECT doc_id, lang, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS tok_start
+            FROM sized
+        ),
+        frags AS (
+            SELECT lang, doc_id, tok_start, n_tokens,
+                   unnest(range(CAST(floor(tok_start / 512) AS BIGINT),
+                                CAST(floor((tok_start + n_tokens - 1) / 512)
+                                     AS BIGINT) + 1)) AS seq_id
+            FROM spans
+        )
+        SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+               CAST(greatest(tok_start, seq_id * 512) - tok_start AS BIGINT)
+                   AS frag_start,
+               CAST(least(tok_start + n_tokens, (seq_id + 1) * 512)
+                    - greatest(tok_start, seq_id * 512) AS BIGINT) AS frag_len
+        FROM frags
+    """,
+    survey_ids=("UD5", "W1", "F12"),
+)
+def corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context SEQUENCE packing — the token-granular complement
+    of shard packing: documents concatenate into one token stream per
+    language and split across exact 512-token training sequences, each
+    document exploding into per-sequence fragments with in-doc offsets
+    (seq_id, frag_start, frag_len).  Every interior sequence holds
+    exactly 512 tokens; a fragment row is what the loader needs to
+    slice each doc's token array into its packed positions.  Scale:
+    one running-sum window per stream key (lang here; shard id at
+    production scale so streams stay bounded), one Generate for the
+    spans — fan-out is ceil(doc/512) rows per doc, linear, no
+    shuffle beyond the per-key hash."""
+    from pyspark.sql import Window
+
+    L = 512
+    docs = lake.load_table(spark, "documents", sf_dir)
+    sized = docs.select(
+        "doc_id", "lang", text.token_count("text").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    spans = sized.withColumn(
+        "tok_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    frags = spans.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("tok_start") / L),
+                F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / L),
+            )
+        ),
+    )
+    lo = F.greatest(F.col("tok_start"), F.col("seq_id") * L)
+    hi = F.least(F.col("tok_start") + F.col("n_tokens"), (F.col("seq_id") + 1) * L)
+    return frags.select(
+        "lang",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (lo - F.col("tok_start")).cast("long").alias("frag_start"),
+        (hi - lo).cast("long").alias("frag_len"),
+    )
+
+
+@register(
     "corpus_vocabulary_topk",
     oracle="""
         WITH tok AS (
