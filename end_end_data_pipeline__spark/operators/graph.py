@@ -23,6 +23,86 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    acc_scale: int = 18,
+) -> DataFrame:
+    """Fixed-iteration PageRank (power method) over a directed edge
+    list; returns (node, rank).  Parallel edges count toward degree —
+    a node sending twice contributes twice, matching the multigraph
+    reading of the transfer network.
+
+    Deterministic by construction so a SQL oracle can replay it
+    exactly: contributions and the dangling-mass sum are quantized to
+    1e-18 with ``floor`` and accumulated as INTEGERS — floor and
+    integer addition are bit-identical in every engine, where a
+    double→decimal cast is not (engines disagree on the 1e-18 rounding
+    ULP, which compounds over iterations; same order-independence
+    rationale as ``functions.scalar.dec_sum``).  Every scalar step is
+    the same IEEE double expression on both sides, and the iteration
+    count is fixed rather than convergence-tested.
+
+    Scale: per iteration ONE shuffle for the contribution agg (narrow
+    rows: node + decimal) plus a broadcast-size scalar for dangling
+    mass; lineage is truncated per iteration (``localCheckpoint``),
+    the same discipline as :func:`connected_components`.  The two
+    driver scalars (node count, dangling mass) are 1-row aggregates,
+    not data collects."""
+    q = float(10**acc_scale)  # 1e18 quantum: rank/deg ~<= 1 → <= 1e18,
+    # exactly representable in int64; sums of ranks <= 1 stay in range
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = float(nodes.count())
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.sum(F.floor(F.col("rank") / F.col("deg") * F.lit(q)))
+                    .cast("double")
+                    / F.lit(q)
+                ).alias("contrib")
+            )
+        )
+        dang_row = (
+            ranks.join(
+                deg.withColumnRenamed("src", "node"), "node", "left_anti"
+            )
+            .agg(F.sum(F.floor(F.col("rank") * F.lit(q))).cast("double") / F.lit(q))
+            .collect()[0][0]
+        )
+        dang = float(dang_row) if dang_row is not None else 0.0
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.lit(dang / n)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

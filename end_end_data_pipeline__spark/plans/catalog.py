@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_rollup_distinct_users",
     "stream_jdbc_upsert_live",
     "corpus_sequence_packing",
+    "graph_pagerank_transfers",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

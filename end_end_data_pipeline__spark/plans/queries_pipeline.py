@@ -1149,6 +1149,119 @@ def transfer_network_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB replay of operators.graph.pagerank: same edges, same integer-
+# quantized (floor x*1e18) contribution sums, same IEEE scalar expression per step,
+# three unrolled iterations.  The teleport term is spelled as DOUBLE
+# subtraction (CAST(1.0)-CAST(0.85)) — DuckDB would otherwise run
+# 1.0-0.85 in exact DECIMAL arithmetic (0.15) while Python's double
+# gives 0.15000000000000002, a 1-ULP seed that compounds.
+_PAGERANK_SQL = """
+    WITH edges AS (
+        SELECT o_custkey AS src,
+               (o_orderkey % (SELECT MAX(c_custkey) FROM customer)) + 1 AS dst
+        FROM orders WHERE o_orderkey % 23 = 0
+    ),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges
+        )
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (
+        SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    c1 AS (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(floor(r.rank / d.deg * 1e18) AS BIGINT))
+                    AS DOUBLE) / 1e18 AS contrib
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON r.node = e.src
+        GROUP BY e.dst
+    ),
+    d1 AS (
+        SELECT COALESCE(CAST(SUM(CAST(floor(r.rank * 1e18) AS BIGINT))
+                           AS DOUBLE) / 1e18, 0.0) AS dang
+        FROM r0 r
+        WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.src = r.node)
+    ),
+    r1 AS (
+        SELECT n.node,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+               + 0.85 * (COALESCE(c.contrib, 0.0)
+                         + (SELECT dang FROM d1) / (SELECT n FROM nn)) AS rank
+        FROM nodes n LEFT JOIN c1 c ON n.node = c.node
+    ),
+    c2 AS (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(floor(r.rank / d.deg * 1e18) AS BIGINT))
+                    AS DOUBLE) / 1e18 AS contrib
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON r.node = e.src
+        GROUP BY e.dst
+    ),
+    d2 AS (
+        SELECT COALESCE(CAST(SUM(CAST(floor(r.rank * 1e18) AS BIGINT))
+                           AS DOUBLE) / 1e18, 0.0) AS dang
+        FROM r1 r
+        WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.src = r.node)
+    ),
+    r2 AS (
+        SELECT n.node,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+               + 0.85 * (COALESCE(c.contrib, 0.0)
+                         + (SELECT dang FROM d2) / (SELECT n FROM nn)) AS rank
+        FROM nodes n LEFT JOIN c2 c ON n.node = c.node
+    ),
+    c3 AS (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(floor(r.rank / d.deg * 1e18) AS BIGINT))
+                    AS DOUBLE) / 1e18 AS contrib
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON r.node = e.src
+        GROUP BY e.dst
+    ),
+    d3 AS (
+        SELECT COALESCE(CAST(SUM(CAST(floor(r.rank * 1e18) AS BIGINT))
+                           AS DOUBLE) / 1e18, 0.0) AS dang
+        FROM r2 r
+        WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.src = r.node)
+    ),
+    r3 AS (
+        SELECT n.node,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+               + 0.85 * (COALESCE(c.contrib, 0.0)
+                         + (SELECT dang FROM d3) / (SELECT n FROM nn)) AS rank
+        FROM nodes n LEFT JOIN c3 c ON n.node = c.node
+    )
+    SELECT node, rank FROM r3
+"""
+
+
+@register(
+    "graph_pagerank_transfers",
+    oracle=_PAGERANK_SQL,
+    survey_ids=("J3", "A2"),
+)
+def graph_pagerank_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the transfer network (same deterministic edge
+    recipe as the components query — every 23rd order links its
+    customer to a counterparty keyed off the order id): 3 power-method
+    iterations with damping 0.85 and dangling-mass redistribution
+    (``operators.graph.pagerank``) — the influence/centrality score an
+    AML 'hub account' analysis ranks by.  The oracle unrolls the same
+    three iterations in SQL and must hash-match exactly, which pins
+    every accumulation step (exact-decimal sums) cross-engine."""
+    from end_end_data_pipeline__spark.operators.graph import pagerank
+
+    orders = lake.load_table(spark, "orders", sf_dir)
+    customer = lake.load_table(spark, "customer", sf_dir)
+    max_cust = customer.agg(F.max("c_custkey")).collect()[0][0]
+    edges = orders.filter(F.col("o_orderkey") % 23 == 0).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % F.lit(max_cust) + 1).alias("dst"),
+    )
+    return pagerank(edges, iterations=3, damping=0.85)
+
+
 # ---------------------------------------------------------------------------
 # SCD2 dimension history (D-class mart op; J7 as-of complement)
 # ---------------------------------------------------------------------------

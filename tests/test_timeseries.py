@@ -43,3 +43,20 @@ def test_gap_fill_densifies_zero_fills_and_carries(spark):
     assert got[("b", "2024-01-09")] == (7, 99.0, 99.0, False)
     # spans start at an observed date -> no leading gap, LOCF never null
     assert all(v[2] is not None for v in got.values())
+
+
+def test_pagerank_invariants(spark):
+    """Power-method invariants on a hand graph: rank mass ~1 every
+    iteration (dangling mass redistributed, not lost), a sink fed by
+    everyone outranks its feeders, and symmetric nodes tie exactly."""
+    from end_end_data_pipeline__spark.operators.graph import pagerank
+
+    # 1->3, 2->3, 3 dangling; 4<->5 symmetric pair
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (4, 5), (5, 4)], "src long, dst long"
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert out[3] > out[1] and out[3] > out[2]
+    assert out[1] == out[2]  # symmetric sources tie exactly
+    assert out[4] == out[5]  # 2-cycle ties exactly
