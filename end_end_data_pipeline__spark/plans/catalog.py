@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_jdbc_upsert_live",
     "corpus_sequence_packing",
     "graph_pagerank_transfers",
+    "versioned_zorder_skipping",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

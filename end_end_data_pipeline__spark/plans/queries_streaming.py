@@ -200,6 +200,59 @@ def stream_jdbc_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_zorder_skipping",
+    oracle="""
+        SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+        FROM events
+        WHERE user_id BETWEEN 20 AND 40
+          AND value >= 10.0 AND value < 50.0
+    """,
+    survey_ids=("S5", "S10", "P5"),
+)
+def versioned_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data skipping: the events table is OPTIMIZE'd
+    with a Z-ORDER clustering (``functions.zorder.interleave_bits`` of
+    bucketized user_id × value as the compact sort key), so each data
+    file is a small hyper-rectangle in (user, value) space and the
+    manifest's min/max stats prune on EITHER dimension — where a
+    lexicographic sort would only serve the leading column
+    (comparative proof in tests/test_manifest_table.py).  The pruned
+    two-band read must hash-match the oracle's plain filter."""
+    from end_end_data_pipeline__spark.functions import zorder
+    from end_end_data_pipeline__spark.sources import manifest_table as mt
+
+    target = tempfile.mkdtemp(prefix="mct_z_") + "/t"
+    events = lake.load_table(spark, "events", sf_dir)
+    batch = events.select(
+        "event_id",
+        F.lit("c").alias("op"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.struct(
+            "event_id", "user_id",
+            F.col("value").cast("double").alias("value"),
+        ).alias("after"),
+    )
+    mt.merge_versioned(batch, target, ["event_id"], n_buckets=4)
+    zcol = zorder.interleave_bits(
+        zorder.bucketize(F.col("user_id"), 0, 150, 64),
+        zorder.bucketize(F.col("value"), 0.0, 100.0, 64),
+        bits=6,
+    )
+    mt.compact(spark, target, cluster_by=[zcol], max_records_per_file=256)
+    out = mt.read_where(
+        spark,
+        target,
+        [
+            ("user_id", ">=", 20),
+            ("user_id", "<=", 40),
+            ("value", ">=", 10.0),
+            ("value", "<", 50.0),
+        ],
+    )
+    return out.select("event_id", "user_id", "value")
+
+
+@register(
     "versioned_merge_into_upsert",
     oracle="""
         WITH base AS (

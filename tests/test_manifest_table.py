@@ -781,3 +781,51 @@ def test_merge_into_interops_with_cdc_merge_and_stats(spark, tmp_path):
         for r in mt.read_where(spark, target, [("amount", ">=", 500.0)]).collect()
     }
     assert got == {1}
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """Morton-interleaved clustering vs lexicographic: on a 64x64 grid
+    of independent (x, y), a y-band predicate prunes NOTHING under
+    cluster_by=[x, y] (every file spans all of y) but keeps only the
+    intersecting tiles under cluster_by=[interleave_bits(x, y)] — the
+    multi-dimensional data-skipping claim, measured."""
+    from end_end_data_pipeline__spark.functions import zorder
+
+    rows = [(i, i % 64, (i // 64) % 64, "c", 1) for i in range(4096)]
+
+    def build(path):
+        df = spark.createDataFrame(
+            rows, "id long, x long, y long, op string, ts_ms long"
+        ).select(
+            "id", "op", "ts_ms",
+            F.when(F.col("op") != "d", F.struct("id", "x", "y")).alias("after"),
+        )
+        mt.merge_versioned(df, path, ["id"], n_buckets=1)
+
+    lex, zed = str(tmp_path / "lex"), str(tmp_path / "zed")
+    build(lex)
+    build(zed)
+    mt.compact(spark, lex, cluster_by=["x", "y"], max_records_per_file=256)
+    mt.compact(
+        spark, zed,
+        cluster_by=[zorder.interleave_bits(F.col("x"), F.col("y"), bits=6)],
+        max_records_per_file=256,
+    )
+    band = [("y", ">=", 8), ("y", "<=", 15)]
+    m_lex = mt._read_manifest(spark, lex, 2)
+    m_zed = mt._read_manifest(spark, zed, 2)
+    n_lex_total = sum(len(fl) for fl in m_lex["buckets"].values())
+    n_zed_total = sum(len(fl) for fl in m_zed["buckets"].values())
+    kept_lex = len(mt.prune_files(m_lex, band))
+    kept_zed = len(mt.prune_files(m_zed, band))
+    # lexicographic: y spreads across every file -> no pruning at all
+    assert kept_lex == n_lex_total
+    # z-order: only the tiles intersecting the band survive
+    assert kept_zed <= n_zed_total // 2, (kept_zed, n_zed_total)
+    # and the pruned read is still exactly the filter
+    expect = {i for i in range(4096) if 8 <= (i // 64) % 64 <= 15}
+    got = {r["id"] for r in mt.read_where(spark, zed, band).collect()}
+    assert got == expect
+    # x-band pruning still works on the z layout too
+    xband = [("x", ">=", 0), ("x", "<=", 7)]
+    assert len(mt.prune_files(m_zed, xband)) <= n_zed_total // 2
