@@ -62,6 +62,7 @@ import re
 import uuid
 
 import datetime as _dt
+import time
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -119,14 +120,39 @@ def _manifest_schema(manifest: dict) -> StructType | None:
 
 
 def read_snapshot(
-    spark: SparkSession, target: str, version: int | None = None
+    spark: SparkSession,
+    target: str,
+    version: int | None = None,
+    as_of: "_dt.datetime | float | None" = None,
 ) -> DataFrame:
     """The committed state at ``version`` (default: latest) — snapshot-
     isolated: the manifest's file list is immutable, so the read is
-    unaffected by any concurrent commit or vacuum of other versions."""
+    unaffected by any concurrent commit or vacuum of other versions.
+    ``as_of`` (datetime or epoch seconds) instead picks the newest
+    version committed at-or-before that wall-clock time — TIMESTAMP AS
+    OF time travel (versions from before commit times were recorded
+    never match)."""
     versions = list_versions(spark, target)
     if not versions:
         raise FileNotFoundError(f"no committed manifest under {target!r}")
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        cutoff = (
+            as_of.timestamp() if isinstance(as_of, _dt.datetime) else float(as_of)
+        )
+        eligible = [
+            v
+            for v in versions
+            if (ts := _read_manifest(spark, target, v).get("committed_at"))
+            is not None
+            and ts <= cutoff
+        ]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no version of {target!r} committed at or before {as_of}"
+            )
+        version = eligible[-1]
     v = version if version is not None else versions[-1]
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions}")
@@ -561,9 +587,15 @@ def merge_versioned(
     new_state = cdc.apply_latest_state(
         all_changes, key_cols, version_col=version_col
     ).withColumn(BUCKET_COL, bucket_of(key_cols))
+    constraints = manifest.get("constraints", {}) if manifest else {}
+    if constraints:
+        _check_constraints(
+            new_state.drop(BUCKET_COL), constraints, "merge_versioned state"
+        )
     return _commit_state(
         spark, target, new_state, affected, carried,
         manifest.get("stats", {}) if manifest else {}, current_v + 1,
+        operation="merge_versioned", constraints=constraints,
     )
 
 
@@ -575,6 +607,8 @@ def _commit_state(
     carried: dict[str, list[str]],
     prev_stats: dict[str, dict],
     new_v: int,
+    operation: str = "merge",
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Shared commit tail for every state-rewriting operation: write
     the affected buckets' new state to a writer-unique dir (racing
@@ -604,6 +638,9 @@ def _commit_state(
                 "schema": schema_json,
                 "buckets": buckets,
                 "stats": stats,
+                "committed_at": time.time(),
+                "operation": operation,
+                "constraints": constraints or {},
             },
         )
     except RuntimeError:
@@ -611,6 +648,85 @@ def _commit_state(
         fs.delete(_jpath(jvm, data_dir), True)  # own orphan, safe to drop
         raise
     return new_v
+
+
+def _check_constraints(
+    state: DataFrame, constraints: dict[str, str], context: str
+) -> None:
+    """Enforce table CHECK constraints on the post-merge state of the
+    affected buckets — one filter+count over rows about to be written
+    (O(new state), before any file lands).  Refuses the whole commit
+    on the first violated constraint, Delta-style."""
+    for name, expr in constraints.items():
+        bad = state.filter(~F.coalesce(F.expr(expr), F.lit(False))).count()
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by {bad} "
+                f"row(s) in {context} — commit refused"
+            )
+
+
+def set_check_constraint(
+    spark: SparkSession, target: str, name: str, expr: str
+) -> int:
+    """Register (or replace) a named CHECK constraint (a SQL boolean
+    over the table's columns, e.g. ``"amount >= 0"``).  The EXISTING
+    state must already satisfy it; every later merge validates its
+    post-merge state before committing.  Commits a data-identical new
+    version carrying the updated constraint set (NULL results count as
+    violations — constraints are strict)."""
+    versions = list_versions(spark, target)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest under {target!r}")
+    current_v = versions[-1]
+    manifest = _read_manifest(spark, target, current_v)
+    constraints = dict(manifest.get("constraints", {}))
+    constraints[name] = expr
+    _check_constraints(
+        read_snapshot(spark, target, current_v),
+        {name: expr},
+        f"existing state of {target!r}",
+    )
+    _commit_manifest(
+        spark, target,
+        {
+            **{k: manifest.get(k) for k in ("schema", "stats")},
+            "version": current_v + 1,
+            "buckets": manifest["buckets"],
+            "committed_at": time.time(),
+            "operation": f"set_constraint:{name}",
+            "constraints": constraints,
+        },
+    )
+    return current_v + 1
+
+
+def history(spark: SparkSession, target: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per live manifest version — commit
+    time, operation, file/bucket counts, constraint count.  Metadata
+    only (reads manifests, never data files)."""
+    versions = list_versions(spark, target)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest under {target!r}")
+    rows = []
+    for v in versions:
+        m = _read_manifest(spark, target, v)
+        ts = m.get("committed_at")
+        rows.append(
+            (
+                v,
+                _dt.datetime.fromtimestamp(ts) if ts is not None else None,
+                m.get("operation"),
+                sum(len(fl) for fl in m["buckets"].values()),
+                len(m["buckets"]),
+                len(m.get("constraints", {})),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, committed_at timestamp, operation string,"
+        " n_files int, n_buckets int, n_constraints int",
+    )
 
 
 def merge_versioned_retry(
@@ -775,9 +891,15 @@ def merge_into(
     new_state = merged.select(
         *[F.col(f.name) for f in out_fields]
     ).withColumn(BUCKET_COL, bucket_of(key_cols))
+    constraints = manifest.get("constraints", {}) if manifest else {}
+    if constraints:
+        _check_constraints(
+            new_state.drop(BUCKET_COL), constraints, "merge_into state"
+        )
     return _commit_state(
         spark, target, new_state, affected, carried,
         manifest.get("stats", {}) if manifest else {}, current_v + 1,
+        operation="merge_into", constraints=constraints,
     )
 
 
@@ -855,6 +977,9 @@ def compact(
                 "schema": manifest.get("schema"),
                 "buckets": buckets,
                 "stats": stats,
+                "committed_at": time.time(),
+                "operation": "compact",
+                "constraints": manifest.get("constraints", {}),
             },
         )
     except RuntimeError:

@@ -829,3 +829,89 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     # x-band pruning still works on the z layout too
     xband = [("x", ">=", 0), ("x", "<=", 7)]
     assert len(mt.prune_files(m_zed, xband)) <= n_zed_total // 2
+
+
+# ------------------------------------------- history / as-of / constraints
+
+
+def test_history_and_timestamp_time_travel(spark, tmp_path):
+    """DESCRIBE HISTORY rows carry commit time + operation; as_of picks
+    the newest version committed at-or-before the cutoff."""
+    import time as _time
+
+    target = str(tmp_path / "t")
+    mt.merge_versioned(_batch(spark, [(1, 1.0, "c", 1)]), target, ["id"], n_buckets=2)
+    t_between = _time.time()
+    _time.sleep(0.05)
+    mt.merge_versioned(_batch(spark, [(2, 2.0, "c", 2)]), target, ["id"], n_buckets=2)
+    mt.compact(spark, target, max_files_per_bucket=0, cluster_by=["id"])
+
+    h = {r["version"]: r for r in mt.history(spark, target).collect()}
+    assert set(h) == {1, 2, 3}
+    assert h[1]["operation"] == "merge_versioned"
+    assert h[3]["operation"] == "compact"
+    assert h[1]["committed_at"] <= h[2]["committed_at"] <= h[3]["committed_at"]
+    assert all(r["n_files"] >= 1 for r in h.values())
+
+    old = mt.read_snapshot(spark, target, as_of=t_between)
+    assert {r["id"] for r in old.collect()} == {1}
+    now = mt.read_snapshot(spark, target, as_of=_time.time())
+    assert {r["id"] for r in now.collect()} == {1, 2}
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        mt.read_snapshot(spark, target, as_of=0.0)
+    with pytest.raises(ValueError, match="not both"):
+        mt.read_snapshot(spark, target, version=1, as_of=t_between)
+
+
+def test_check_constraints_enforced_on_merges(spark, tmp_path):
+    """Delta-style CHECK constraints: registering validates existing
+    state, every later merge (CDC and MERGE INTO alike) validates its
+    post-merge state and refuses the whole commit on violation —
+    NULLs count as violations."""
+    target = str(tmp_path / "t")
+    mt.merge_versioned(
+        _batch(spark, [(1, 10.0, "c", 1), (2, 20.0, "c", 1)]),
+        target, ["id"], n_buckets=2,
+    )
+    v = mt.set_check_constraint(spark, target, "amount_nonneg", "amount >= 0")
+    assert v == 2
+    assert mt.history(spark, target).filter(
+        "operation = 'set_constraint:amount_nonneg'"
+    ).count() == 1
+
+    # violating CDC merge refused atomically — state unchanged
+    with pytest.raises(ValueError, match="amount_nonneg"):
+        mt.merge_versioned(
+            _batch(spark, [(3, -5.0, "c", 3)]), target, ["id"], n_buckets=2
+        )
+    assert mt.list_versions(spark, target) == [1, 2]
+    state = {r["id"]: r["amount"] for r in mt.read_snapshot(spark, target).collect()}
+    assert state == {1: 10.0, 2: 20.0}
+
+    # NULL amount is a violation too (strict constraints)
+    null_batch = spark.createDataFrame(
+        [(4, None, "c", 4)], "id long, amount double, op string, ts_ms long"
+    ).select(
+        "id", "op", "ts_ms",
+        F.when(F.col("op") != "d", F.struct("id", "amount")).alias("after"),
+    )
+    with pytest.raises(ValueError, match="amount_nonneg"):
+        mt.merge_versioned(null_batch, target, ["id"], n_buckets=2)
+
+    # violating MERGE INTO refused too
+    bad_src = spark.createDataFrame([(1, -1.0)], "id long, amount double")
+    with pytest.raises(ValueError, match="amount_nonneg"):
+        mt.merge_into(bad_src, target, ["id"], n_buckets=2)
+
+    # compliant merges proceed and carry the constraint forward
+    mt.merge_versioned(
+        _batch(spark, [(3, 30.0, "c", 3)]), target, ["id"], n_buckets=2
+    )
+    with pytest.raises(ValueError, match="amount_nonneg"):
+        mt.merge_versioned(
+            _batch(spark, [(9, -9.0, "c", 9)]), target, ["id"], n_buckets=2
+        )
+
+    # registering a constraint the existing state violates is refused
+    with pytest.raises(ValueError, match="existing state"):
+        mt.set_check_constraint(spark, target, "tiny", "amount < 5")
