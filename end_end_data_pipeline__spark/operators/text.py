@@ -271,3 +271,48 @@ def contamination_flags(
             "contaminated"
         ),
     )
+
+
+def tfidf_top_terms(
+    docs,  # DataFrame
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+):
+    """Top-k characteristic terms per document by tf-idf — the
+    keyword-extraction / boilerplate-spotting primitive of corpus
+    analytics.  The idf is the BM25 rational form WITHOUT the log:
+    ``tf × (N − df + 0.5) / (df + 0.5)``.  Dropping the log keeps
+    every arithmetic step a plain IEEE double op, so the score — and
+    therefore the ranking — is bit-identical across engines (ln() is
+    only 1-ulp-accurate and engine-specific, which can flip near-tie
+    ranks); it is a monotone-in-df reweighting, not textbook lnidf,
+    and is documented as such.
+
+    Scale: tokenize+explode is one Generate; tf and df are two hash
+    aggs; the join back is on term (broadcastable once df is computed
+    at corpus scale the df side is |vocab|, tiny vs the corpus).  The
+    only driver scalar is the document count.  Returns
+    (id, rank, term, tf, df) with ties broken on term asc."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("t")
+    ).select(id_col, F.lower(F.col("t")).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = float(tf.select(id_col).distinct().count())
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.col("tf").cast("double")
+        * (F.lit(n_docs) - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5)),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df")
+    )

@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_sequence_packing",
     "graph_pagerank_transfers",
     "versioned_zorder_skipping",
+    "text_tfidf_top_terms",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -1614,6 +1614,52 @@ def corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_top_terms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY 1, 2
+        ),
+        dfreq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                   CAST(tf.tf AS DOUBLE)
+                   * ((SELECT n FROM n) - CAST(df AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE))
+                   / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS score
+            FROM tf JOIN dfreq USING (term)
+        )
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    """,
+    survey_ids=("UD5", "A3", "O3"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf
+    (``operators.text.tfidf_top_terms``; BM25 rational idf, log-free
+    so the ranking is bit-deterministic cross-engine).  One Generate +
+    two hash aggs + a vocab-sized join — the keyword-extraction
+    primitive the replay oracle ranks identically."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    out = text.tfidf_top_terms(docs, "text", "doc_id", k=3)
+    return out.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"), "term", "tf", "df"
+    )
+
+
+@register(
     "corpus_vocabulary_topk",
     oracle="""
         WITH tok AS (
