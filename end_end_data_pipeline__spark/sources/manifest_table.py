@@ -202,7 +202,7 @@ def read_keys(
     target: str,
     key_cols: list[str],
     keys: list[tuple],
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     version: int | None = None,
 ) -> DataFrame:
     """Bucket-pruned point lookup: the key→bucket mapping is immutable
@@ -215,6 +215,7 @@ def read_keys(
         raise FileNotFoundError(f"no committed manifest under {target!r}")
     v = version if version is not None else versions[-1]
     manifest = _read_manifest(spark, target, v)
+    n_buckets = _resolve_n_buckets(manifest, n_buckets, target)
     schema = _manifest_schema(manifest)
     key_df = spark.createDataFrame(keys, key_cols)
     if schema is not None:
@@ -488,16 +489,17 @@ def merge_versioned(
     target: str,
     key_cols: list[str],
     version_col: str = "ts_ms",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> int:
     """Latest-wins merge with an ATOMIC commit; returns the committed
     version.  Same change-row contract and per-bucket cost model as
     ``streaming.upsert.merge_batch`` (reads back only the affected
     buckets), but existing files are never modified — a crash at any
     point leaves the previous version fully intact and visible.
-    """
+    ``n_buckets`` may be omitted on an existing table (the committed
+    layout is used); a mismatching value is refused (see
+    ``_resolve_n_buckets``)."""
     spark = batch.sparkSession
-    bucket_of = lambda cols: F.pmod(F.xxhash64(*cols), F.lit(n_buckets))  # noqa: E731
     versions = list_versions(spark, target)
     current_v = versions[-1] if versions else 0
     carried: dict[str, list[str]] = {}
@@ -505,6 +507,9 @@ def merge_versioned(
     after_fields = None  # batch's after-struct fields (evolution target)
     if versions:
         manifest = _read_manifest(spark, target, current_v)
+    n_buckets = _resolve_n_buckets(manifest, n_buckets, target)
+    bucket_of = lambda cols: F.pmod(F.xxhash64(*cols), F.lit(n_buckets))  # noqa: E731
+    if manifest is not None:
         schema = _manifest_schema(manifest)
         if schema is not None:
             # xxhash64 is type-sensitive: a batch whose key columns
@@ -596,6 +601,7 @@ def merge_versioned(
         spark, target, new_state, affected, carried,
         manifest.get("stats", {}) if manifest else {}, current_v + 1,
         operation="merge_versioned", constraints=constraints,
+        n_buckets=n_buckets,
     )
 
 
@@ -609,6 +615,7 @@ def _commit_state(
     new_v: int,
     operation: str = "merge",
     constraints: dict[str, str] | None = None,
+    n_buckets: int | None = None,
 ) -> int:
     """Shared commit tail for every state-rewriting operation: write
     the affected buckets' new state to a writer-unique dir (racing
@@ -641,6 +648,7 @@ def _commit_state(
                 "committed_at": time.time(),
                 "operation": operation,
                 "constraints": constraints or {},
+                "n_buckets": n_buckets,
             },
         )
     except RuntimeError:
@@ -648,6 +656,31 @@ def _commit_state(
         fs.delete(_jpath(jvm, data_dir), True)  # own orphan, safe to drop
         raise
     return new_v
+
+
+def _resolve_n_buckets(
+    manifest: dict | None, n_buckets: int | None, target: str
+) -> int:
+    """The table's bucket count is part of its physical layout: every
+    key's bucket is ``pmod(xxhash64(key), n_buckets)``, so merging or
+    point-reading with a DIFFERENT count silently maps keys to other
+    buckets — a merge would leave stale copies of the same key alive
+    in the old bucket (duplicate keys), and a lookup would prune to
+    the wrong files.  The count is therefore persisted in the manifest;
+    callers may omit it (None → the table's), and a mismatching
+    explicit value is refused.  New tables default to 64.  Use
+    :func:`rebucket` to change the layout."""
+    recorded = manifest.get("n_buckets") if manifest else None
+    if recorded is not None:
+        if n_buckets is not None and n_buckets != recorded:
+            raise ValueError(
+                f"n_buckets={n_buckets} does not match the committed "
+                f"layout of {target!r} (n_buckets={recorded}) — keys "
+                "would hash to different buckets, leaving stale "
+                "duplicates; use rebucket() to change the layout"
+            )
+        return int(recorded)
+    return n_buckets if n_buckets is not None else 64
 
 
 def _check_constraints(
@@ -734,7 +767,7 @@ def merge_versioned_retry(
     target: str,
     key_cols: list[str],
     version_col: str = "ts_ms",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     max_attempts: int = 4,
 ) -> int:
     """Bounded optimistic-concurrency loop around
@@ -763,7 +796,7 @@ def merge_into(
     when_matched_update: dict[str, str] | str | None = "source",
     when_matched_delete: str | None = None,
     when_not_matched_insert: bool = True,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> int:
     """SQL-style ``MERGE INTO`` against the manifest-committed table —
     the general matched/not-matched clause surface next to
@@ -791,13 +824,14 @@ def merge_into(
     the affected buckets rewrite through the same atomic commit tail.
     """
     spark = source.sparkSession
-    bucket_of = lambda cols: F.pmod(F.xxhash64(*cols), F.lit(n_buckets))  # noqa: E731
     for k in key_cols:
         if isinstance(when_matched_update, dict) and k in when_matched_update:
             raise ValueError(f"key column {k!r} cannot be updated by MERGE")
     versions = list_versions(spark, target)
     current_v = versions[-1] if versions else 0
     manifest = _read_manifest(spark, target, current_v) if versions else None
+    n_buckets = _resolve_n_buckets(manifest, n_buckets, target)
+    bucket_of = lambda cols: F.pmod(F.xxhash64(*cols), F.lit(n_buckets))  # noqa: E731
     schema = _manifest_schema(manifest) if manifest else None
     if schema is not None:
         table_types = {f.name: f.dataType for f in schema.fields}
@@ -900,6 +934,7 @@ def merge_into(
         spark, target, new_state, affected, carried,
         manifest.get("stats", {}) if manifest else {}, current_v + 1,
         operation="merge_into", constraints=constraints,
+        n_buckets=n_buckets,
     )
 
 
@@ -980,6 +1015,58 @@ def compact(
                 "committed_at": time.time(),
                 "operation": "compact",
                 "constraints": manifest.get("constraints", {}),
+                "n_buckets": manifest.get("n_buckets"),
+            },
+        )
+    except RuntimeError:
+        fs, jvm = _fs(spark, target)
+        fs.delete(_jpath(jvm, data_dir), True)
+        raise
+    return new_v
+
+
+def rebucket(
+    spark: SparkSession,
+    target: str,
+    key_cols: list[str],
+    new_n_buckets: int,
+) -> int:
+    """Change the table's bucket layout: one full content-identical
+    rewrite hashed to ``new_n_buckets``, committed as a new version
+    (old snapshots keep reading their own layout — bucket membership
+    is per-manifest, not per-directory).  The ONLY sanctioned way to
+    change the bucket count; merges and lookups refuse a mismatching
+    explicit count (``_resolve_n_buckets``)."""
+    versions = list_versions(spark, target)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest under {target!r}")
+    current_v = versions[-1]
+    manifest = _read_manifest(spark, target, current_v)
+    state = read_snapshot(spark, target, current_v).withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(*key_cols), F.lit(new_n_buckets))
+    )
+    new_v = current_v + 1
+    data_dir = f"{target}/data/v{new_v}-{uuid.uuid4().hex[:8]}"
+    (
+        state.repartition(new_n_buckets, F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(data_dir)
+    )
+    new_files = _bucket_files(spark, data_dir)
+    stats = _collect_stats(spark, data_dir) if new_files else {}
+    try:
+        _commit_manifest(
+            spark, target,
+            {
+                "version": new_v,
+                "schema": manifest.get("schema"),
+                "buckets": new_files,
+                "stats": stats,
+                "committed_at": time.time(),
+                "operation": f"rebucket:{new_n_buckets}",
+                "constraints": manifest.get("constraints", {}),
+                "n_buckets": new_n_buckets,
             },
         )
     except RuntimeError:

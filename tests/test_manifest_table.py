@@ -915,3 +915,53 @@ def test_check_constraints_enforced_on_merges(spark, tmp_path):
     # registering a constraint the existing state violates is refused
     with pytest.raises(ValueError, match="existing state"):
         mt.set_check_constraint(spark, target, "tiny", "amount < 5")
+
+
+# ----------------------------------------------------- bucket layout
+
+
+def test_bucket_layout_pinned_and_rebucket(spark, tmp_path):
+    """The bucket count is part of the committed layout: merges and
+    lookups with a mismatching explicit count are refused (a silent
+    mismatch would leave stale duplicate keys alive in other buckets),
+    omitting it uses the table's, and rebucket() is the sanctioned
+    layout change — content-identical, old snapshots intact."""
+    target = str(tmp_path / "t")
+    rows = [(i, float(i), "c", 1) for i in range(1, 33)]
+    mt.merge_versioned(_batch(spark, rows), target, ["id"], n_buckets=8)
+
+    # mismatching explicit count refused on every entry point
+    with pytest.raises(ValueError, match="rebucket"):
+        mt.merge_versioned(
+            _batch(spark, [(1, 9.0, "u", 2)]), target, ["id"], n_buckets=4
+        )
+    with pytest.raises(ValueError, match="rebucket"):
+        mt.read_keys(spark, target, ["id"], [(7,)], n_buckets=4)
+    src = spark.createDataFrame([(1, 9.0)], "id long, amount double")
+    with pytest.raises(ValueError, match="rebucket"):
+        mt.merge_into(src, target, ["id"], n_buckets=4)
+
+    # omitted count = the table's committed layout
+    mt.merge_versioned(_batch(spark, [(1, 99.0, "u", 2)]), target, ["id"])
+    got = {(r["id"], r["amount"])
+           for r in mt.read_keys(spark, target, ["id"], [(1,)]).collect()}
+    assert got == {(1, 99.0)}
+
+    # rebucket: content-identical under the new layout
+    v = mt.rebucket(spark, target, ["id"], 4)
+    assert v == 3
+    manifest = mt._read_manifest(spark, target, 3)
+    assert manifest["n_buckets"] == 4
+    assert len(manifest["buckets"]) <= 4
+    state = {r["id"]: r["amount"] for r in mt.read_snapshot(spark, target).collect()}
+    assert state == {**{i: float(i) for i in range(2, 33)}, 1: 99.0}
+    # lookups and merges now run against the new layout by default
+    got = {(r["id"], r["amount"])
+           for r in mt.read_keys(spark, target, ["id"], [(7,)]).collect()}
+    assert got == {(7, 7.0)}
+    mt.merge_versioned(_batch(spark, [(40, 40.0, "c", 4)]), target, ["id"])
+    assert mt.read_keys(spark, target, ["id"], [(40,)]).count() == 1
+    # the old-layout snapshot still reads (bucket membership is
+    # per-manifest, not directory-global)
+    old = {r["id"]: r["amount"] for r in mt.read_snapshot(spark, target, 2).collect()}
+    assert old == state

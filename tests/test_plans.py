@@ -34,7 +34,12 @@ SKIP = {
 }
 
 # deliberate broadcast nested-loop joins (tiny broadcast side)
-BNLJ_OK = {"embedding_cosine_topk", "embedding_ann_ivf_topk"}
+BNLJ_OK = {
+    "embedding_cosine_topk",
+    "embedding_ann_ivf_topk",
+    # same nearest-centroid assignment as IVF: a 16-row broadcast side
+    "corpus_semantic_dedup",
+}
 
 EXPENSIVE_IN_SCAN = re.compile(
     r"DataFilters: \[[^\]]*(transform\(|aggregate\(|from_json|array_distinct)"
