@@ -98,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_pagerank_transfers",
     "versioned_zorder_skipping",
     "text_tfidf_top_terms",
+    "versioned_change_feed",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

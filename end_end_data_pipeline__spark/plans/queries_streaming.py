@@ -321,6 +321,68 @@ def versioned_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_change_feed",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_orderkey <= 100
+        )
+        SELECT o_orderkey, o_totalprice, 'delete' AS _change_type
+        FROM base WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'update_preimage'
+        FROM base WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 100.0, 'update_postimage'
+        FROM base WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+    """,
+    survey_ids=("ST8", "S5", "P1"),
+)
+def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two table versions
+    (``manifest_table.table_changes`` — the Delta CDF surface, derived
+    from manifest diffs): after the same two-batch history as the
+    time-travel query, the v1→v2 feed must contain exactly the %7
+    deletes and the %3 update pre/post image pairs — and nothing for
+    untouched rows, even ones living in rewritten buckets.  Only
+    buckets whose file lists differ are read.  This is what downstream
+    incremental mart refreshes consume instead of re-scanning."""
+    from end_end_data_pipeline__spark.sources import manifest_table as mt
+
+    target = tempfile.mkdtemp(prefix="mct_cdf_") + "/t"
+    orders = lake.load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") <= 100
+    )
+
+    def to_batch(df, op, ts):
+        after = (
+            F.struct(
+                F.col("o_orderkey"),
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            )
+            if op != "d"
+            else F.lit(None).cast("struct<o_orderkey:bigint,o_totalprice:double>")
+        )
+        return df.select(
+            F.col("o_orderkey"),
+            F.lit(op).alias("op"),
+            F.lit(ts).cast("long").alias("ts_ms"),
+            after.alias("after"),
+        )
+
+    mt.merge_versioned(to_batch(orders, "c", 1), target, ["o_orderkey"], n_buckets=8)
+    updates = to_batch(
+        orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 100.0
+        ),
+        "u", 2,
+    )
+    deletes = to_batch(orders.filter(F.col("o_orderkey") % 7 == 0), "d", 2)
+    mt.merge_versioned(updates.unionByName(deletes), target, ["o_orderkey"])
+    return mt.table_changes(spark, target, ["o_orderkey"], 1, 2)
+
+
+@register(
     "versioned_stats_skipping",
     oracle="""
         SELECT event_id, ts, event_type, CAST(value AS DOUBLE) AS value

@@ -1025,6 +1025,90 @@ def compact(
     return new_v
 
 
+def table_changes(
+    spark: SparkSession,
+    target: str,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two committed versions — the Delta CDF
+    surface, derived rather than logged: because bucket membership is
+    immutable and per-manifest, only buckets whose FILE LISTS differ
+    between the two manifests can contain changes, so the diff reads
+    O(changed buckets) of each version, never the whole table.
+
+    Returns the ``to_version`` schema plus ``_change_type`` ∈
+    {insert, delete, update_preimage, update_postimage} (update rows
+    appear twice, pre and post, Delta-style).  Feed a downstream
+    incremental mart refresh with this instead of re-scanning the
+    table."""
+    versions = list_versions(spark, target)
+    to_v = to_version if to_version is not None else versions[-1]
+    for v in (from_version, to_v):
+        if v not in versions:
+            raise FileNotFoundError(f"version {v} not in {versions}")
+    m_from = _read_manifest(spark, target, from_version)
+    m_to = _read_manifest(spark, target, to_v)
+    schema = _manifest_schema(m_to)
+    changed = sorted(
+        set(m_from["buckets"]) | set(m_to["buckets"]),
+    )
+    changed = [
+        b
+        for b in changed
+        if m_from["buckets"].get(b) != m_to["buckets"].get(b)
+    ]
+
+    def side(manifest) -> DataFrame | None:
+        files = [f for b in changed for f in manifest["buckets"].get(b, [])]
+        if not files:
+            return None
+        out = _read_files(spark, target, files)
+        return _pin_schema(out, schema) if schema is not None else out
+
+    old, new = side(m_from), side(m_to)
+    ct = "_change_type"
+    if schema is None and (old is None or new is None):
+        raise FileNotFoundError(
+            f"{target!r} pre-dates manifest schemas — cannot type an "
+            "empty change feed"
+        )
+    empty = (
+        spark.createDataFrame([], schema).withColumn(ct, F.lit(""))
+        if schema is not None
+        else None
+    )
+    if old is None and new is None:
+        return empty
+    if old is None:
+        return new.withColumn(ct, F.lit("insert"))
+    if new is None:
+        return old.withColumn(ct, F.lit("delete"))
+    cols = new.columns
+    o = old.select(
+        *key_cols, F.struct(*cols).alias("o"), F.lit(True).alias("__o")
+    )
+    nw = new.select(
+        *key_cols, F.struct(*cols).alias("n"), F.lit(True).alias("__n")
+    )
+    j = o.join(nw, key_cols, "full_outer")
+    inserts = j.filter(F.col("__o").isNull()).select("n.*").withColumn(
+        ct, F.lit("insert")
+    )
+    deletes = j.filter(F.col("__n").isNull()).select("o.*").withColumn(
+        ct, F.lit("delete")
+    )
+    updated = j.filter(
+        F.col("__o").isNotNull()
+        & F.col("__n").isNotNull()
+        & ~F.col("o").eqNullSafe(F.col("n"))
+    )
+    pre = updated.select("o.*").withColumn(ct, F.lit("update_preimage"))
+    post = updated.select("n.*").withColumn(ct, F.lit("update_postimage"))
+    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
+
 def rebucket(
     spark: SparkSession,
     target: str,

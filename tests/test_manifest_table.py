@@ -965,3 +965,37 @@ def test_bucket_layout_pinned_and_rebucket(spark, tmp_path):
     # per-manifest, not directory-global)
     old = {r["id"]: r["amount"] for r in mt.read_snapshot(spark, target, 2).collect()}
     assert old == state
+
+
+def test_table_changes_change_data_feed(spark, tmp_path):
+    """CDF between versions: inserts/deletes/update image pairs only —
+    unchanged rows in rewritten buckets are silent; compact produces an
+    empty feed; new keys surface as inserts."""
+    target = str(tmp_path / "t")
+    mt.merge_versioned(
+        _batch(spark, [(i, float(i), "c", 1) for i in range(1, 9)]),
+        target, ["id"], n_buckets=2,
+    )
+    mt.merge_versioned(
+        _batch(spark, [(2, 22.0, "u", 2), (3, None, "d", 2), (9, 90.0, "c", 2)]),
+        target, ["id"],
+    )
+    feed = {
+        (r["id"], r["_change_type"]): r["amount"]
+        for r in mt.table_changes(spark, target, ["id"], 1, 2).collect()
+    }
+    assert feed == {
+        (2, "update_preimage"): 2.0,
+        (2, "update_postimage"): 22.0,
+        (3, "delete"): 3.0,
+        (9, "insert"): 90.0,
+    }
+    # compact (forced full rewrite): content-identical -> empty feed
+    assert mt.compact(spark, target, cluster_by=["id"]) == 3
+    assert mt.table_changes(spark, target, ["id"], 2, 3).count() == 0
+    # full-range feed composes (v1 -> v3 sees the same net changes)
+    net = {
+        (r["id"], r["_change_type"])
+        for r in mt.table_changes(spark, target, ["id"], 1, 3).collect()
+    }
+    assert (9, "insert") in net and (3, "delete") in net
