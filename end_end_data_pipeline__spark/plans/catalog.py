@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "versioned_zorder_skipping",
     "text_tfidf_top_terms",
     "versioned_change_feed",
+    "versioned_incremental_mart",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -383,6 +383,111 @@ def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_incremental_mart",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_orderkey <= 200
+        ),
+        final AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM base WHERE o_orderkey % 7 <> 0
+        )
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS total_value
+        FROM final GROUP BY o_orderstatus
+    """,
+    survey_ids=("A2", "ST8", "S5"),
+)
+def versioned_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — the change feed and
+    MERGE INTO composed: a (status → count, total) mart is built once
+    from the base table's v1, the base then takes an update+delete
+    wave, and the mart is refreshed from ``table_changes(v1, v2)``
+    ALONE — signed per-group deltas (+post/insert, −pre/delete)
+    merged with per-column update expressions (``t.n + s.n``), a
+    delete clause for groups reaching zero, and inserts for brand-new
+    groups.  The money column is stored DECIMAL so incremental
+    addition is order-independent and the refreshed mart equals the
+    full recompute BIT-for-bit — which is exactly what the oracle
+    checks (it recomputes from the final base state).  At 100 TB the
+    refresh cost is O(changed buckets + mart), never O(base table)."""
+    from end_end_data_pipeline__spark.sources import manifest_table as mt
+
+    root = tempfile.mkdtemp(prefix="mct_inc_")
+    base_t, mart_t = f"{root}/base", f"{root}/mart"
+    orders = (
+        lake.load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+    mt.merge_into(orders, base_t, ["o_orderkey"], n_buckets=8)
+
+    # v1 mart: full build, stored decimal-exact
+    mart_v1 = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast(
+            "decimal(25,6)"
+        ).alias("total_value"),
+    )
+    mt.merge_into(mart_v1, mart_t, ["o_orderstatus"], n_buckets=4)
+
+    # base takes an update + delete wave; %21 keys (both %3 and %7)
+    # belong ONLY to the delete branch — one source row per key, the
+    # contract merge_into enforces
+    upd = orders.filter(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 7 != 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+    mt.merge_into(
+        upd.unionByName(
+            orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+                "o_orderstatus", F.lit("DEL")
+            )
+        ),
+        base_t,
+        ["o_orderkey"],
+        when_matched_delete="s.o_orderstatus = 'DEL'",
+    )
+
+    # refresh from the feed alone: signed deltas -> MERGE
+    feed = mt.table_changes(spark, base_t, ["o_orderkey"], 1, 2)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    deltas = (
+        feed.withColumn("__s", sign)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("__s").alias("n_orders"),
+            F.sum(
+                (F.col("__s") * F.col("o_totalprice")).cast("decimal(25,6)")
+            ).cast("decimal(25,6)").alias("total_value"),
+        )
+    )
+    mt.merge_into(
+        deltas, mart_t, ["o_orderstatus"],
+        when_matched_update={
+            "n_orders": "t.n_orders + s.n_orders",
+            "total_value": "t.total_value + s.total_value",
+        },
+        when_matched_delete="t.n_orders + s.n_orders = 0",
+    )
+    mart = mt.read_snapshot(spark, mart_t)
+    return mart.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+@register(
     "versioned_stats_skipping",
     oracle="""
         SELECT event_id, ts, event_type, CAST(value AS DOUBLE) AS value

@@ -847,6 +847,22 @@ def merge_into(
         out_fields = source.schema.fields
     non_keys = [f.name for f in out_fields if f.name not in key_cols]
 
+    # a target row matching MULTIPLE source rows makes the clause
+    # outcome depend on join row order — refuse, like Delta's
+    # DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW (collapse the
+    # source first, e.g. cdc.apply_latest_state)
+    if (
+        source.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    ):
+        raise ValueError(
+            f"MERGE source has duplicate keys on {key_cols} — the "
+            "matched-clause outcome would be row-order-dependent; "
+            "collapse the source to one row per key first"
+        )
     affected = sorted(
         str(r[0])
         for r in source.select(

@@ -999,3 +999,15 @@ def test_table_changes_change_data_feed(spark, tmp_path):
         for r in mt.table_changes(spark, target, ["id"], 1, 3).collect()
     }
     assert (9, "insert") in net and (3, "delete") in net
+
+
+def test_merge_into_refuses_duplicate_source_keys(spark, tmp_path):
+    """A target row matching multiple source rows is row-order-
+    dependent (Delta refuses it too) — caught live by the incremental
+    mart demo where %21 keys sat in both the update and delete
+    branches."""
+    target = str(tmp_path / "t")
+    mt.merge_into(_state_df(spark, [(1, 1.0, "x")]), target, ["id"], n_buckets=2)
+    dup = _state_df(spark, [(1, 2.0, "a"), (1, 3.0, "b")])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        mt.merge_into(dup, target, ["id"])
