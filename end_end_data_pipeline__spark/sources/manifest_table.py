@@ -351,18 +351,28 @@ def _collect_stats(
     prune — conservative, never wrong.)"""
     df = spark.read.parquet(data_dir).drop(BUCKET_COL)
     cols = [f.name for f in df.schema.fields if _stats_eligible(f.dataType)]
-    if not cols:
-        return {}
+    null_cols = [f.name for f in df.schema.fields]  # null counts: ALL cols
     aggs = [
         a
         for c in cols
         for a in (F.min(c).alias(f"mn__{c}"), F.max(c).alias(f"mx__{c}"))
     ]
+    aggs += [F.count(F.lit(1)).alias("rows__")]
+    aggs += [
+        F.count(F.when(F.col(c).isNull(), 1)).alias(f"nl__{c}")
+        for c in null_cols
+    ]
     rows = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     return {
         _rel_file(r["__f"]): {
-            c: [_enc_stat(r[f"mn__{c}"]), _enc_stat(r[f"mx__{c}"])]
-            for c in cols
+            **{
+                c: [_enc_stat(r[f"mn__{c}"]), _enc_stat(r[f"mx__{c}"])]
+                for c in cols
+            },
+            # reserved keys (not valid column names in practice): row
+            # and per-column null counts power isnull/notnull pruning
+            "__rows": r["rows__"],
+            "__nulls": {c: r[f"nl__{c}"] for c in null_cols},
         }
         for r in rows
     }
@@ -381,10 +391,22 @@ def _carry_stats(
 
 
 def _file_matches(stats: dict[str, list] | None, col: str, op: str, v) -> bool:
-    """Can a file with these [min, max] stats possibly satisfy
-    ``col op v``?  Missing stats (pre-stats file, unknown column,
-    all-null file) ⇒ True — pruning is only ever an optimization."""
-    if not stats or col not in stats:
+    """Can a file with these [min, max] / null-count stats possibly
+    satisfy ``col op v``?  Missing stats (pre-stats file, unknown
+    column, all-null file) ⇒ True — pruning is only ever an
+    optimization.  ``isnull``/``notnull`` ops (v ignored) prune via
+    the per-file null counts."""
+    if not stats:
+        return True
+    if op in ("isnull", "notnull"):
+        nulls = stats.get("__nulls", {})
+        if col not in nulls:
+            return True
+        if op == "isnull":
+            return nulls[col] > 0
+        nrows = stats.get("__rows")
+        return nrows is None or nulls[col] < nrows
+    if col not in stats:
         return True
     lo, hi = stats[col]
     if lo is None or hi is None:
@@ -467,6 +489,8 @@ def read_where(
                     "<=": col <= val,
                     ">": col > val,
                     ">=": col >= val,
+                    "isnull": col.isNull(),
+                    "notnull": col.isNotNull(),
                 }[op]
             )
         return df.filter(reduce(lambda a, b: a & b, preds)) if preds else df

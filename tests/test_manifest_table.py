@@ -561,7 +561,7 @@ def test_merge_commits_file_stats_and_read_where_matches_filter(spark, tmp_path)
     files = [f for fl in manifest["buckets"].values() for f in fl]
     assert files and set(manifest["stats"]) == set(files)
     for st in manifest["stats"].values():
-        assert set(st) == {"id", "amount"}
+        assert set(st) == {"id", "amount", "__rows", "__nulls"}
         lo, hi = st["amount"]
         assert 1.0 <= lo <= hi <= 64.0
     got = {
@@ -1011,3 +1011,32 @@ def test_merge_into_refuses_duplicate_source_keys(spark, tmp_path):
     dup = _state_df(spark, [(1, 2.0, "a"), (1, 3.0, "b")])
     with pytest.raises(ValueError, match="duplicate keys"):
         mt.merge_into(dup, target, ["id"])
+
+
+def test_null_count_stats_prune_isnull(spark, tmp_path):
+    """Per-file null counts: an IS NULL predicate skips files with
+    zero nulls for the column, IS NOT NULL skips all-null files, and
+    the pruned reads equal the plain filters."""
+    # bucket 0 only (single key-space per file via cluster_by split)
+    rows = [(i, None if i <= 16 else float(i), "c", 1) for i in range(1, 65)]
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        rows, "id long, amount double, op string, ts_ms long"
+    ).select(
+        "id", "op", "ts_ms",
+        F.when(F.col("op") != "d", F.struct("id", "amount")).alias("after"),
+    )
+    mt.merge_versioned(df, target, ["id"], n_buckets=1)
+    # cluster by id so the null block (ids 1-16) concentrates in files
+    mt.compact(spark, target, cluster_by=["id"], max_records_per_file=16)
+    manifest = mt._read_manifest(spark, target, 2)
+    total = sum(len(fl) for fl in manifest["buckets"].values())
+    kept_null = mt.prune_files(manifest, [("amount", "isnull", None)])
+    kept_notnull = mt.prune_files(manifest, [("amount", "notnull", None)])
+    assert len(kept_null) < total            # most files have no nulls
+    assert len(kept_notnull) < total         # the all-null file drops
+    got_null = {r["id"] for r in
+                mt.read_where(spark, target, [("amount", "isnull", None)]).collect()}
+    assert got_null == set(range(1, 17))
+    got_notnull = mt.read_where(spark, target, [("amount", "notnull", None)]).count()
+    assert got_notnull == 64 - 16
