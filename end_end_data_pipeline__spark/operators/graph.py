@@ -62,6 +62,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = float(nodes.count())
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))  # empty graph
     deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):

@@ -1088,6 +1088,11 @@ def table_changes(
     for v in (from_version, to_v):
         if v not in versions:
             raise FileNotFoundError(f"version {v} not in {versions}")
+    if from_version >= to_v:
+        raise ValueError(
+            f"change feed needs from_version < to_version, got "
+            f"{from_version} >= {to_v}"
+        )
     m_from = _read_manifest(spark, target, from_version)
     m_to = _read_manifest(spark, target, to_v)
     schema = _manifest_schema(m_to)
