@@ -316,3 +316,62 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df")
     )
+
+
+def source_drift_chi2(
+    docs,  # DataFrame
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab_k: int = 1000,
+    quantum: float = 1e12,
+):
+    """Distribution drift per group: the chi-square divergence
+    ``Σ_t (p_t − q_t)² / q_t`` between each group's token distribution
+    ``p`` and the corpus-wide distribution ``q``, over the top-k
+    corpus vocabulary (freq desc, token asc tie-break — bounded and
+    deterministic; tokens a group lacks contribute ``q_t``).
+    Chi-square is used INSTEAD of KL deliberately: it detects the same
+    shift but is pure rational arithmetic — no ln(), whose final-ulp
+    is engine-specific and would make the score unverifiable
+    cross-engine.  Terms are quantized (floor × quantum) and summed as
+    integers, the same order-independent accumulation as
+    ``graph.pagerank``.
+
+    Scale: one tokenize+Generate, two hash aggs, a broadcast of the
+    top-k vocab, one per-group sum.  Returns
+    (group, n_tokens, chi2)."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t")
+    ).select("grp", F.lower(F.col("t")).alias("term"))
+    term_grp = tok.groupBy("grp", "term").agg(F.count("*").alias("c"))
+    term_all = term_grp.groupBy("term").agg(F.sum("c").alias("ct"))
+    vocab = (
+        term_all.orderBy(F.col("ct").desc(), F.col("term").asc())
+        .limit(vocab_k)
+    )
+    total_all = vocab.agg(F.sum("ct")).collect()[0][0]  # scalar
+    grp_tot = (
+        term_grp.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("grp")
+        .agg(F.sum("c").alias("tg"))
+    )
+    # every (grp, vocab term) pair — absent terms contribute q_t
+    grid = grp_tot.crossJoin(F.broadcast(vocab))
+    cells = grid.join(term_grp, ["grp", "term"], "left").select(
+        "grp", "tg", "ct",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    p = F.col("c").cast("double") / F.col("tg").cast("double")
+    q = F.col("ct").cast("double") / F.lit(float(total_all))
+    term_val = (p - q) * (p - q) / q
+    return (
+        cells.withColumn("__q", F.floor(term_val * F.lit(quantum)))
+        .groupBy("grp")
+        .agg(
+            F.max("tg").alias("n_tokens"),
+            (F.sum("__q").cast("double") / F.lit(quantum)).alias("chi2"),
+        )
+        .select(F.col("grp").alias(group_col), "n_tokens", "chi2")
+    )

@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "versioned_change_feed",
     "versioned_incremental_mart",
+    "corpus_source_drift",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -1660,6 +1660,62 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_source_drift",
+    oracle="""
+        WITH tok AS (
+            SELECT source AS grp,
+                   lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term
+            FROM documents
+        ),
+        tg AS (
+            SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        ),
+        ta AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM tg GROUP BY term),
+        vocab AS (SELECT term, ct FROM ta ORDER BY ct DESC, term LIMIT 1000),
+        tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS total FROM vocab),
+        gt AS (
+            SELECT grp, CAST(SUM(c) AS BIGINT) AS tg2
+            FROM tg JOIN vocab USING (term) GROUP BY grp
+        ),
+        grid AS (
+            SELECT g.grp, g.tg2, v.term, v.ct FROM gt g CROSS JOIN vocab v
+        ),
+        cells AS (
+            SELECT grid.grp, grid.tg2, grid.ct, COALESCE(t.c, 0) AS c
+            FROM grid LEFT JOIN tg t
+              ON t.grp = grid.grp AND t.term = grid.term
+        ),
+        terms AS (
+            SELECT grp, tg2,
+                   CAST(floor(
+                       (CAST(c AS DOUBLE) / CAST(tg2 AS DOUBLE)
+                        - CAST(ct AS DOUBLE) / (SELECT total FROM tot))
+                       * (CAST(c AS DOUBLE) / CAST(tg2 AS DOUBLE)
+                          - CAST(ct AS DOUBLE) / (SELECT total FROM tot))
+                       / (CAST(ct AS DOUBLE) / (SELECT total FROM tot))
+                       * 1e12) AS BIGINT) AS qv
+            FROM cells
+        )
+        SELECT grp AS source, MAX(tg2) AS n_tokens,
+               CAST(SUM(qv) AS DOUBLE) / 1e12 AS chi2
+        FROM terms GROUP BY grp
+    """,
+    survey_ids=("UD5", "A3", "F13"),
+)
+def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift over the corpus: chi-square
+    divergence of each source's token distribution against the
+    corpus-wide top-1000-vocab distribution
+    (``operators.text.source_drift_chi2``) — the train-data drift
+    monitor that flags a source whose content shifted.  Chi-square,
+    not KL, so every step is rational IEEE arithmetic and the oracle
+    replays it bit-for-bit (ln() final-ulp is engine-specific)."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    return text.source_drift_chi2(docs, "text", "source", vocab_k=1000)
+
+
+@register(
     "corpus_vocabulary_topk",
     oracle="""
         WITH tok AS (

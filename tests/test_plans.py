@@ -39,6 +39,8 @@ BNLJ_OK = {
     "embedding_ann_ivf_topk",
     # same nearest-centroid assignment as IVF: a 16-row broadcast side
     "corpus_semantic_dedup",
+    # groups x top-1000-vocab grid: a bounded broadcast cross by design
+    "corpus_source_drift",
 }
 
 EXPENSIVE_IN_SCAN = re.compile(
