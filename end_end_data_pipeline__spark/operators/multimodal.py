@@ -7,10 +7,12 @@ The Spark-side plumbing here — schema, partition sizing, UDF iterator
 signature, batch shape — is real and tested.  The IMAGE decode path is
 REAL for three formats with pure-stdlib codecs (PPM P6, BMP 24-bit,
 PNG 8-bit RGB via ``zlib`` — all five scanline filters): see
-``decode_image``/``encode_png``/``encode_bmp``/``encode_ppm``.  Audio
-and video codecs remain honest ``NotImplementedError`` stubs (no
-ffmpeg/av in this container); the fake decoder stays available for
-plumbing tests.
+``decode_image``/``encode_png``/``encode_bmp``/``encode_ppm``.  The
+AUDIO path is real for RIFF/WAVE PCM16 (``decode_audio``) and the
+VIDEO path is real for uncompressed YUV4MPEG2 C444 (``decode_y4m``);
+COMPRESSED codecs (jpeg/mp3/h264 — ffmpeg/av, not in this container)
+remain honest ``NotImplementedError`` stubs, and the fake decoder
+stays available for plumbing tests.
 
 Scale notes: binary payloads make rows wide — ``mapInPandas``
 processes one Arrow batch at a time, so peak executor memory is
@@ -325,6 +327,69 @@ def decode_audio(raw: bytes) -> tuple[int, list[int]]:
     return sample_rate, pcm.tolist()
 
 
+def encode_y4m(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Minimal YUV4MPEG2 (Y4M) container, C444 planar: a real,
+    publicly-specified uncompressed video format (mjpegtools) the
+    stdlib can write — stream header, then ``FRAME\\n`` + 3 planes of
+    ``width × height`` bytes (Y, U, V) per frame.  The video twin of
+    the image/audio codecs above."""
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError("each C444 frame is width*height*3 bytes")
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C444\n".encode()
+    return head + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def decode_y4m(raw: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a Y4M C444 payload → (width, height, frames).  Walks the
+    stream header's space-separated parameter tags (W/H/C mandatory
+    here); only C444 is supported — anything else raises."""
+    nl = raw.find(b"\n")
+    if nl < 0 or not raw.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    width = height = None
+    colorspace = "C420jpeg"  # the Y4M default when the tag is absent
+    for tag in raw[:nl].split(b" ")[1:]:
+        if tag[:1] == b"W":
+            width = int(tag[1:])
+        elif tag[:1] == b"H":
+            height = int(tag[1:])
+        elif tag[:1] == b"C":
+            colorspace = tag[1:].decode()
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "444":
+        raise ValueError(f"only C444 supported, got C{colorspace}")
+    frame_len = width * height * 3
+    frames, pos = [], nl + 1
+    while pos < len(raw):
+        fnl = raw.find(b"\n", pos)
+        if fnl < 0 or raw[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        body = raw[fnl + 1 : fnl + 1 + frame_len]
+        if len(body) != frame_len:
+            raise ValueError("truncated frame")
+        frames.append(body)
+        pos = fnl + 1 + frame_len
+    return width, height, frames
+
+
+def render_test_frame(
+    doc_id: int, frame_idx: int, width: int = 8, height: int = 6
+) -> bytes:
+    """Deterministic C444 planar frame keyed by (doc_id, frame_idx) —
+    closed forms per plane a SQL oracle can recompute per pixel."""
+    n = width * height
+    buf = bytearray(n * 3)
+    for y in range(height):
+        for x in range(width):
+            i = y * width + x
+            buf[i] = (doc_id * 7 + frame_idx * 17 + x * 3 + y * 5) % 256
+            buf[n + i] = (doc_id * 11 + frame_idx * 19 + x + 2 * y) % 256
+            buf[2 * n + i] = (doc_id * 13 + frame_idx * 23 + 2 * x + y) % 256
+    return bytes(buf)
+
+
 def render_test_audio(doc_id: int, n_samples: int = 480) -> list[int]:
     """Deterministic PCM16 test signal keyed by ``doc_id`` — same
     closed form a SQL oracle can recompute per sample."""
@@ -372,15 +437,18 @@ def extract_features(
     payload is decoded (PNG/BMP/PPM, ``decode_image``) and the feature
     is the histogram of the decoded RGB pixels.  ``decoder='audio'`` →
     REAL: the payload is parsed as RIFF/WAVE PCM16 (``decode_audio``)
-    and the feature is the histogram of the decoded sample bytes.  In
-    both real paths container framing no longer leaks into the
-    embedding, so the same content in different containers maps to the
-    SAME feature.  Video remains a stub.
+    and the feature is the histogram of the decoded sample bytes.
+    ``decoder='video'`` → REAL: the payload is parsed as YUV4MPEG2
+    C444 (``decode_y4m``) and the feature is the histogram of the
+    decoded planar pixels.  In every real path container framing no
+    longer leaks into the embedding, so the same content in different
+    containers maps to the SAME feature.  Compressed codecs remain
+    stubs.
     """
-    if decoder not in ("fake", "image", "audio"):
+    if decoder not in ("fake", "image", "audio", "video"):
         raise NotImplementedError(
             f"decoder={decoder!r} decode path is not implemented (stub); "
-            "use decoder='image'/'audio' (real) or 'fake'"
+            "use decoder='image'/'audio'/'video' (real) or 'fake'"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -394,6 +462,8 @@ def extract_features(
                     src = decode_image(raw)[3]
                 elif decoder == "audio":
                     src = array.array("h", decode_audio(raw)[1]).tobytes()
+                elif decoder == "video":
+                    src = b"".join(decode_y4m(raw)[2])
                 else:
                     src = raw
                 feats.append(_fake_feature(src, dims))
@@ -503,27 +573,37 @@ def sample_frames(
     decoder: str = "fake",
 ) -> DataFrame:
     """Video frame sampling: one input row fans out to ``n_frames``
-    rows (the UDTF shape, UD4).  ``decoder='fake'`` slices the payload
-    into ``n_frames`` contiguous chunks — deterministic byte ranges
-    standing in for uniformly-spaced decoded frames; real codecs (
-    ffmpeg/av) are stubbed.
+    rows (the UDTF shape, UD4).  ``decoder='video'`` is REAL: the
+    payload is parsed as YUV4MPEG2 C444 (``decode_y4m``) and
+    ``n_frames`` uniformly-spaced DECODED frames are emitted, with
+    ``frame_idx`` = the source frame index ``i × total // n_frames``.
+    ``decoder='fake'`` slices the payload into contiguous byte chunks
+    (plumbing tests); compressed codecs (ffmpeg/av) remain stubbed.
 
     Scale note: the fan-out happens inside ``mapInPandas``, so the
     per-batch memory bound is ``maxRecordsPerBatch × payload``, and no
     shuffle is introduced — downstream per-frame operators see an
     ordinary DataFrame."""
-    _require_codec(decoder, "av")
+    _require_codec(decoder, "av", real=("video",))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, frames = [], [], []
             for doc, p in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(p) if p is not None else b""
-                chunk = max(len(raw) // n_frames, 1)
-                for i in range(n_frames):
-                    ids.append(doc)
-                    idxs.append(i)
-                    frames.append(raw[i * chunk : (i + 1) * chunk])
+                if decoder == "video":
+                    _, _, decoded = decode_y4m(raw)
+                    for i in range(n_frames):
+                        src = i * len(decoded) // n_frames
+                        ids.append(doc)
+                        idxs.append(src)
+                        frames.append(decoded[src])
+                else:
+                    chunk = max(len(raw) // n_frames, 1)
+                    for i in range(n_frames):
+                        ids.append(doc)
+                        idxs.append(i)
+                        frames.append(raw[i * chunk : (i + 1) * chunk])
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

@@ -101,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "versioned_change_feed",
     "versioned_incremental_mart",
     "corpus_source_drift",
+    "multimodal_video_decode_stats",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

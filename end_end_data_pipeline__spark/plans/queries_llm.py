@@ -1324,6 +1324,87 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# REAL video decode (round 5): every doc_id becomes a 6-frame 8x6
+# YUV4MPEG2 C444 stream (deterministic per-plane closed forms), the
+# real sample_frames path decodes it and emits 3 uniformly-spaced
+# frames (source indices 0/2/4), reduced to exact per-plane sums the
+# oracle recomputes generatively — any header/frame-walk/plane-order
+# bug breaks the hash.
+_VIDEO_SQL = """
+    WITH px AS (
+        SELECT doc_id, f.fi AS fi, x.x AS x, y.y AS y
+        FROM (SELECT doc_id FROM documents) d,
+             (SELECT unnest([0, 2, 4]) AS fi) f,
+             (SELECT unnest(range(0, 8)) AS x) x,
+             (SELECT unnest(range(0, 6)) AS y) y
+    )
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(SUM((doc_id * 7 + fi * 17 + x * 3 + y * 5) % 256) AS BIGINT)
+               AS sum_y,
+           CAST(SUM((doc_id * 11 + fi * 19 + x + 2 * y) % 256) AS BIGINT)
+               AS sum_u,
+           CAST(SUM((doc_id * 13 + fi * 23 + 2 * x + y) % 256) AS BIGINT)
+               AS sum_v
+    FROM px GROUP BY doc_id, fi
+"""
+
+
+@register(
+    "multimodal_video_decode_stats",
+    oracle=_VIDEO_SQL,
+    survey_ids=("UD8", "UD4", "F13"),
+)
+def multimodal_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end (UD8's last stubbed modality made
+    real): render 6 deterministic C444 frames per doc, encode into a
+    real YUV4MPEG2 container, then run the PRODUCTION
+    ``sample_frames(decoder='video')`` operator — which parses the
+    stream and emits 3 uniformly-spaced decoded frames — and reduce
+    each sampled frame to exact per-plane pixel sums.  Compressed
+    codecs (h264 etc.) stay honestly stubbed; Y4M is the
+    uncompressed wire format ffmpeg itself pipes."""
+    import pandas as pd
+
+    docs = lake.load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = [
+                multimodal.encode_y4m(
+                    8, 6,
+                    [multimodal.render_test_frame(int(doc), i) for i in range(6)],
+                )
+                for doc in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, media binary")
+    frames = multimodal.sample_frames(
+        media, "media", "doc_id", n_frames=3, decoder="video"
+    )
+
+    def stats(it):
+        n = 8 * 6
+        for pdf in it:
+            rows = []
+            for doc, fi, fr in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                b = bytes(fr)
+                rows.append(
+                    (doc, fi, sum(b[:n]), sum(b[n : 2 * n]), sum(b[2 * n :]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "sum_y", "sum_u", "sum_v"],
+            )
+
+    return frames.mapInPandas(
+        stats,
+        "doc_id long, frame_idx int, sum_y long, sum_u long, sum_v long",
+    )
+
+
 # REAL image decode (round 5): every doc_id is rendered as a
 # deterministic 16x12 RGB test pattern, encoded into a REAL container
 # (PNG with all five scanline filters / BMP bottom-up BGR / PPM, by

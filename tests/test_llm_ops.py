@@ -173,10 +173,12 @@ def test_multimodal_batch_shapes(spark, docs):
     assert m["n_bytes"] == m["n"]
 
 
-def test_multimodal_video_decoder_is_stubbed(spark, docs):
+def test_multimodal_compressed_video_decoder_is_stubbed(spark, docs):
     media = multimodal.attach_media(docs, F.encode(F.col("text"), "utf-8"), "video", "raw")
     with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, "media", "doc_id", decoder="video")
+        multimodal.extract_features(media, "media", "doc_id", decoder="mp4")
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(media, "media", "doc_id", decoder="h264")
 
 
 def test_wav_codec_roundtrip_and_features():
@@ -366,8 +368,9 @@ def test_multimodal_frame_sample_fanout(spark, docs):
     for r in rows:
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+    # decoder='video' is REAL now (Y4M); compressed codecs stay stubbed
     with pytest.raises(NotImplementedError):
-        multimodal.sample_frames(media, decoder="video")
+        multimodal.sample_frames(media, decoder="h264")
 
 
 def test_approx_count_distinct_error_bound(spark):
@@ -430,3 +433,29 @@ def test_semantic_dedup_drops_planted_near_dups(spark, emb):
         corpus, vec_col="e", id_col="vec_id", n_centroids=16, tau=1.0 - 1e-12
     )
     assert all_kept.count() == n_orig + n_salt
+
+
+def test_y4m_codec_roundtrip_and_real_frame_sampling(spark):
+    """Y4M encode→decode is lossless; the REAL video path in
+    sample_frames emits uniformly-spaced DECODED frames with source
+    indices; malformed payloads raise instead of returning garbage."""
+    frames = [multimodal.render_test_frame(5, i) for i in range(6)]
+    raw = multimodal.encode_y4m(8, 6, frames)
+    w, h, back = multimodal.decode_y4m(raw)
+    assert (w, h) == (8, 6) and back == frames
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        multimodal.decode_y4m(b"RIFF garbage")
+    with pytest.raises(ValueError, match="C444"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W8 H6 C420jpeg\n")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_y4m(raw[:-10])
+
+    df = spark.createDataFrame([(5, bytearray(raw))], "doc_id long, media binary")
+    out = multimodal.sample_frames(df, "media", "doc_id", n_frames=3,
+                                   decoder="video").collect()
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    assert all(bytes(r["frame"]) == frames[r["frame_idx"]] for r in out)
+    # real video features: same content, container framing stripped
+    feats = multimodal.extract_features(df, "media", "doc_id",
+                                        decoder="video").collect()
+    assert len(feats) == 1 and abs(sum(feats[0]["feature"]) - 1.0) < 1e-6
