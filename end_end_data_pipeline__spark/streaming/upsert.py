@@ -316,6 +316,20 @@ def upsert_pipeline_for_table(
 # ---------------------------------------------------------------------------
 
 
+import re as _re
+
+_SQL_IDENT = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_ident(name: str) -> str:
+    """Table/column names are interpolated into driver-side SQL — only
+    plain identifiers are accepted (defense against a corrupt config
+    smuggling SQL through a 'table name')."""
+    if not _SQL_IDENT.match(name):
+        raise ValueError(f"not a plain SQL identifier: {name!r}")
+    return name
+
+
 def _jdbc_conn(spark: SparkSession, url: str, driver: str):
     spark._jvm.java.lang.Class.forName(driver)
     return spark._jvm.java.sql.DriverManager.getConnection(url)
@@ -383,6 +397,9 @@ def jdbc_upsert_batch(
     from pyspark.sql import Window
 
     spark = batch.sparkSession
+    _check_ident(table)
+    for k in key_cols:
+        _check_ident(k)
     ledger = f"{table}_commits"
     conn = _jdbc_conn(spark, url, driver)
     try:
