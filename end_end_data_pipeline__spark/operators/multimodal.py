@@ -593,6 +593,8 @@ def sample_frames(
                 raw = bytes(p) if p is not None else b""
                 if decoder == "video":
                     _, _, decoded = decode_y4m(raw)
+                    if not decoded:  # valid header-only stream
+                        continue
                     for i in range(n_frames):
                         src = i * len(decoded) // n_frames
                         ids.append(doc)

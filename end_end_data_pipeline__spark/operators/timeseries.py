@@ -37,10 +37,14 @@ def gap_fill(
     date in each group's [min, max] span.
 
     Synthesized rows get ``gap_col`` = true; columns in ``zero_fill``
-    take their literal on gap rows; columns in ``locf_cols`` carry the
-    last observed value forward (rows-preceding window, deterministic).
-    Leading rows are never gaps (each group's span starts at an
-    observed date), so LOCF columns are never null in the output.
+    take their literal ON GAP ROWS ONLY (an observed row's genuine
+    NULL measurement is preserved — a known day with an unknown value
+    must stay distinguishable from a measured zero); columns in
+    ``locf_cols`` carry the last non-null OBSERVED value onto gap rows
+    (rows-preceding window, deterministic) while observed rows keep
+    their own value untouched.  Leading rows are never gaps (each
+    group's span starts at an observed date), so LOCF columns are
+    null on gaps only if the group never observed a non-null value.
     """
     zero_fill = zero_fill or {}
     locf_cols = locf_cols or []
@@ -58,14 +62,20 @@ def gap_fill(
         .orderBy(date_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    is_gap = F.col(_OBS).isNull()
     cols: list[Column] = []
     for name in dense.columns:
         if name == _OBS:
             continue
         c = F.col(name)
         if name in locf_cols:
-            c = F.last(c, ignorenulls=True).over(w).alias(name)
+            # mask gap rows out of the carry source so the window sees
+            # only observed values; observed rows keep their own value
+            carried = F.last(
+                F.when(~is_gap, c), ignorenulls=True
+            ).over(w)
+            c = F.when(is_gap, carried).otherwise(c).alias(name)
         elif name in zero_fill:
-            c = F.coalesce(c, F.lit(zero_fill[name])).alias(name)
+            c = F.when(is_gap, F.lit(zero_fill[name])).otherwise(c).alias(name)
         cols.append(c)
-    return dense.select(*cols, F.col(_OBS).isNull().alias(gap_col))
+    return dense.select(*cols, is_gap.alias(gap_col))

@@ -411,6 +411,8 @@ def _file_matches(stats: dict[str, list] | None, col: str, op: str, v) -> bool:
     lo, hi = stats[col]
     if lo is None or hi is None:
         return True
+    if any(isinstance(b, float) and b != b for b in (lo, hi)):
+        return True  # NaN bound (Spark max treats NaN as +inf) — keep
     ev = _enc_stat(v)
     if op == "=":
         return lo <= ev <= hi
@@ -747,7 +749,7 @@ def set_check_constraint(
     _commit_manifest(
         spark, target,
         {
-            **{k: manifest.get(k) for k in ("schema", "stats")},
+            **{k: manifest.get(k) for k in ("schema", "stats", "n_buckets")},
             "version": current_v + 1,
             "buckets": manifest["buckets"],
             "committed_at": time.time(),
@@ -1022,8 +1024,22 @@ def compact(
         for b, fl in sorted(over.items())
     ]
     df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
+    for p2 in parts[1:]:
+        # buckets may carry different column sets after add-column
+        # schema evolution; pre-evolution buckets read back nulls and
+        # the rewrite pins every compacted file to the table schema
+        df = df.unionByName(p2, allowMissingColumns=True)
+    schema = _manifest_schema(manifest)
+    if schema is not None:
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ],
+            F.col(BUCKET_COL),
+        )
     new_v = current_v + 1
     data_dir = f"{target}/data/v{new_v}-{uuid.uuid4().hex[:8]}"
     df = df.repartition(len(over), F.col(BUCKET_COL))
@@ -1084,6 +1100,8 @@ def table_changes(
     incremental mart refresh with this instead of re-scanning the
     table."""
     versions = list_versions(spark, target)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest under {target!r}")
     to_v = to_version if to_version is not None else versions[-1]
     for v in (from_version, to_v):
         if v not in versions:

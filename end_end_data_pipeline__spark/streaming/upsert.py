@@ -443,13 +443,19 @@ def jdbc_upsert_batch(
         .save()
     )
 
-    cols = ups.columns
+    cols = [_check_ident(c) for c in ups.columns]
     non_keys = [c for c in cols if c not in key_cols]
     on = " AND ".join(f't."{k}" = s."{k}"' for k in key_cols)
     set_sql = ", ".join(f'"{c}" = s."{c}"' for c in non_keys)
     ins_cols = ", ".join(f'"{c}"' for c in cols)
     ins_vals = ", ".join(f's."{c}"' for c in cols)
     del_on = " AND ".join(f'{table}."{k}" = d."{k}"' for k in key_cols)
+    # a keys-only table has nothing to UPDATE — matched rows are
+    # already correct, so the clause is omitted (empty SET is a
+    # syntax error)
+    matched_sql = (
+        f"WHEN MATCHED THEN UPDATE SET {set_sql} " if non_keys else ""
+    )
 
     conn = _jdbc_conn(spark, url, driver)
     try:
@@ -457,7 +463,7 @@ def jdbc_upsert_batch(
         _exec_sql(
             conn,
             f"MERGE INTO {table} t USING {stage_u} s ON {on} "
-            f"WHEN MATCHED THEN UPDATE SET {set_sql} "
+            f"{matched_sql}"
             f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})",
         )
         _exec_sql(

@@ -1040,3 +1040,77 @@ def test_null_count_stats_prune_isnull(spark, tmp_path):
     assert got_null == set(range(1, 17))
     got_notnull = mt.read_where(spark, target, [("amount", "notnull", None)]).count()
     assert got_notnull == 64 - 16
+
+
+def test_constraint_commit_preserves_bucket_layout(spark, tmp_path):
+    """set_check_constraint's metadata commit must carry n_buckets —
+    losing it would silently unpin the layout and let a default-count
+    merge duplicate keys across buckets."""
+    target = str(tmp_path / "t")
+    mt.merge_versioned(
+        _batch(spark, [(i, float(i), "c", 1) for i in range(1, 17)]),
+        target, ["id"], n_buckets=8,
+    )
+    mt.set_check_constraint(spark, target, "amt", "amount >= 0")
+    assert mt._read_manifest(spark, target, 2)["n_buckets"] == 8
+    with pytest.raises(ValueError, match="rebucket"):
+        mt.merge_versioned(
+            _batch(spark, [(1, 2.0, "u", 2)]), target, ["id"], n_buckets=4
+        )
+    # omitted count still resolves to the pinned layout
+    mt.merge_versioned(_batch(spark, [(1, 2.0, "u", 2)]), target, ["id"])
+    got = {(r["id"], r["amount"])
+           for r in mt.read_keys(spark, target, ["id"], [(1,)]).collect()}
+    assert got == {(1, 2.0)}
+
+
+def test_compact_after_schema_evolution(spark, tmp_path):
+    """Compaction must union buckets whose files straddle an
+    add-column evolution (pre-evolution buckets read back nulls)."""
+    target = str(tmp_path / "t")
+    mt.merge_versioned(
+        _batch(spark, [(i, float(i), "c", 1) for i in range(1, 17)]),
+        target, ["id"], n_buckets=4,
+    )
+
+    def batch_v2(rows):
+        df = spark.createDataFrame(
+            rows, "id long, amount double, status string, op string, ts_ms long"
+        )
+        return df.select(
+            "id", "op", "ts_ms",
+            F.when(F.col("op") != "d",
+                   F.struct("id", "amount", "status")).alias("after"),
+        )
+
+    mt.merge_versioned(batch_v2([(1, 11.0, "A", "u", 2)]), target, ["id"])
+    v = mt.compact(spark, target, cluster_by=["id"])  # forces ALL buckets
+    assert v == 3
+    state = {r["id"]: (r["amount"], r["status"])
+             for r in mt.read_snapshot(spark, target).collect()}
+    assert state[1] == (11.0, "A")
+    assert state[2] == (2.0, None)
+    assert len(state) == 16
+
+
+def test_nan_stats_never_prune(spark, tmp_path):
+    """A file whose max stat is NaN (Spark max ranks NaN above all)
+    must stay conservative: read_where equals the plain
+    snapshot+filter exactly — including Spark's NaN-ranks-highest
+    comparison semantics (NaN >= 50.0 is TRUE), with no file pruned
+    into silence."""
+    nan = float("nan")
+    rows = [(1, 5.0, "c", 1), (2, nan, "c", 1), (3, 100.0, "c", 1)]
+    target = str(tmp_path / "t")
+    mt.merge_versioned(_batch(spark, rows), target, ["id"], n_buckets=1)
+    got = {r["id"] for r in
+           mt.read_where(spark, target, [("amount", ">=", 50.0)]).collect()}
+    plain = {r["id"] for r in
+             mt.read_snapshot(spark, target)
+             .filter(F.col("amount") >= 50.0).collect()}
+    assert got == plain == {2, 3}  # NaN row kept by BOTH paths
+
+
+def test_table_changes_missing_table_raises_cleanly(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no committed manifest"):
+        mt.table_changes(spark, str(tmp_path / "nope"), ["id"], 1)

@@ -60,3 +60,30 @@ def test_pagerank_invariants(spark):
     assert out[3] > out[1] and out[3] > out[2]
     assert out[1] == out[2]  # symmetric sources tie exactly
     assert out[4] == out[5]  # 2-cycle ties exactly
+
+
+def test_gap_fill_preserves_observed_nulls(spark):
+    """An observed row's genuine NULL measurement survives: zero_fill
+    touches gap rows only, and LOCF never rewrites an observed value."""
+    import datetime as dt
+
+    d = dt.date
+    daily = spark.createDataFrame(
+        [("a", d(2024, 1, 1), 2, 10.0),
+         ("a", d(2024, 1, 2), None, None),   # observed, value unknown
+         ("a", d(2024, 1, 4), 1, 40.0)],
+        "g string, d date, n long, total double",
+    ).withColumn("carried", F.col("total"))
+    out = {
+        str(r["d"]): (r["n"], r["total"], r["carried"], r["is_gap"])
+        for r in timeseries.gap_fill(
+            daily, ["g"], "d",
+            zero_fill={"n": 0, "total": 0.0}, locf_cols=["carried"],
+        ).collect()
+    }
+    assert out["2024-01-01"] == (2, 10.0, 10.0, False)
+    # observed NULL stays NULL — not coalesced, not LOCF-overwritten
+    assert out["2024-01-02"] == (None, None, None, False)
+    # the gap carries the last NON-NULL observed value (Jan 1's)
+    assert out["2024-01-03"] == (0, 0.0, 10.0, True)
+    assert out["2024-01-04"] == (1, 40.0, 40.0, False)
