@@ -102,6 +102,12 @@ _PRIORITY: tuple[str, ...] = (
     "versioned_incremental_mart",
     "corpus_source_drift",
     "multimodal_video_decode_stats",
+    # --- new this session (never driver-checked) ---
+    "cohort_weekly_retention",
+    "funnel_view_click_purchase",
+    "rfm_customer_segments",
+    "profile_orders_columns",
+    "timeseries_zscore_anomalies",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",
@@ -218,6 +224,7 @@ def load_all() -> dict[str, Query]:
         queries_llm,
         queries_pipeline,
         queries_tpch,
+        queries_analytics,
     )
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}

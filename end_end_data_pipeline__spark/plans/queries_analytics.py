@@ -1,0 +1,425 @@
+"""Behavioral / operational analytics catalog: cohort retention,
+funnel conversion, RFM segmentation, column profiling, and trailing
+z-score anomaly flags.
+
+These are the marts the reference's declared-but-absent dbt layer
+implies (reference ``README.md:62`` lists ``banking_dbt/`` which was
+never built — SURVEY.md §0): per-entity activity retention, funnel
+progression over the event stream, and customer value segmentation
+over the order history served by the ``(account_id, created_at)``
+index (reference ``SCHEMA.sql:31``).
+
+Cross-engine determinism (see tests/oracle.py):
+- week bucketing uses ``date_trunc('week', ...)`` — ISO Monday start
+  in BOTH Spark and DuckDB; week offsets are exact multiples of 7
+  days so integer division is exact;
+- every running / trailing aggregate accumulates in DECIMAL (order
+  independent), is cast to DOUBLE once, and any follow-on arithmetic
+  is the same double expression tree on both sides — bit-identical;
+- ntile ordering is made total with the entity key as the final
+  tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from end_end_data_pipeline__spark.functions.scalar import dec_sum
+from end_end_data_pipeline__spark.plans.catalog import register
+from end_end_data_pipeline__spark.sources import lake
+
+# RFM anchor: the day after the last order date in the fixture's
+# TPC-H-ish order history (1995-01-01 .. 2001-08-01).  A constant
+# anchor keeps recency deterministic AND avoids a global max() agg
+# (a scalar subquery / 1-row broadcast at scale, pointless here).
+_RFM_ANCHOR = "2001-09-01"
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_wk
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id,
+                   f.cohort_wk,
+                   date_trunc('week', e.ts) AS active_wk
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', cohort_wk, active_wk) / 7 AS INT)
+                   AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM activity
+        GROUP BY 1, 2
+    """,
+    survey_ids=("A3", "A6", "J1"),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream: users bucketed
+    by the ISO week of their first event; one row per (cohort week,
+    week offset) counting users still active.
+
+    Plan: min-agg per user (map-side combinable), self-join back on
+    user_id (AQE broadcasts the per-user frame when small), distinct
+    on (user, cohort, week), final hash agg.  Every shuffle is on
+    user_id or the tiny (cohort, offset) key — survives 100 TB of
+    events because per-user state is two timestamps.
+    """
+    events = lake.load_table(spark, "events", sf_dir)
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            F.date_trunc("week", F.col("ts")).alias("active_wk"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff("active_wk", "cohort_wk") / 7).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT * FROM (
+            SELECT 1 AS stage_ord, 'any_event' AS stage,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+            UNION ALL
+            SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM v
+            UNION ALL
+            SELECT 3, 'click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 4, 'purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p
+        )
+    """,
+    survey_ids=("A1", "A5", "J2", "U1"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first view, then first click strictly after it,
+    then first purchase strictly after that click; one row per stage
+    with the surviving user count.
+
+    Plan: three filtered min-aggs chained by equi-joins on user_id —
+    each stage's frame only shrinks, so the joins get cheaper as the
+    funnel deepens; AQE broadcasts the shrinking side.  No window over
+    a global ordering, no crossJoin (the stage counts union, they are
+    never joined to each other).
+    """
+    events = lake.load_table(spark, "events", sf_dir)
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(ord_: int, name: str, df: DataFrame, cnt) -> DataFrame:
+        return df.agg(
+            F.lit(ord_).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            cnt.alias("n_users"),
+        )
+
+    return (
+        stage(1, "any_event", events, F.count_distinct("user_id"))
+        .unionByName(stage(2, "view", v, F.count(F.lit(1))))
+        .unionByName(stage(3, "click_after_view", c, F.count(F.lit(1))))
+        .unionByName(stage(4, "purchase_after_click", p, F.count(F.lit(1))))
+    )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle=f"""
+        WITH rfm AS (
+            SELECT c.c_custkey, c.c_mktsegment,
+                   CAST(date_diff('day', MAX(o.o_orderdate),
+                        TIMESTAMP '{_RFM_ANCHOR} 00:00:00') AS INT)
+                       AS recency_days,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6)))
+                        AS DOUBLE) AS monetary
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT c_custkey, c_mktsegment, recency_days, frequency, monetary,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                   ORDER BY recency_days ASC, c_custkey) AS r_quartile,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                   ORDER BY frequency DESC, c_custkey) AS f_quartile,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                   ORDER BY monetary DESC, c_custkey) AS m_quartile
+        FROM rfm
+    """,
+    survey_ids=("A2", "A3", "W5", "J1"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation per customer,
+    quartiled WITHIN market segment.
+
+    Recency anchors on a constant census date (the day after the
+    fixture's last order) — no global-max scalar stage.  The ntile
+    windows partition by c_mktsegment so no single task ranks the
+    whole customer dimension; the per-customer frame the windows rank
+    is already 3 aggregates wide, orders of magnitude smaller than
+    the fact table.  Ties broken by c_custkey → total order → exact
+    oracle parity.
+    """
+    customer = lake.load_table(spark, "customer", sf_dir)
+    orders = lake.load_table(spark, "orders", sf_dir)
+    rfm = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.datediff(
+                F.lit(_RFM_ANCHOR).cast("timestamp"), F.max("o_orderdate")
+            )
+            .cast("int")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            dec_sum("o_totalprice", "monetary"),
+        )
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    return rfm.select(
+        "c_custkey",
+        "c_mktsegment",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(seg.orderBy(F.asc("recency_days"), F.asc("c_custkey")))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(seg.orderBy(F.desc("frequency"), F.asc("c_custkey")))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(seg.orderBy(F.desc("monetary"), F.asc("c_custkey")))
+        .alias("m_quartile"),
+    )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+        SELECT 'o_orderkey' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(MIN(o_custkey) AS VARCHAR),
+               CAST(MAX(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+               CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+               CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+               strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+               strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+    """,
+    survey_ids=("P7", "A4", "U1"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders table: per column —
+    row count, null count, exact distinct count, min/max rendered as
+    strings (doubles via DECIMAL(18,2) so both engines print the same
+    trailing zeros; timestamps via an explicit format).
+
+    Plan: ONE scan — a single wide agg computes all 6×4 statistics
+    (count_distinct expands to one expand-node pass, still one scan),
+    then a driver-side stack pivots the single row into the 6-row
+    profile.  The oracle re-scans per column; the engine does not.
+    """
+    orders = lake.load_table(spark, "orders", sf_dir)
+
+    def fmt(col: str, typ: str):
+        c = F.col(col)
+        if typ == "double":
+            money = c.cast("decimal(18,2)")
+            return F.min(money).cast("string"), F.max(money).cast("string")
+        if typ == "ts":
+            return (
+                F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss"),
+                F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss"),
+            )
+        return F.min(c).cast("string"), F.max(c).cast("string")
+
+    cols = [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, typ in cols:
+        lo, hi = fmt(name, typ)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(name)).alias(f"{name}__null"),
+            F.count_distinct(F.col(name)).alias(f"{name}__distinct"),
+            lo.alias(f"{name}__min"),
+            hi.alias(f"{name}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__null, {name}__distinct, {name}__min, {name}__max"
+        for name, _ in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_null, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+
+
+@register(
+    "timeseries_zscore_anomalies",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                       AS total
+            FROM events GROUP BY 1, 2
+        ),
+        trail AS (
+            SELECT event_type, day, total,
+                   CAST(SUM(CAST(total AS DECIMAL(25,6))) OVER w AS DOUBLE)
+                       AS s,
+                   CAST(SUM(CAST(total * total AS DECIMAL(25,6))) OVER w
+                        AS DOUBLE) AS s2,
+                   CAST(COUNT(total) OVER w AS BIGINT) AS n
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, day, total,
+               CASE WHEN n = 7 THEN
+                   (CAST(n AS DOUBLE) * total - s)
+                       * (CAST(n AS DOUBLE) * total - s)
+                   > 4.0 * CAST(n AS DOUBLE)
+                       * (CAST(n AS DOUBLE) * s2 - s * s)
+               END AS is_anomaly
+        FROM trail
+    """,
+    survey_ids=("A6", "W4", "W1"),
+)
+def timeseries_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly flag on the daily event-value series:
+    a day is anomalous when its total deviates from the previous
+    7 days' mean by more than 2 trailing standard deviations.
+
+    Numerics: the flag is equivalent to (x-mean)^2 > 4*var but is
+    evaluated divide-free and sqrt-free —
+    ``(n*x - s)^2 > 4*n*(n*s2 - s^2)``
+    (multiply through by n^2) — where s and s2 accumulate as exact
+    DECIMALs inside the window (order-independent across engines)
+    and the final comparison is the same double expression tree on
+    both sides, hence bit-identical.
+
+    Plan: one hash agg to days (map-side combinable), then a window
+    per event_type over ~days rows — the windowed frame is the
+    DOWNSAMPLED series, thousands of rows per years of data, so the
+    per-partition sort is trivial at any source scale.
+    """
+    events = lake.load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    ).agg(dec_sum("value", "total"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    trail = daily.select(
+        "event_type",
+        "day",
+        "total",
+        F.sum(F.col("total").cast("decimal(25,6)")).over(w).cast("double").alias("s"),
+        F.sum((F.col("total") * F.col("total")).cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("s2"),
+        F.count("total").over(w).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    dev = nd * F.col("total") - F.col("s")
+    return trail.select(
+        "event_type",
+        "day",
+        "total",
+        F.when(
+            F.col("n") == 7,
+            dev * dev > F.lit(4.0) * nd * (nd * F.col("s2") - F.col("s") * F.col("s")),
+        ).alias("is_anomaly"),
+    )
