@@ -173,3 +173,56 @@ def latest_per_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def blocked_fuzzy_best_match(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block: Column,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Entity resolution by blocked edit-distance self-join: candidate
+    pairs share a blocking key (an EQUI-join — never all-pairs), are
+    kept when ``levenshtein <= max_dist``, and each record keeps its
+    best candidate under the total order (distance, candidate id).
+
+    Returns (id, best_match_id, best_distance, n_candidates).  Scale
+    shape: one shuffle on the blocking key; comparisons are bounded by
+    the largest block squared, so the blocking function is the knob —
+    salt or refine it (e.g. add a length band or a q-gram key) if a
+    block grows hot.  The per-record reduction is a bounded window,
+    not a global sort.
+    """
+    a = df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(text_col).alias("a_text"),
+        block.alias("blk"),
+    )
+    b = df.select(
+        F.col(id_col).alias("b_id"),
+        F.col(text_col).alias("b_text"),
+        block.alias("blk"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein("a_text", "b_text").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("a_id").orderBy(F.asc("dist"), F.asc("b_id"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(Window.partitionBy("a_id")))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("a_id").alias(id_col),
+            F.col("b_id").alias("best_match_id"),
+            F.col("dist").alias("best_distance"),
+            "n_candidates",
+        )
+    )

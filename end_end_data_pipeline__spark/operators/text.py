@@ -375,3 +375,60 @@ def source_drift_chi2(
         )
         .select(F.col("grp").alias(group_col), "n_tokens", "chi2")
     )
+
+
+def duplicate_span_stats(df, text_col: str = "text", id_col: str = "doc_id", k: int = 8):
+    """Per-document duplicated-substring coverage, the shingle-marking
+    approximation of suffix-array substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token position is *duplicated* when the k-token shingle starting
+    there occurs more than once in the whole corpus (across OR within
+    documents); a document's duplicated-token count is the number of
+    token positions covered by at least one duplicated shingle.
+
+    Returns (doc_id, n_tokens, n_dup_tokens) — callers derive the
+    fraction.  Scale shape: positions are linear in corpus tokens
+    (one Generate per doc), the multiplicity count is a map-side
+    combinable hash agg on an md5 key, and span coverage explodes a
+    bounded k rows per duplicated position before a distinct on
+    (doc, position).  No all-pairs stage anywhere — this survives a
+    100 TB corpus where a literal suffix array would not.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    d = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("toks"))
+    pos = (
+        d.filter(F.size("toks") >= k)
+        .select(
+            "__id",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - F.lit(k))).alias("i"),
+            "toks",
+        )
+        .select(
+            "__id",
+            "i",
+            F.md5(
+                F.concat_ws(" ", F.slice("toks", F.col("i") + 1, k)).cast("binary")
+            ).alias("sh"),
+        )
+    )
+    multiplicity = pos.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
+    dup_pos = pos.join(multiplicity.filter(F.col("c") > 1), "sh").select("__id", "i")
+    covered = (
+        dup_pos.select(
+            "__id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    )
+    base = d.select("__id", F.size("toks").alias("n_tokens"))
+    return (
+        base.join(covered, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+        )
+    )

@@ -108,6 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     "rfm_customer_segments",
     "profile_orders_columns",
     "timeseries_zscore_anomalies",
+    "text_duplicate_spans",
+    "fuzzy_name_best_match",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -423,3 +423,108 @@ def timeseries_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             dev * dev > F.lit(4.0) * nd * (nd * F.col("s2") - F.col("s") * F.col("s")),
         ).alias("is_anomaly"),
     )
+
+
+@register(
+    "text_duplicate_spans",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+            FROM toks WHERE len(t) >= 8
+        ),
+        sh AS (
+            SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS s
+            FROM pos
+        ),
+        mult AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 1),
+        covered AS (
+            SELECT DISTINCT doc_id, p FROM (
+                SELECT doc_id, unnest(range(i, i + 8)) AS p
+                FROM sh JOIN mult USING (s)
+            )
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_dup FROM covered GROUP BY doc_id
+        )
+        SELECT tk.doc_id,
+               CAST(len(tk.t) AS INT) AS n_tokens,
+               CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+               CAST(COALESCE(pd.n_dup, 0) AS DOUBLE) / len(tk.t) AS dup_frac
+        FROM toks tk LEFT JOIN per_doc pd ON tk.doc_id = pd.doc_id
+    """,
+    survey_ids=("UD5", "UD6", "F4", "F12"),
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring coverage per document (the shingle-marking
+    approximation of suffix-array substring dedup — Lee et al. 2021):
+    a token position is duplicated when its 8-token shingle occurs
+    more than once corpus-wide; reports per-doc token count,
+    duplicated-token count, and the duplicated fraction the
+    remove-or-keep curation policy thresholds on.
+
+    See :func:`operators.text.duplicate_span_stats` for the scale
+    argument (linear shingling, hash-agg multiplicity, bounded k-row
+    span explode — no all-pairs, no suffix array).
+    """
+    from end_end_data_pipeline__spark.operators.text import duplicate_span_stats
+
+    docs = lake.load_table(spark, "documents", sf_dir)
+    stats = duplicate_span_stats(docs, text_col="text", id_col="doc_id", k=8)
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_tokens",
+        (F.col("n_dup_tokens").cast("double") / F.col("n_tokens")).alias("dup_frac"),
+    )
+
+
+@register(
+    "fuzzy_name_best_match",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+                   levenshtein(a.c_name, b.c_name) AS dist
+            FROM customer a JOIN customer b
+              ON substr(a.c_name, 1, 15) = substr(b.c_name, 1, 15)
+             AND a.c_custkey <> b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 2
+        ),
+        ranked AS (
+            SELECT a_id, b_id, dist,
+                   row_number() OVER (PARTITION BY a_id
+                                      ORDER BY dist, b_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY a_id) AS n_candidates
+            FROM pairs
+        )
+        SELECT a_id AS c_custkey, b_id AS best_match_id,
+               CAST(dist AS INT) AS best_distance,
+               CAST(n_candidates AS BIGINT) AS n_candidates
+        FROM ranked WHERE rn = 1
+    """,
+    survey_ids=("J9", "J3", "W2", "F1"),
+)
+def fuzzy_name_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the customer dimension: for every
+    customer, the nearest OTHER customer name within edit distance 2,
+    found via a blocked levenshtein self-join (blocking key = the
+    15-char name prefix, i.e. the thousands block) — an equi-join
+    plus bounded in-block comparisons, never an all-pairs cross join.
+
+    See :func:`operators.relational.blocked_fuzzy_best_match`.
+    """
+    from end_end_data_pipeline__spark.operators.relational import (
+        blocked_fuzzy_best_match,
+    )
+
+    customer = lake.load_table(spark, "customer", sf_dir)
+    return blocked_fuzzy_best_match(
+        customer,
+        id_col="c_custkey",
+        text_col="c_name",
+        block=F.substring("c_name", 1, 15),
+        max_dist=2,
+    )
