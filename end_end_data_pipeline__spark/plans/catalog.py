@@ -110,6 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "timeseries_zscore_anomalies",
     "text_duplicate_spans",
     "fuzzy_name_best_match",
+    "versioned_dml_delete_update_restore",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

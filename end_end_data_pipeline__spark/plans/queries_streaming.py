@@ -780,3 +780,68 @@ def banking_generator_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns the transactions table of a 100-customer iteration."""
     star = datagen.banking_star(spark, n_customers=100, txns_per_account=4)
     return star["transactions"]
+
+
+@register(
+    "versioned_dml_delete_update_restore",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey <= 120
+        ),
+        updated AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'P'
+                        THEN o_totalprice + 50 ELSE o_totalprice END
+                       AS o_totalprice
+            FROM base
+        )
+        SELECT 2 AS version, o_orderkey, o_totalprice FROM updated
+        UNION ALL
+        SELECT 3, o_orderkey, o_totalprice FROM updated
+        WHERE o_orderkey <= 100
+        UNION ALL
+        SELECT 4, o_orderkey, o_totalprice FROM base
+    """,
+    survey_ids=("S5", "ST6", "P5"),
+)
+def versioned_dml_delete_update_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DML on the manifest-committed table: UPDATE ... WHERE
+    (+50 on every PENDING order), DELETE ... WHERE (keys > 100), then
+    RESTORE to version 1 — three committed versions read back by
+    version and hash-checked against the oracle's statement of each
+    state.  UPDATE/DELETE rewrite only the buckets whose file stats can
+    match the predicate (manifest data skipping, see
+    ``manifest_table._dml_rewrite``); RESTORE is metadata-only — no
+    data rewrite, full history preserved."""
+    from end_end_data_pipeline__spark.sources import manifest_table as mt
+
+    target = tempfile.mkdtemp(prefix="mct_dml_") + "/t"
+    orders = lake.load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") <= 120
+    )
+    batch = orders.select(
+        F.col("o_orderkey"),
+        F.lit("c").alias("op"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.struct(
+            F.col("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("o_orderstatus"),
+        ).alias("after"),
+    )
+    mt.merge_versioned(batch, target, ["o_orderkey"], n_buckets=8)      # v1
+    mt.update_where(
+        spark, target, [("o_orderstatus", "=", "P")],
+        {"o_totalprice": "o_totalprice + 50"},
+    )                                                                   # v2
+    mt.delete_where(spark, target, [("o_orderkey", ">", 100)])          # v3
+    mt.restore(spark, target, 1)                                        # v4
+    out = None
+    for v in (2, 3, 4):
+        snap = mt.read_snapshot(spark, target, v).select(
+            F.lit(v).alias("version"), "o_orderkey", "o_totalprice"
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

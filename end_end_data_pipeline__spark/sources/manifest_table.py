@@ -534,6 +534,7 @@ def merge_versioned(
     if versions:
         manifest = _read_manifest(spark, target, current_v)
     n_buckets = _resolve_n_buckets(manifest, n_buckets, target)
+    _check_key_cols(manifest, key_cols, target)
     bucket_of = lambda cols: F.pmod(F.xxhash64(*cols), F.lit(n_buckets))  # noqa: E731
     if manifest is not None:
         schema = _manifest_schema(manifest)
@@ -627,7 +628,7 @@ def merge_versioned(
         spark, target, new_state, affected, carried,
         manifest.get("stats", {}) if manifest else {}, current_v + 1,
         operation="merge_versioned", constraints=constraints,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, key_cols=key_cols,
     )
 
 
@@ -642,6 +643,7 @@ def _commit_state(
     operation: str = "merge",
     constraints: dict[str, str] | None = None,
     n_buckets: int | None = None,
+    key_cols: list[str] | None = None,
 ) -> int:
     """Shared commit tail for every state-rewriting operation: write
     the affected buckets' new state to a writer-unique dir (racing
@@ -675,6 +677,7 @@ def _commit_state(
                 "operation": operation,
                 "constraints": constraints or {},
                 "n_buckets": n_buckets,
+                "key_cols": key_cols,
             },
         )
     except RuntimeError:
@@ -707,6 +710,23 @@ def _resolve_n_buckets(
             )
         return int(recorded)
     return n_buckets if n_buckets is not None else 64
+
+
+def _check_key_cols(
+    manifest: dict | None, key_cols: list[str], target: str
+) -> None:
+    """Like the bucket count, the merge key is part of the physical
+    layout (it is what gets hashed): merging with different keys would
+    leave the same logical row alive under two bucket ids.  The key
+    set is recorded at commit time; a mismatching explicit key is
+    refused (tables committed before key recording pass silently)."""
+    recorded = manifest.get("key_cols") if manifest else None
+    if recorded is not None and list(recorded) != list(key_cols):
+        raise ValueError(
+            f"key_cols {key_cols} do not match the committed key "
+            f"{list(recorded)} of {target!r} — rows would hash to "
+            "different buckets; rebucket() to change the key layout"
+        )
 
 
 def _check_constraints(
@@ -749,7 +769,10 @@ def set_check_constraint(
     _commit_manifest(
         spark, target,
         {
-            **{k: manifest.get(k) for k in ("schema", "stats", "n_buckets")},
+            **{
+                k: manifest.get(k)
+                for k in ("schema", "stats", "n_buckets", "key_cols")
+            },
             "version": current_v + 1,
             "buckets": manifest["buckets"],
             "committed_at": time.time(),
@@ -857,6 +880,7 @@ def merge_into(
     current_v = versions[-1] if versions else 0
     manifest = _read_manifest(spark, target, current_v) if versions else None
     n_buckets = _resolve_n_buckets(manifest, n_buckets, target)
+    _check_key_cols(manifest, key_cols, target)
     bucket_of = lambda cols: F.pmod(F.xxhash64(*cols), F.lit(n_buckets))  # noqa: E731
     schema = _manifest_schema(manifest) if manifest else None
     if schema is not None:
@@ -976,7 +1000,7 @@ def merge_into(
         spark, target, new_state, affected, carried,
         manifest.get("stats", {}) if manifest else {}, current_v + 1,
         operation="merge_into", constraints=constraints,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, key_cols=key_cols,
     )
 
 
@@ -1072,6 +1096,7 @@ def compact(
                 "operation": "compact",
                 "constraints": manifest.get("constraints", {}),
                 "n_buckets": manifest.get("n_buckets"),
+                "key_cols": manifest.get("key_cols"),
             },
         )
     except RuntimeError:
@@ -1214,6 +1239,7 @@ def rebucket(
                 "operation": f"rebucket:{new_n_buckets}",
                 "constraints": manifest.get("constraints", {}),
                 "n_buckets": new_n_buckets,
+                "key_cols": key_cols,
             },
         )
     except RuntimeError:
@@ -1247,3 +1273,179 @@ def vacuum(spark: SparkSession, target: str, keep_last: int = 2) -> list[int]:
             if name not in referenced:
                 fs.delete(st.getPath(), True)
     return drop
+
+
+def _dml_rewrite(
+    spark: SparkSession,
+    target: str,
+    conjuncts: list[tuple[str, str, object]],
+    transform,
+    operation: str,
+) -> int:
+    """Shared engine for declarative DML (DELETE/UPDATE ... WHERE):
+    manifest stats pick the buckets that can possibly hold matching
+    rows (same skipping as ``read_where`` — a time-banded DELETE on a
+    clustered table rewrites only the touched band), those buckets
+    rewrite through ``transform`` with their row-level predicate, and
+    everything else is carried by reference.  A conjunction no file
+    can satisfy is a metadata no-op: the current version is returned
+    and NOTHING is committed."""
+    versions = list_versions(spark, target)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest under {target!r}")
+    current_v = versions[-1]
+    manifest = _read_manifest(spark, target, current_v)
+    schema = _manifest_schema(manifest)
+    if schema is None:
+        raise ValueError(
+            f"{target!r} pre-dates manifest schemas — DML needs the "
+            "committed schema to pin the rewrite"
+        )
+    kept = set(prune_files(manifest, conjuncts))
+    affected = sorted(
+        b
+        for b, fl in manifest["buckets"].items()
+        if any(f in kept for f in fl)
+    )
+    if not affected:
+        return current_v
+    carried = {
+        b: fl for b, fl in manifest["buckets"].items() if b not in affected
+    }
+
+    preds: list[Column] = []
+    for c, op, val in conjuncts:
+        col = F.col(c)
+        preds.append(
+            {
+                "=": col == val,
+                "<": col < val,
+                "<=": col <= val,
+                ">": col > val,
+                ">=": col >= val,
+                "isnull": col.isNull(),
+                "notnull": col.isNotNull(),
+            }[op]
+        )
+    pred = reduce(lambda a, b: a & b, preds) if preds else F.lit(True)
+
+    # per-bucket read with the bucket id pinned back on (keys are
+    # unchanged by DML, so rows stay in their committed buckets)
+    parts = [
+        _pin_schema(
+            _read_files(spark, target, manifest["buckets"][b]), schema
+        ).withColumn(BUCKET_COL, F.lit(int(b)))
+        for b in affected
+    ]
+    current = parts[0]
+    for p in parts[1:]:
+        current = current.unionByName(p)
+    new_state = transform(current, pred)
+    constraints = manifest.get("constraints", {})
+    if constraints:
+        _check_constraints(
+            new_state.drop(BUCKET_COL), constraints, f"{operation} state"
+        )
+    return _commit_state(
+        spark, target, new_state, affected, carried,
+        manifest.get("stats", {}), current_v + 1,
+        operation=operation, constraints=constraints,
+        n_buckets=manifest.get("n_buckets"),
+        key_cols=manifest.get("key_cols"),
+    )
+
+
+def delete_where(
+    spark: SparkSession,
+    target: str,
+    conjuncts: list[tuple[str, str, object]],
+) -> int:
+    """``DELETE FROM t WHERE <conjunction>`` — rows for which every
+    conjunct ``(col, op, value)`` is TRUE are removed (NULL evaluations
+    keep the row, standard SQL DELETE semantics).  Returns the new
+    version (or the current one for a stats-proven no-op)."""
+
+    def do_delete(df: DataFrame, pred: Column) -> DataFrame:
+        return df.filter(~F.coalesce(pred, F.lit(False)))
+
+    return _dml_rewrite(spark, target, conjuncts, do_delete, "delete_where")
+
+
+def update_where(
+    spark: SparkSession,
+    target: str,
+    conjuncts: list[tuple[str, str, object]],
+    set_exprs: dict[str, str],
+) -> int:
+    """``UPDATE t SET col = <sql expr> ... WHERE <conjunction>``.
+    Set expressions are SQL over the row's columns (e.g.
+    ``{"o_totalprice": "o_totalprice * 1.1"}``), cast back to the
+    column's committed type so an expression cannot drift the schema.
+    Key columns are refused (their hash IS the bucket layout); columns
+    not in the schema are refused.  Returns the new version (current
+    version for a stats-proven no-op)."""
+    versions = list_versions(spark, target)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest under {target!r}")
+    manifest = _read_manifest(spark, target, versions[-1])
+    schema = _manifest_schema(manifest)
+    if schema is None:
+        raise ValueError(
+            f"{target!r} pre-dates manifest schemas — DML needs the "
+            "committed schema to pin the rewrite"
+        )
+    types = {f.name: f.dataType for f in schema.fields}
+    recorded_keys = set(manifest.get("key_cols") or ())
+    for c in set_exprs:
+        if c not in types:
+            raise ValueError(f"unknown column {c!r} in {target!r}")
+        if c in recorded_keys:
+            raise ValueError(
+                f"key column {c!r} cannot be updated — its hash is the "
+                "bucket layout; delete + re-insert under the new key"
+            )
+
+    def do_update(df: DataFrame, pred: Column) -> DataFrame:
+        out = df
+        for c, expr in set_exprs.items():
+            out = out.withColumn(
+                c,
+                F.when(
+                    F.coalesce(pred, F.lit(False)),
+                    F.expr(expr).cast(types[c]),
+                ).otherwise(F.col(c)),
+            )
+        return out
+
+    return _dml_rewrite(spark, target, conjuncts, do_update, "update_where")
+
+
+def restore(spark: SparkSession, target: str, version: int) -> int:
+    """``RESTORE TABLE t TO VERSION AS OF v``: commit a NEW version
+    whose manifest re-references version ``v``'s files (schema, stats,
+    constraints, layout included) — a metadata-only rollback, no data
+    rewrite, full history preserved (the bad versions stay readable).
+    Safe with :func:`vacuum`: vacuum keeps files referenced by kept
+    manifests, and the restore commit is the newest manifest."""
+    versions = list_versions(spark, target)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest under {target!r}")
+    if version not in versions:
+        raise FileNotFoundError(f"version {version} not in {versions}")
+    old = _read_manifest(spark, target, version)
+    _commit_manifest(
+        spark, target,
+        {
+            **{
+                k: old.get(k)
+                for k in (
+                    "schema", "stats", "n_buckets", "key_cols", "constraints"
+                )
+            },
+            "version": versions[-1] + 1,
+            "buckets": old["buckets"],
+            "committed_at": time.time(),
+            "operation": f"restore:{version}",
+        },
+    )
+    return versions[-1] + 1

@@ -1114,3 +1114,121 @@ def test_nan_stats_never_prune(spark, tmp_path):
 def test_table_changes_missing_table_raises_cleanly(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no committed manifest"):
         mt.table_changes(spark, str(tmp_path / "nope"), ["id"], 1)
+
+
+# ---------------------------------------------------------------- DML
+
+
+def _dml_table(spark, tmp_path, n=20):
+    target = str(tmp_path / "dml")
+    rows = [(i, float(i * 10), "c", 1) for i in range(1, n + 1)]
+    mt.merge_versioned(_batch(spark, rows), target, ["id"], n_buckets=4)
+    return target
+
+
+def test_delete_where_removes_matching_rows(spark, tmp_path):
+    target = _dml_table(spark, tmp_path)
+    v = mt.delete_where(spark, target, [("amount", ">=", 150.0)])
+    assert v == 2
+    left = sorted(r["id"] for r in mt.read_snapshot(spark, target).collect())
+    assert left == list(range(1, 15))
+    # time travel still sees the pre-delete state
+    assert mt.read_snapshot(spark, target, 1).count() == 20
+
+
+def test_delete_where_noop_commits_nothing(spark, tmp_path):
+    target = _dml_table(spark, tmp_path)
+    v = mt.delete_where(spark, target, [("amount", ">", 1e9)])
+    assert v == 1  # current version returned
+    assert mt.list_versions(spark, target) == [1]  # NO new manifest
+
+
+def test_delete_where_null_predicate_keeps_row(spark, tmp_path):
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0, "c", 1), (2, None, "c", 1), (3, 30.0, "c", 1)],
+        "id long, amount double, op string, ts_ms long",
+    ).select(
+        "id", "op", "ts_ms",
+        F.when(F.col("op") != "d", F.struct("id", "amount")).alias("after"),
+    )
+    mt.merge_versioned(df, target, ["id"], n_buckets=2)
+    mt.delete_where(spark, target, [("amount", ">=", 20.0)])
+    left = sorted(r["id"] for r in mt.read_snapshot(spark, target).collect())
+    assert left == [1, 2]  # NULL amount row kept (SQL DELETE semantics)
+
+
+def test_update_where_sets_and_preserves(spark, tmp_path):
+    target = _dml_table(spark, tmp_path)
+    v = mt.update_where(
+        spark, target, [("id", "<=", 10)], {"amount": "amount + 1"}
+    )
+    assert v == 2
+    got = {r["id"]: r["amount"] for r in mt.read_snapshot(spark, target).collect()}
+    assert got[1] == 11.0 and got[10] == 101.0
+    assert got[11] == 110.0 and got[20] == 200.0  # untouched rows intact
+
+
+def test_update_where_refuses_key_and_unknown_columns(spark, tmp_path):
+    target = _dml_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="key column"):
+        mt.update_where(spark, target, [("id", "=", 1)], {"id": "id + 1"})
+    with pytest.raises(ValueError, match="unknown column"):
+        mt.update_where(spark, target, [("id", "=", 1)], {"nope": "1"})
+
+
+def test_update_where_casts_to_committed_type(spark, tmp_path):
+    target = _dml_table(spark, tmp_path)
+    mt.update_where(spark, target, [("id", "=", 1)], {"amount": "42"})
+    snap = mt.read_snapshot(spark, target)
+    assert dict(snap.dtypes)["amount"] == "double"  # int expr cast back
+    got = {r["id"]: r["amount"] for r in snap.collect()}
+    assert got[1] == 42.0
+
+
+def test_restore_rolls_back_and_survives_vacuum(spark, tmp_path):
+    target = _dml_table(spark, tmp_path)                       # v1
+    mt.update_where(spark, target, [("id", ">", 0)], {"amount": "0"})  # v2
+    v3 = mt.restore(spark, target, 1)
+    assert v3 == 3
+    got = {r["id"]: r["amount"] for r in mt.read_snapshot(spark, target).collect()}
+    assert got[5] == 50.0  # v1 content back
+    ops = {r["version"]: r["operation"] for r in mt.history(spark, target).collect()}
+    assert ops[3] == "restore:1"
+    # vacuum keeps v2/v3 manifests; v3 references v1's files — readable
+    mt.vacuum(spark, target, keep_last=2)
+    assert mt.read_snapshot(spark, target).count() == 20
+    # and the table still merges (key/bucket layout carried through)
+    mt.merge_versioned(
+        _batch(spark, [(99, 990.0, "c", 9)]), target, ["id"]
+    )
+    assert mt.read_snapshot(spark, target).count() == 21
+
+
+def test_merge_refuses_key_cols_drift(spark, tmp_path):
+    target = _dml_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="key_cols"):
+        mt.merge_versioned(
+            _batch(spark, [(1, 1.0, "u", 5)]).withColumnRenamed("id", "id2")
+            .withColumn("id", F.col("id2")),
+            target, ["id2"],
+        )
+
+
+def test_dml_skips_unmatched_buckets_by_stats(spark, tmp_path):
+    """A point delete on a clustered table must carry untouched
+    buckets' files BY REFERENCE (no rewrite)."""
+    target = _dml_table(spark, tmp_path, n=40)
+    before = mt._read_manifest(spark, target, 1)["buckets"]
+    mt.delete_where(spark, target, [("id", "=", 7)])
+    after = mt._read_manifest(spark, target, 2)["buckets"]
+    carried = [b for b in after if after[b] == before.get(b)]
+    rewritten = [b for b in after if after[b] != before.get(b)]
+    assert rewritten  # something was rewritten
+    total = mt.read_snapshot(spark, target).count()
+    assert total == 39
+    # every carried bucket's stats said "id=7 cannot be here"
+    stats = mt._read_manifest(spark, target, 1)["stats"]
+    for b in carried:
+        for f in before[b]:
+            assert not mt._file_matches(stats.get(f), "id", "=", 7)
