@@ -463,3 +463,84 @@ def cosine_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")
     )
+
+
+def kmeans_fixed_point(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means in FIXED-POINT arithmetic: vectors quantize to
+    scaled BIGINTs (``floor(x * scale)``), distances and centroid
+    means stay in exact integer arithmetic, so every assignment is
+    bit-identical across engines and runs — the property float
+    k-means cannot give (sum order changes the means).  Init:
+    centroid ``j`` is the vector with id ``j``.  ``iterations``
+    counts ASSIGNMENTS (assign → update → ... → assign): the return
+    is the final membership (id, centroid id).
+
+    Centroid means use a floor division normalized to non-negative
+    numerators (``(s + n*scale) div n - scale``) because trunc-vs-
+    floor semantics differ between engines on negatives.
+
+    Scale shape: centroids travel as plan literals (k × dim ints —
+    the broadcast-join degenerate case), so each iteration is ONE
+    scan of the quantized vectors: a codegen'd array-fold distance
+    per centroid plus an argmin over a k-struct array, then a
+    (k × dim)-group hash agg for the update.  The only driver-side
+    data ever collected is the k × dim centroid table.  IVF handoff:
+    the final centroids are exactly what ``ann_ivf_topk`` needs.
+    """
+    q = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * scale).cast("long")
+        ).alias("q"),
+    ).localCheckpoint(eager=True)  # quantize once; reused every iteration
+
+    cent = sorted(
+        (r["__id"], list(r["q"]))
+        for r in q.filter(F.col("__id") < k).collect()  # k rows, bounded
+    )
+
+    def assign(centroids):
+        entries = []
+        for cid, vec in centroids:
+            lit_vec = F.array(*[F.lit(int(v)).cast("long") for v in vec])
+            dist = F.aggregate(
+                F.zip_with(F.col("q"), lit_vec, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            entries.append(
+                F.struct(dist.alias("d"), F.lit(int(cid)).cast("long").alias("cid"))
+            )
+        return q.select(
+            "__id", F.array_min(F.array(*entries)).getField("cid").alias("cid")
+        )
+
+    assigned = assign(cent)
+    for _ in range(iterations - 1):
+        cm = (
+            assigned.join(q, "__id")
+            .select("cid", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.expr(
+                    f"(sum(val) + count(1) * {scale}L) div count(1)"
+                    f" - {scale}L"
+                ).alias("cval")
+            )
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in cm.collect():  # k × dim rows, bounded
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cval"]
+        cent = sorted(
+            (cid, [comps[p] for p in sorted(comps)])
+            for cid, comps in by_cid.items()
+        )
+        assigned = assign(cent)
+    return assigned.select(F.col("__id").alias(id_col), F.col("cid").alias("centroid_id"))

@@ -528,3 +528,78 @@ def fuzzy_name_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         block=F.substring("c_name", 1, 15),
         max_dist=2,
     )
+
+
+@register(
+    "embedding_kmeans_clusters",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < 4),
+        d1 AS (
+            SELECT v.vec_id, c.cid,
+                   SUM((v.q[i] - c.c[i]) * (v.q[i] - c.c[i])) AS d
+            FROM q v CROSS JOIN c0 c, unnest(range(1, 65)) AS t(i)
+            GROUP BY 1, 2
+        ),
+        a1 AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cid) AS rn
+                FROM d1) WHERE rn = 1
+        ),
+        cm AS (
+            SELECT a.cid, t.i,
+                   CAST((SUM(v.q[t.i]) + COUNT(*) * 1000000) // COUNT(*)
+                        AS BIGINT) - 1000000 AS cval
+            FROM a1 a JOIN q v USING (vec_id), unnest(range(1, 65)) AS t(i)
+            GROUP BY 1, 2
+        ),
+        c1 AS (SELECT cid, list(cval ORDER BY i) AS c FROM cm GROUP BY cid),
+        d2 AS (
+            SELECT v.vec_id, c.cid,
+                   SUM((v.q[i] - c.c[i]) * (v.q[i] - c.c[i])) AS d
+            FROM q v CROSS JOIN c1 c, unnest(range(1, 65)) AS t(i)
+            GROUP BY 1, 2
+        ),
+        a2 AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cid) AS rn
+                FROM d2) WHERE rn = 1
+        )
+        SELECT cid AS centroid_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(vec_id) AS BIGINT) AS member_id_sum
+        FROM a2 GROUP BY cid
+    """,
+    survey_ids=("UD7", "F13", "A3"),
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus (k=4, two Lloyd
+    assignment rounds) in fixed-point arithmetic — the distributed
+    training step behind the IVF index (``embedding_ann_ivf_topk``
+    consumes exactly such centroids).  Integer quantization makes
+    every assignment bit-identical cross-engine, so the oracle can
+    unroll the same two rounds in SQL and hash-match the final
+    cluster memberships (reported as per-cluster size + member-id
+    checksum).  See :func:`operators.similarity.kmeans_fixed_point`
+    for the one-scan-per-iteration plan shape.
+    """
+    from end_end_data_pipeline__spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+
+    emb = lake.load_table(spark, "embeddings", sf_dir)
+    assigned = kmeans_fixed_point(emb, k=4, iterations=2)
+    return assigned.groupBy(F.col("centroid_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("member_id_sum"),
+    )

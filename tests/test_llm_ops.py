@@ -459,3 +459,34 @@ def test_y4m_codec_roundtrip_and_real_frame_sampling(spark):
     feats = multimodal.extract_features(df, "media", "doc_id",
                                         decoder="video").collect()
     assert len(feats) == 1 and abs(sum(feats[0]["feature"]) - 1.0) < 1e-6
+
+
+def test_kmeans_fixed_point_determinism_and_seeds(spark):
+    """Init vectors must assign to themselves on the first round, the
+    fixed-point path must be run-to-run identical, and separated
+    clusters must be recovered exactly."""
+    from end_end_data_pipeline__spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+
+    # two tight, well-separated groups in 4-d
+    rows = [(i, [float(i % 7) * 0.01 + 0.9, 0.9, -0.9, 0.0]) for i in range(6)]
+    rows += [(i, [-0.9, -0.9, 0.9, float(i % 5) * 0.01]) for i in range(6, 12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    a1 = kmeans_fixed_point(emb, k=2, iterations=1)
+    got1 = {r["vec_id"]: r["centroid_id"] for r in a1.collect()}
+    assert got1[0] == 0 and got1[1] == 1  # seeds assign to themselves
+
+    a2 = kmeans_fixed_point(emb, k=2, iterations=3)
+    got2 = {r["vec_id"]: r["centroid_id"] for r in a2.collect()}
+    # group A all together, group B all together, different clusters
+    assert len({got2[i] for i in range(6)}) == 1
+    assert len({got2[i] for i in range(6, 12)}) == 1
+    assert got2[0] != got2[6]
+    # run-to-run bit-identical
+    rerun = {
+        r["vec_id"]: r["centroid_id"]
+        for r in kmeans_fixed_point(emb, k=2, iterations=3).collect()
+    }
+    assert rerun == got2
