@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_best_match",
     "versioned_dml_delete_update_restore",
     "embedding_kmeans_clusters",
+    "format_roundtrip_multi",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -1332,3 +1332,63 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to_ms",
         "is_current",
     )
+
+
+@register(
+    "format_roundtrip_multi",
+    oracle="""
+        WITH slice AS (
+            SELECT l_returnflag, l_quantity, l_extendedprice, l_shipdate
+            FROM lineitem WHERE l_orderkey <= 300
+        ),
+        agg AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+                        AS DOUBLE) AS sum_price,
+                   strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S.%f')
+                       AS max_shipdate
+            FROM slice GROUP BY l_returnflag
+        )
+        SELECT 'orc' AS fmt, * FROM agg
+        UNION ALL SELECT 'csv', * FROM agg
+        UNION ALL SELECT 'json', * FROM agg
+    """,
+    survey_ids=("S5", "S10", "U1"),
+)
+def format_roundtrip_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format breadth: the same lineitem slice round-trips
+    through ORC, CSV, and JSON files (schema PINNED on read — the
+    reference's per-batch inference hazard removed,
+    ``sources.formats``) and each copy aggregates to the same
+    decimal-exact totals — the oracle states the aggregate once per
+    format, so ANY fidelity loss (timestamp truncation, double
+    formatting, null drift) hash-fails that format's rows.
+    Microsecond timestamps survive the text formats via an explicit
+    wire format."""
+    from end_end_data_pipeline__spark.sources import formats as FM
+
+    slice_df = (
+        lake.load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") <= 300)
+        .select("l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate")
+    )
+    tmp = tempfile.mkdtemp(prefix="fmt_rt_")
+    out = None
+    for fmt in ("orc", "csv", "json"):
+        path = os.path.join(tmp, fmt)
+        FM.write_files(slice_df, path, fmt)
+        back = FM.read_files(spark, path, fmt, slice_df.schema)
+        agg = back.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_price"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "max_shipdate"
+            ),
+        )
+        tagged = agg.select(F.lit(fmt).alias("fmt"), "*")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out

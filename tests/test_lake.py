@@ -6,6 +6,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from end_end_data_pipeline__spark.sources import lake
@@ -197,3 +199,56 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+# ------------------------------------------------------- multi-format
+
+
+def test_format_roundtrip_exact_including_micros(spark, tmp_path):
+    """Every supported format must return the EXACT rows written —
+    including microsecond timestamps through the text formats."""
+    from end_end_data_pipeline__spark.sources import formats as FM
+
+    df = spark.createDataFrame(
+        [
+            (1, 3.14159, "a", "2024-01-02 03:04:05.123456"),
+            (2, -0.1, None, "2024-06-30 23:59:59.999999"),
+            (3, 1e-7, "c", None),
+        ],
+        "id long, x double, s string, ts string",
+    ).select("id", "x", "s", F.col("ts").cast("timestamp").alias("ts"))
+    want = sorted(map(tuple, df.collect()))
+    for fmt in FM.FORMATS:
+        path = str(tmp_path / fmt)
+        FM.write_files(df, path, fmt)
+        back = FM.read_files(spark, path, fmt, df.schema)
+        assert sorted(map(tuple, back.collect())) == want, fmt
+        assert back.schema == df.schema, fmt
+
+
+def test_format_read_requires_schema(spark, tmp_path):
+    from end_end_data_pipeline__spark.sources import formats as FM
+
+    with pytest.raises(ValueError, match="schema is required"):
+        FM.read_files(spark, str(tmp_path), "csv", None)
+    with pytest.raises(ValueError, match="unsupported format"):
+        FM.read_files(spark, str(tmp_path), "avro", "id long")
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
+    """ORC is a real columnar lake format: the scan plan must show the
+    filter pushed into the reader and only the projected columns read."""
+    from end_end_data_pipeline__spark.sources import formats as FM
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("pad").alias("pad")
+    )
+    path = str(tmp_path / "orc")
+    FM.write_files(df, path, "orc")
+    back = FM.read_files(spark, path, "orc", df.schema)
+    plan = (
+        back.filter(F.col("id") > 500).select("v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,500)]" in plan
+    assert "ReadSchema: struct<id:bigint,v:bigint>" in plan
