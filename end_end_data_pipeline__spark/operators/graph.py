@@ -170,3 +170,59 @@ def connected_components(
         if n_changed == 0:
             break
     return labels
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count of the UNDIRECTED simple graph induced by
+    the edge list (self-loops and parallel/reverse duplicates
+    collapse): the clustering/collusion-ring signal of the transfer
+    network (a ring of accounts transferring to each other closes
+    triangles; a star/hub does not).
+
+    Algorithm: canonical id-orientation — every edge becomes (u < v),
+    wedges (u,v),(v,w) with u < v < w join once, and a semi-join
+    against the oriented edge set closes them.  Each triangle is
+    counted exactly once.  Scale: two equi-join shuffles on node ids;
+    fan-out is bounded by per-node out-degree in the orientation —
+    production graphs with power-law hubs should orient by
+    (degree, id) instead of id to bound the hub's out-degree at
+    O(sqrt(edges)); the orientation column is the only change.
+
+    Returns 3 rows: (metric, value) for nodes, edges, triangles.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused three times below
+    )
+    nodes = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.lit("n_nodes").alias("metric"), "value")
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("value")).select(
+        F.lit("n_edges").alias("metric"), "value"
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("u"),
+            F.col("e2.v").alias("w"),
+        )
+    )
+    closed = wedges.join(
+        e.select(F.col("u").alias("u"), F.col("v").alias("w")),
+        ["u", "w"],
+        "inner",
+    )
+    triangles = closed.agg(F.count(F.lit(1)).alias("value")).select(
+        F.lit("n_triangles").alias("metric"), "value"
+    )
+    return nodes.unionByName(n_edges).unionByName(triangles)

@@ -432,3 +432,73 @@ def duplicate_span_stats(df, text_col: str = "text", id_col: str = "doc_id", k: 
             F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
         )
     )
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Full-text search: BM25-ranked top-k documents for a bag of
+    query terms — the retrieval primitive next to
+    :func:`tfidf_top_terms`'s extraction primitive, with the same
+    log-free rational idf ``(N - df + 0.5) / (df + 0.5)`` (ln() is
+    engine-specific at the last ulp; the rational form is a monotone
+    surrogate, documented as such).
+
+    Determinism: each (doc, term) partial score is an IEEE double
+    expression evaluated identically cross-engine, then quantized with
+    ``floor(score * 1e9)`` to an exact BIGINT before the per-doc sum —
+    float sums depend on partition order, integer sums do not.  The
+    quantized partials stay under 2^63 for corpora to ~1e10 docs;
+    shrink the 1e9 quantum beyond that.  Ranking ties break on doc id.
+
+    Scale: tokenize is one Generate; document length and term
+    frequency are two hash aggs; df for the |query| terms is a tiny
+    frame broadcast back; the final top-k is TakeOrderedAndProject,
+    never a global sort.  Driver scalars: N and total token count.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("t")
+    ).select("__id", F.lower(F.col("t")).alias("term"))
+    dl = tok.groupBy("__id").agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    ).collect()[0]
+    n_docs, avgdl = float(totals["n"]), totals["total"] / totals["n"]
+    tf = (
+        tok.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf_d = F.col("tf").cast("double")
+    df_d = F.col("df").cast("double")
+    dl_d = F.col("dl").cast("double")
+    idf = (F.lit(n_docs) - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+    tfn = (tf_d * (F.lit(k1) + F.lit(1.0))) / (
+        tf_d
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * (dl_d / F.lit(avgdl)))
+    )
+    partial = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "__id")
+        .select(
+            "__id", F.floor((idf * tfn) * F.lit(1e9)).cast("long").alias("q")
+        )
+    )
+    scored = partial.groupBy("__id").agg(F.sum("q").alias("score_q"))
+    top = scored.orderBy(F.desc("score_q"), F.asc("__id")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score_q"), F.asc("__id"))
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        F.col("__id").alias(id_col),
+        (F.col("score_q").cast("double") / F.lit(1e9)).alias("score"),
+    )

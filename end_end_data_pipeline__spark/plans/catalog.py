@@ -113,6 +113,8 @@ _PRIORITY: tuple[str, ...] = (
     "versioned_dml_delete_update_restore",
     "embedding_kmeans_clusters",
     "format_roundtrip_multi",
+    "graph_triangle_count",
+    "text_bm25_search",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

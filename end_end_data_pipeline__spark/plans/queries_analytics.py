@@ -603,3 +603,109 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum("vec_id").alias("member_id_sum"),
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+        WITH raw AS (
+            SELECT (o_orderkey % 100) + 1 AS a, (o_custkey % 100) + 1 AS b
+            FROM orders WHERE o_orderkey % 11 = 0
+        ),
+        e AS (
+            SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+            FROM raw WHERE a <> b
+        ),
+        tri AS (
+            SELECT e1.u, e1.v, e2.v AS w
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT 'n_edges' AS metric,
+               CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS value
+        UNION ALL
+        SELECT 'n_nodes', CAST((SELECT COUNT(*) FROM
+            (SELECT u FROM e UNION SELECT v FROM e)) AS BIGINT)
+        UNION ALL
+        SELECT 'n_triangles', CAST((SELECT COUNT(*) FROM tri) AS BIGINT)
+    """,
+    survey_ids=("J3", "A1"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of a densified transfer network (every 11th
+    order links order-ring and customer-ring accounts on a 100-node
+    universe): rings of accounts paying each other close triangles —
+    the collusion signal components/pagerank cannot see.  Canonical
+    id-orientation counts each triangle once; see
+    :func:`operators.graph.triangle_count` for the degree-orientation
+    scale knob."""
+    from end_end_data_pipeline__spark.operators.graph import triangle_count
+
+    orders = lake.load_table(spark, "orders", sf_dir)
+    edges = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") % 100 + 1).alias("src"),
+        (F.col("o_custkey") % 100 + 1).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+@register(
+    "text_bm25_search",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   lower(unnest(string_split(trim(text), ' '))) AS term
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avgdl
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tok WHERE term IN ('spark', 'join', 'window')
+            GROUP BY 1, 2
+        ),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        partials AS (
+            SELECT t.doc_id,
+                   CAST(floor(
+                       (((s.n - CAST(d.df AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+                        / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                       * ((CAST(t.tf AS DOUBLE)
+                           * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                          / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                             * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                                + CAST(0.75 AS DOUBLE)
+                                  * (CAST(l.dl AS DOUBLE) / s.avgdl))))
+                       * CAST(1e9 AS DOUBLE)) AS BIGINT) AS q
+            FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id), s
+        ),
+        scored AS (
+            SELECT doc_id, SUM(q) AS score_q FROM partials GROUP BY doc_id
+        ),
+        top AS (
+            SELECT doc_id, score_q,
+                   row_number() OVER (ORDER BY score_q DESC, doc_id)
+                       AS rank
+            FROM scored
+        )
+        SELECT CAST(rank AS INT) AS rank, doc_id,
+               CAST(score_q AS DOUBLE) / CAST(1e9 AS DOUBLE) AS score
+        FROM top WHERE rank <= 10
+    """,
+    survey_ids=("UD5", "W2", "O2", "F4"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text search over the corpus: BM25 top-10 documents for the
+    query {spark, join, window} with the log-free rational idf and
+    floor-quantized integer score accumulation that make the ranking
+    bit-identical cross-engine (see :func:`operators.text.bm25_topk`
+    — TakeOrderedAndProject top-k, never a global sort)."""
+    from end_end_data_pipeline__spark.operators.text import bm25_topk
+
+    docs = lake.load_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, ["spark", "join", "window"], k=10)
