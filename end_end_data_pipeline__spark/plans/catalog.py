@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "format_roundtrip_multi",
     "graph_triangle_count",
     "text_bm25_search",
+    "spatial_radius_neighbors",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -490,3 +490,36 @@ def test_kmeans_fixed_point_determinism_and_seeds(spark):
         for r in kmeans_fixed_point(emb, k=2, iterations=3).collect()
     }
     assert rerun == got2
+
+
+def test_grid_radius_pairs_matches_brute_force(spark):
+    """Grid-bucketed radius join must equal the brute-force answer and
+    produce every pair exactly once (no distinct in the plan)."""
+    import itertools
+
+    from end_end_data_pipeline__spark.operators.spatial import (
+        grid_radius_pairs,
+        radius_neighbor_stats,
+    )
+
+    pts = [(i, (i * 37) % 100, (i * 61) % 100) for i in range(60)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["dist2"])
+        for r in grid_radius_pairs(df, radius=15).collect()
+    )
+    want = sorted(
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= 225
+    )
+    assert got == want and len(got) == len(set(got))
+    stats = radius_neighbor_stats(grid_radius_pairs(df, radius=15))
+    deg = {r["id"]: r["n_neighbors"] for r in stats.collect()}
+    brute_deg = {}
+    for a, b, _ in want:
+        brute_deg[a] = brute_deg.get(a, 0) + 1
+        brute_deg[b] = brute_deg.get(b, 0) + 1
+    assert deg == brute_deg
+    with pytest.raises(ValueError, match="radius"):
+        grid_radius_pairs(df, radius=0)
