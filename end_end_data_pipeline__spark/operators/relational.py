@@ -67,9 +67,16 @@ def asof_join(
     right_ts: str = "ts",
     right_value_cols: list[str] | None = None,
     strict: bool = False,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """As-of (backward) join (J7): for each left row, the latest right row
-    with ``right_ts <= left_ts`` (``<`` when ``strict``) per ``key``.
+    """As-of join (J7): for each left row, the closest right row per
+    ``key`` — ``backward`` (default): latest with ``right_ts <=
+    left_ts``; ``forward``: earliest with ``right_ts >= left_ts``
+    (strict inequalities when ``strict``).  ``tolerance_seconds``
+    nulls the match out when the matched gap exceeds it (pandas
+    ``merge_asof`` tolerance semantics) — the match columns go null,
+    the left row is kept.
 
     Spark has no native as-of join; the scalable formulation is the
     union + ordered window ``last(..., ignorenulls)`` trick:
@@ -87,6 +94,8 @@ def asof_join(
     skewed keys (AQE splits hot key partitions).
     DuckDB oracle equivalent: ``ASOF LEFT JOIN``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rvals = right_value_cols or [c for c in right.columns if c not in (key, right_ts)]
 
     # side marker: right=0 sorts first at equal ts => inclusive match
@@ -106,7 +115,10 @@ def asof_join(
     r = r.withColumn("__row", F.lit(None).cast(l.schema["__row"].dataType))
 
     tie = 0 if strict else 1  # strict: right at equal ts must NOT match
-    order = [F.col("__ts").asc(), F.col("__side").asc() if tie else F.col("__side").desc()]
+    # forward = the same carry trick over REVERSED time: walking ts
+    # descending, "last right seen" is the next right at-or-after
+    ts_ord = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    order = [ts_ord, F.col("__side").asc() if tie else F.col("__side").desc()]
     w = (
         Window.partitionBy("__k")
         .orderBy(*order)
@@ -122,10 +134,19 @@ def asof_join(
             F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
         ).over(w).alias("__m_ts"),
     )
+    matched = F.col("__m_ts").isNotNull()
+    if tolerance_seconds is not None:
+        gap = F.unix_micros(F.col("__m_ts")) - F.unix_micros(F.col("__ts"))
+        if direction == "backward":
+            gap = -gap
+        matched = matched & (gap <= F.lit(int(tolerance_seconds * 1_000_000)))
     out = carried.filter(F.col("__side") == 1).select(
         *[F.col("__row")[c].alias(c) for c in left.columns],
-        F.col("__m_ts").alias(f"asof_{right_ts}"),
-        *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in rvals],
+        F.when(matched, F.col("__m_ts")).alias(f"asof_{right_ts}"),
+        *[
+            F.when(matched, F.col(f"__m_{c}")).alias(f"asof_{c}")
+            for c in rvals
+        ],
     )
     return out
 

@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "text_bm25_search",
     "spatial_radius_neighbors",
+    "asof_forward_click_after_purchase",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -779,3 +779,59 @@ def spatial_radius_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = grid_radius_pairs(pts, radius=150)
     return radius_neighbor_stats(pairs)
+
+
+@register(
+    "asof_forward_click_after_purchase",
+    oracle="""
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, ts, event_id AS click_id, value AS click_value
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               CASE WHEN c.ts IS NOT NULL
+                     AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+                    THEN c.ts END AS asof_ts,
+               CASE WHEN c.ts IS NOT NULL
+                     AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+                    THEN c.click_id END AS asof_click_id,
+               CASE WHEN c.ts IS NOT NULL
+                     AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+                    THEN c.click_value END AS asof_click_value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+    survey_ids=("J7", "W6"),
+)
+def asof_forward_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: for every purchase, the next
+    click by the same user at-or-after it, nulled out when more than
+    an hour later (pandas merge_asof tolerance semantics — the row
+    stays, the match goes null).  Same single-shuffle union + reversed
+    ordered-window carry as the backward as-of
+    (``operators.relational.asof_join(direction='forward')``); the
+    oracle is DuckDB's native forward ``ASOF LEFT JOIN`` plus the
+    tolerance CASE."""
+    from end_end_data_pipeline__spark.operators.relational import asof_join
+
+    events = lake.load_table(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        direction="forward",
+        tolerance_seconds=3600,
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from end_end_data_pipeline__spark.plans import marts
 
@@ -239,3 +240,42 @@ def test_marts_dag_rerun_produces_identical_state(spark, tmp_path):
     run2 = run_dag(spark, banking_marts_dag(out, n_customers=60))
     assert run2.ok
     assert snapshot() == first
+
+
+def test_asof_forward_and_tolerance(spark):
+    from end_end_data_pipeline__spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        "id long, ts string",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", 7.0), (2, "2024-01-01 14:30:00", 9.0)],
+        "id long, ts string, v double",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"), "v")
+
+    fwd = {
+        r["id"]: r["asof_v"]
+        for r in asof_join(left, right, key="id", direction="forward").collect()
+    }
+    assert fwd == {1: 7.0, 2: 9.0}
+    # 1h tolerance: id 2's next match is 2.5h away -> nulled, row kept
+    tol = {
+        r["id"]: r["asof_v"]
+        for r in asof_join(
+            left, right, key="id", direction="forward", tolerance_seconds=3600
+        ).collect()
+    }
+    assert tol == {1: 7.0, 2: None}
+    # backward with tolerance: id 1 has no earlier right row
+    back = {
+        r["id"]: r["asof_v"]
+        for r in asof_join(
+            left, right, key="id", direction="backward", tolerance_seconds=3600
+        ).collect()
+    }
+    assert back == {1: None, 2: None}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, key="id", direction="nearest")
