@@ -226,3 +226,70 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.lit("n_triangles").alias("metric"), "value"
     )
     return nodes.unionByName(n_edges).unionByName(triangles)
+
+
+def flatten_hierarchy(
+    parents: DataFrame,
+    id_col: str = "node",
+    parent_col: str = "parent",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Flatten a parent-pointer hierarchy (org chart, BOM, account
+    ownership chain) to (node, root, depth, path) — the recursive-CTE
+    query class, done the iterative-DataFrame way: follow one ancestor
+    level per round, stop when every walker reached a root (NULL
+    parent).  ``path`` is the '/'-joined id chain from the node to its
+    root.
+
+    Scale: O(tree depth) rounds, each ONE equi-join shuffle of narrow
+    rows (walker + string path), lineage truncated per round like
+    :func:`connected_components`; cycles are cut off (and flagged) at
+    ``max_depth`` rather than looping forever.  For pathological
+    depths (linked lists), pointer doubling halves the rounds at the
+    cost of squaring the path-concat state — same trade
+    ``connected_components`` documents.
+    """
+    pm = parents.select(
+        F.col(id_col).alias("__pm_node"), F.col(parent_col).alias("__pm_parent")
+    )
+    state = parents.select(
+        F.col(id_col).alias("node"),
+        F.col(parent_col).alias("cur"),
+        F.lit(0).alias("depth"),
+        F.col(id_col).cast("string").alias("path"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_depth):
+        pending = state.filter(F.col("cur").isNotNull()).limit(1).count()
+        if pending == 0:
+            break
+        stepped = (
+            state.join(pm, state["cur"] == pm["__pm_node"], "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("cur").isNotNull(), F.col("__pm_parent")
+                ).alias("next_cur"),
+                F.when(F.col("cur").isNotNull(), F.col("depth") + 1)
+                .otherwise(F.col("depth"))
+                .alias("depth"),
+                F.when(
+                    F.col("cur").isNotNull(),
+                    F.concat_ws("/", F.col("path"), F.col("cur").cast("string")),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+                F.coalesce(F.col("cur"), F.col("root_sofar")).alias("root_sofar")
+                if "root_sofar" in state.columns
+                else F.col("cur").alias("root_sofar"),
+            )
+            .withColumnRenamed("next_cur", "cur")
+        )
+        state = stepped.select(
+            "node", "cur", "depth", "path", "root_sofar"
+        ).localCheckpoint(eager=True)
+    return state.select(
+        "node",
+        F.coalesce("root_sofar", "node").alias("root"),
+        "depth",
+        "path",
+    )

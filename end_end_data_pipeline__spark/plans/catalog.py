@@ -117,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bm25_search",
     "spatial_radius_neighbors",
     "asof_forward_click_after_purchase",
+    "hierarchy_flatten_paths",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -835,3 +835,44 @@ def asof_forward_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataF
         direction="forward",
         tolerance_seconds=3600,
     )
+
+
+@register(
+    "hierarchy_flatten_paths",
+    oracle="""
+        WITH RECURSIVE walk(node, cur, depth, path, root) AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey >= 10 THEN c_custkey // 10 END,
+                   0, CAST(c_custkey AS VARCHAR), CAST(NULL AS BIGINT)
+            FROM customer
+            UNION ALL
+            SELECT node,
+                   CASE WHEN cur >= 10 THEN cur // 10 END,
+                   depth + 1, path || '/' || CAST(cur AS VARCHAR), cur
+            FROM walk WHERE cur IS NOT NULL
+        )
+        SELECT node, COALESCE(root, node) AS root,
+               CAST(depth AS INT) AS depth, path
+        FROM walk WHERE cur IS NULL
+    """,
+    survey_ids=("J5", "J3", "F1"),
+)
+def hierarchy_flatten_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy traversal — the reporting-chain / BOM query
+    class (recursive CTE in SQL engines): every customer walks its
+    decimal ownership chain (parent = key div 10) to the root,
+    producing (node, root, depth, '/'-joined path).  Iterative
+    DataFrame rounds, one narrow equi-join shuffle per tree LEVEL with
+    lineage truncation — see
+    :func:`operators.graph.flatten_hierarchy`; the oracle is the
+    equivalent recursive CTE."""
+    from end_end_data_pipeline__spark.operators.graph import flatten_hierarchy
+
+    customer = lake.load_table(spark, "customer", sf_dir)
+    parents = customer.select(
+        F.col("c_custkey").alias("node"),
+        F.when(
+            F.col("c_custkey") >= 10, F.expr("c_custkey div 10")
+        ).alias("parent"),
+    )
+    return flatten_hierarchy(parents)

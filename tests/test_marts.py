@@ -279,3 +279,26 @@ def test_asof_forward_and_tolerance(spark):
 
     with _pytest.raises(ValueError, match="direction"):
         asof_join(left, right, key="id", direction="nearest")
+
+
+def test_flatten_hierarchy_cycle_guard_and_shapes(spark):
+    from end_end_data_pipeline__spark.operators.graph import flatten_hierarchy
+
+    # chain 3 -> 2 -> 1 (root), plus isolated root 9
+    parents = spark.createDataFrame(
+        [(3, 2), (2, 1), (1, None), (9, None)], "node long, parent long"
+    )
+    got = {
+        r["node"]: (r["root"], r["depth"], r["path"])
+        for r in flatten_hierarchy(parents).collect()
+    }
+    assert got == {
+        3: (1, 2, "3/2/1"),
+        2: (1, 1, "2/1"),
+        1: (1, 0, "1"),
+        9: (9, 0, "9"),
+    }
+    # a 2-cycle must terminate at max_depth, not loop forever
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "node long, parent long")
+    out = flatten_hierarchy(cyc, max_depth=5).collect()
+    assert all(r["depth"] == 5 for r in out)
