@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "spatial_radius_neighbors",
     "asof_forward_click_after_purchase",
     "hierarchy_flatten_paths",
+    "stream_stream_left_outer",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -12,6 +12,7 @@ Three flavors:
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -845,3 +846,94 @@ def versioned_dml_delete_update_restore(spark: SparkSession, sf_dir: str) -> Dat
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 10:00:00',
+             TIMESTAMP '2024-01-01 10:20:00'),
+            (CAST(2 AS BIGINT), TIMESTAMP '2024-01-01 10:10:00',
+             CAST(NULL AS TIMESTAMP))
+        ) AS t(user_id, click_ts, purchase_ts)
+    """,
+    survey_ids=("ST7", "ST3", "J4"),
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the state-EVICTION semantics the
+    inner variant never exercises: a click with no purchase in its
+    following hour is emitted with nulls only once the watermark
+    proves no qualifying purchase can still arrive.  Three
+    checkpointed runs drive the lifecycle deterministically:
+
+    1. clicks u1@10:00 + u2@10:10, purchase u1@10:20 → the u1 pair
+       emits immediately (inner path);
+    2. far-future traffic on BOTH streams (14:00) advances the global
+       watermark (min across sources) past u2's 11:10 expiry;
+    3. one more batch makes the eviction fire: u2 emits with a NULL
+       purchase side.
+
+    The u3/u8/u9 padding rows stay in state (their own windows are
+    still open) — exactly the bounded-state contract.  The oracle
+    states the final sink verbatim."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tmp = tempfile.mkdtemp(prefix="ss_outer_")
+    c_src, p_src, sink, ckpt = (
+        os.path.join(tmp, d) for d in ("clicks", "purchases", "sink", "ckpt")
+    )
+    os.makedirs(c_src)
+    os.makedirs(p_src)
+
+    def feed(path, rows):
+        spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.to_timestamp("ts_s").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def run():
+        clicks = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(c_src)
+            .select("user_id", F.col("ts").alias("click_ts"))
+            .withWatermark("click_ts", "30 minutes")
+        )
+        purchases = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(p_src)
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "30 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+            "left_outer",
+        ).select("user_id", "click_ts", "purchase_ts")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    base = "2024-01-01 "
+    feed(c_src, [(1, base + "10:00:00"), (2, base + "10:10:00")])
+    feed(p_src, [(1, base + "10:20:00")])
+    run()
+    feed(c_src, [(9, base + "14:00:00")])
+    feed(p_src, [(3, base + "14:00:00")])
+    run()
+    feed(c_src, [(8, base + "14:05:00")])
+    feed(p_src, [(7, base + "14:05:00")])
+    run()
+    return spark.read.parquet(sink)
