@@ -864,20 +864,27 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join — the state-EVICTION semantics the
     inner variant never exercises: a click with no purchase in its
     following hour is emitted with nulls only once the watermark
-    proves no qualifying purchase can still arrive.  Three
-    checkpointed runs drive the lifecycle deterministically:
+    proves no qualifying purchase can still arrive.  ONE availableNow
+    run with ``maxFilesPerTrigger=1`` sequences three micro-batches
+    deterministically (files are fed in mtime order, one per source
+    per trigger):
 
     1. clicks u1@10:00 + u2@10:10, purchase u1@10:20 → the u1 pair
        emits immediately (inner path);
     2. far-future traffic on BOTH streams (14:00) advances the global
        watermark (min across sources) past u2's 11:10 expiry;
-    3. one more batch makes the eviction fire: u2 emits with a NULL
+    3. the third batch makes the eviction fire: u2 emits with a NULL
        purchase side.
 
-    The u3/u8/u9 padding rows stay in state (their own windows are
+    The u3/u7/u8/u9 padding rows stay in state (their own windows are
     still open) — exactly the bounded-state contract.  The oracle
-    states the final sink verbatim."""
+    states the final sink verbatim.  The tiny fixed input gets 8
+    state-store partitions instead of the session default (a vanilla
+    200 would pay hundreds of empty state tasks per batch); the prior
+    conf is restored on exit."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     tmp = tempfile.mkdtemp(prefix="ss_outer_")
     c_src, p_src, sink, ckpt = (
         os.path.join(tmp, d) for d in ("clicks", "purchases", "sink", "ckpt")
@@ -893,12 +900,14 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run():
         clicks = (
             spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
             .parquet(c_src)
             .select("user_id", F.col("ts").alias("click_ts"))
             .withWatermark("click_ts", "30 minutes")
         )
         purchases = (
             spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
             .parquet(p_src)
             .select(
                 F.col("user_id").alias("p_user_id"),
@@ -927,13 +936,14 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     base = "2024-01-01 "
-    feed(c_src, [(1, base + "10:00:00"), (2, base + "10:10:00")])
-    feed(p_src, [(1, base + "10:20:00")])
-    run()
-    feed(c_src, [(9, base + "14:00:00")])
-    feed(p_src, [(3, base + "14:00:00")])
-    run()
-    feed(c_src, [(8, base + "14:05:00")])
-    feed(p_src, [(7, base + "14:05:00")])
-    run()
+    try:
+        feed(c_src, [(1, base + "10:00:00"), (2, base + "10:10:00")])
+        feed(p_src, [(1, base + "10:20:00")])
+        feed(c_src, [(9, base + "14:00:00")])
+        feed(p_src, [(3, base + "14:00:00")])
+        feed(c_src, [(8, base + "14:05:00")])
+        feed(p_src, [(7, base + "14:05:00")])
+        run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(sink)
