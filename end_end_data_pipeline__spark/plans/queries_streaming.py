@@ -892,10 +892,30 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(c_src)
     os.makedirs(p_src)
 
+    feed_n = [0]
+
     def feed(path, rows):
-        spark.createDataFrame(rows, "user_id long, ts_s string").select(
-            "user_id", F.to_timestamp("ts_s").alias("ts")
-        ).coalesce(1).write.mode("append").parquet(path)
+        # pyarrow direct write: a 2-row Spark job costs ~4s of task
+        # scheduling on a many-core session; the fixture feed is not
+        # the thing under test.  Monotonic names keep the file-source
+        # mtime/path order deterministic.
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ids = [r[0] for r in rows]
+        tss = [
+            dt.datetime.strptime(r[1], "%Y-%m-%d %H:%M:%S") for r in rows
+        ]
+        table = pa.table(
+            {
+                "user_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(tss, pa.timestamp("us")),
+            }
+        )
+        feed_n[0] += 1
+        pq.write_table(table, os.path.join(path, f"feed-{feed_n[0]:03d}.parquet"))
 
     def run():
         clicks = (
