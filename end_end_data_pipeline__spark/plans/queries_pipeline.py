@@ -72,6 +72,14 @@ def cdc_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _tiny_df(spark: SparkSession, rows, schema: str):
+    """Single-slice literal frame: the default createDataFrame slices
+    tiny row lists across defaultParallelism partitions, and on a
+    many-core session the empty-partition python-worker round trips
+    cost seconds per job — pure scheduling tax for fixture/config
+    frames that are never the thing under test."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
 @register(
     "connector_config_surface",
     oracle="""
@@ -112,8 +120,8 @@ def connector_config_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("s3a", "fs.s3a.path.style.access", s3a["fs.s3a.path.style.access"]),
         ("s3a", "fs.s3a.committer.name", s3a["fs.s3a.committer.name"]),
     ]
-    return spark.createDataFrame(
-        rows, "component string, conf_key string, conf_value string"
+    return _tiny_df(
+        spark, rows, "component string, conf_key string, conf_value string"
     )
 
 
@@ -305,7 +313,8 @@ def maintenance_truncate_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).mode("overwrite").parquet(path)
     status = connectors.truncate_reset(spark, path)
     post_cols = len(spark.read.parquet(path).columns)
-    return spark.createDataFrame(
+    return _tiny_df(
+        spark,
         [(status["rows_before"], status["rows_after"], post_cols)],
         "rows_before long, rows_after long, n_cols_after int",
     )
@@ -391,14 +400,18 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     on-time row (12:30), one late-but-within row (11:52, accepted) and
     one beyond-watermark row (10:05, DROPPED).  The final sink holds
     10:00's window with its run-1 count (the 10:05 straggler is gone)
-    and 11:50's window including the accepted 11:52 row."""
+    and 11:50's window including the accepted 11:52 row.  The tiny
+    fixed input runs with 8 state partitions (restored on exit) — a
+    vanilla 200 pays hundreds of empty state tasks per batch."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     tmp = tempfile.mkdtemp(prefix="watermark_")
     src, sink, ckpt = (os.path.join(tmp, d) for d in ("src", "sink", "ckpt"))
     os.makedirs(src)
 
     def run_batch(rows: list[tuple[str, int]]) -> None:
-        df = spark.createDataFrame(rows, "ts_s string, value long").select(
+        df = _tiny_df(spark, rows, "ts_s string, value long").select(
             F.to_timestamp("ts_s").alias("ts"), "value"
         )
         df.coalesce(1).write.mode("append").parquet(src)
@@ -425,14 +438,17 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     base = "2024-01-01 "
-    run_batch(
-        [(base + t, v) for t, v in
-         [("10:00:10", 1), ("10:05:00", 1), ("11:00:00", 1), ("12:00:00", 1)]]
-    )
-    run_batch(
-        [(base + t, v) for t, v in
-         [("12:30:00", 1), ("11:52:00", 100), ("10:05:30", 100)]]
-    )
+    try:
+        run_batch(
+            [(base + t, v) for t, v in
+             [("10:00:10", 1), ("10:05:00", 1), ("11:00:00", 1), ("12:00:00", 1)]]
+        )
+        run_batch(
+            [(base + t, v) for t, v in
+             [("12:30:00", 1), ("11:52:00", 100), ("10:05:30", 100)]]
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(sink).orderBy("win_start")
 
 
