@@ -119,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "asof_forward_click_after_purchase",
     "hierarchy_flatten_paths",
     "stream_stream_left_outer",
+    "behavior_event_transitions",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -886,3 +886,51 @@ def hierarchy_flatten_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("parent"),
     )
     return flatten_hierarchy(parents)
+
+
+@register(
+    "behavior_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        t AS (
+            SELECT prev_type, event_type AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n,
+               CAST(n AS DOUBLE)
+                   / SUM(n) OVER (PARTITION BY prev_type) AS p
+        FROM t
+    """,
+    survey_ids=("W3", "A3", "A5"),
+)
+def behavior_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every (previous event type → next event type) pair, the transition
+    count and conditional probability — the click-path analysis mart.
+    One window per user (shuffle on user_id, frames stream), one tiny
+    hash agg, and a 25-row window for the row-normalization; the
+    probability is the same exact-integer division on both sides.
+    """
+    events = lake.load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    norm = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(norm)).alias("p"),
+    )
