@@ -915,7 +915,13 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
         feed_n[0] += 1
-        pq.write_table(table, os.path.join(path, f"feed-{feed_n[0]:03d}.parquet"))
+        fp = os.path.join(path, f"feed-{feed_n[0]:03d}.parquet")
+        pq.write_table(table, fp)
+        # sub-ms writes can TIE on mtime, and the file stream source
+        # orders batches by mtime — pin strictly increasing mtimes so
+        # the three-trigger sequence is deterministic
+        t = 1_700_000_000 + feed_n[0]
+        os.utime(fp, (t, t))
 
     def run():
         clicks = (
