@@ -227,3 +227,103 @@ def test_skew_stress_fixture_study(spark, tmp_path):
             spark.conf.set(k, v)
     assert set(res) == {"naive", "aqe", "salted"}
     assert all(v > 0 for v in res.values())
+
+
+def test_runtime_bloom_filter_join(spark, tmp_path):
+    """Spark's runtime bloom-filter join (the engine-native version of
+    a semi-join pushdown): a selective dim-side filter should inject a
+    BloomFilter aggregate that pre-filters the fact side BEFORE its
+    shuffle — the plan-level proof that at 100 TB the big side is
+    thinned at the scan, not at the join."""
+    import pyspark.sql.functions as F
+
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(200_000).select(
+        (F.col("id") % 10_000).alias("k"), F.col("id").alias("v")
+    ).write.parquet(fact_p)
+    spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    ).write.parquet(dim_p)
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        # default 10GB gates the filter to huge scans; the test fact
+        # table is tiny, so drop the gate to exercise the rewrite
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0"
+        )
+        # force a shuffle join so the runtime filter has a shuffle to save
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter("w % 100 = 0")  # selective
+        joined = fact.join(dim, "k")
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan
+        # and the answer is still exactly right
+        assert joined.count() == 200_000 // 10_000 * (10_000 // 50)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_gdpr_physical_erasure(spark, tmp_path):
+    """Right-to-be-forgotten on the manifest table: delete_where + a
+    keep_last=1 vacuum must leave NO parquet file anywhere under the
+    table that still contains the erased key — logical deletion alone
+    (old snapshots) is not erasure."""
+    import glob
+
+    import duckdb
+
+    from end_end_data_pipeline__spark.sources import manifest_table as mt
+    from tests.test_manifest_table import _batch
+
+    target = str(tmp_path / "t")
+    rows = [(i, float(i), "c", 1) for i in range(1, 30)]
+    mt.merge_versioned(_batch(spark, rows), target, ["id"], n_buckets=4)
+    mt.delete_where(spark, target, [("id", "=", 13)])
+    # pre-vacuum: version 1's files still hold the key (time travel)
+    files = glob.glob(f"{target}/data/**/*.parquet", recursive=True)
+    con = duckdb.connect()
+    held = sum(
+        con.execute(f"SELECT COUNT(*) FROM '{f}' WHERE id = 13").fetchone()[0]
+        for f in files
+    )
+    assert held > 0
+    mt.vacuum(spark, target, keep_last=1)
+    files = glob.glob(f"{target}/data/**/*.parquet", recursive=True)
+    assert files
+    held = sum(
+        con.execute(f"SELECT COUNT(*) FROM '{f}' WHERE id = 13").fetchone()[0]
+        for f in files
+    )
+    assert held == 0  # physically gone
+    assert mt.read_snapshot(spark, target).count() == 28
+
+
+def test_parquet_merge_schema_union(spark, tmp_path):
+    """Plain-parquet schema drift on read: mergeSchema unions file
+    schemas (new columns read back null for old files) — the S10
+    behavior the manifest table implements manifest-side."""
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "t")
+    spark.range(3).select(F.col("id")).write.parquet(p + "/a")
+    spark.range(3).select(
+        F.col("id"), F.lit("x").alias("extra")
+    ).write.parquet(p + "/b")
+    df = spark.read.option("mergeSchema", True).parquet(p + "/a", p + "/b")
+    assert set(df.columns) == {"id", "extra"}
+    assert df.filter(F.col("extra").isNull()).count() == 3
