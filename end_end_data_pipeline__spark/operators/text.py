@@ -502,3 +502,87 @@ def bm25_topk(
         F.col("__id").alias(id_col),
         (F.col("score_q").cast("double") / F.lit(1e9)).alias("score"),
     )
+
+
+def learn_bpe_merges(
+    docs,
+    n_merges: int = 3,
+    text_col: str = "text",
+):
+    """Learn the first ``n_merges`` byte-pair-encoding merges from the
+    corpus — the tokenizer-training step of an LLM data pipeline.
+    Classic frequency BPE (Sennrich et al. 2016): words become
+    space-delimited symbol strings ("h e l l o"); each round counts
+    adjacent symbol pairs weighted by word frequency, merges the most
+    frequent pair corpus-wide (ties broken lexicographically), and
+    rewrites the vocabulary.  Only [a-z]+ word forms participate so
+    symbols are regex-literal-safe.
+
+    Returns one row per learned merge: (merge_rank, left_sym,
+    right_sym, merged, pair_count).
+
+    Determinism: pair counts are exact integer aggregates; the argmax
+    is total-ordered by (count desc, left, right); the rewrite is a
+    space-delimited non-overlapping regexp_replace, which scans
+    left-to-right identically in every regex engine (no lookaround,
+    no metacharacters).
+
+    Scale: everything after the first word-count agg operates on the
+    VOCABULARY (distinct word forms + counts), which is orders of
+    magnitude smaller than the corpus — millions of rows at web
+    scale, a frame per merge round, one narrow agg + a literal
+    rewrite each; the only driver data is one argmax row per round.
+    """
+    # vocabulary: distinct lowercase word forms with corpus frequency
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # " h e l l o " — padded, space-delimited symbol string
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.col("w"), ""), " "),
+                F.lit(" "),
+            ).alias("sym"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                F.posexplode(F.split(F.trim("sym"), " ")).alias("i", "s"),
+                "sym",
+                "n",
+            )
+            .withColumn(
+                "nxt",
+                F.try_element_at(F.split(F.trim("sym"), " "), F.col("i") + 2),
+            )
+            .filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("s").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("n").alias("c"))
+        )
+        top = pairs.orderBy(
+            F.desc("c"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], top[0]["c"]
+        merges.append((rank, a, b, a + b, c))
+        vocab = vocab.select(
+            F.regexp_replace(
+                "sym", f" {a} {b} ", f" {a}{b} "
+            ).alias("sym"),
+            "n",
+        ).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(merges, 1),
+        "merge_rank int, left_sym string, right_sym string,"
+        " merged string, pair_count bigint",
+    )

@@ -120,6 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "hierarchy_flatten_paths",
     "stream_stream_left_outer",
     "behavior_event_transitions",
+    "text_bpe_learn_merges",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -934,3 +934,78 @@ def behavior_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(norm)).alias("p"),
     )
+
+
+_BPE_ROUND = """
+        pairs{k} AS (
+            SELECT s[i] AS a, s[i + 1] AS b, SUM(n) AS c
+            FROM (
+                SELECT unnest(range(1, len(s))) AS i, s, n
+                FROM (
+                    SELECT string_split(trim(sym), ' ') AS s, n
+                    FROM vocab{j}
+                )
+            )
+            GROUP BY 1, 2
+        ),
+        top{k} AS (
+            SELECT a, b, c FROM pairs{k} ORDER BY c DESC, a, b LIMIT 1
+        ),
+        vocab{k} AS (
+            SELECT regexp_replace(
+                       v.sym,
+                       ' ' || t.a || ' ' || t.b || ' ',
+                       ' ' || t.a || t.b || ' ', 'g') AS sym,
+                   v.n
+            FROM vocab{j} v, top{k} t
+        )"""
+
+
+@register(
+    "text_bpe_learn_merges",
+    oracle=(
+        """
+        WITH vocab0 AS (
+            SELECT ' ' || array_to_string(string_split(w, ''), ' ')
+                       || ' ' AS sym,
+                   n
+            FROM (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+                FROM (
+                    SELECT lower(unnest(string_split(trim(text), ' '))) AS w
+                    FROM documents
+                )
+                WHERE regexp_matches(w, '^[a-z]+$')
+                GROUP BY w
+            )
+        ),"""
+        + _BPE_ROUND.format(k=1, j=0)
+        + ","
+        + _BPE_ROUND.format(k=2, j=1)
+        + ","
+        + _BPE_ROUND.format(k=3, j=2)
+        + """
+        SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym,
+               a || b AS merged, CAST(c AS BIGINT) AS pair_count
+        FROM top1
+        UNION ALL
+        SELECT 2, a, b, a || b, CAST(c AS BIGINT) FROM top2
+        UNION ALL
+        SELECT 3, a, b, a || b, CAST(c AS BIGINT) FROM top3
+    """
+    ),
+    survey_ids=("UD5", "F3", "A2"),
+)
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: the first 3 BPE merges learned from the
+    corpus (frequency BPE — count adjacent symbol pairs weighted by
+    word frequency, merge the argmax, rewrite, repeat).  Exact
+    integer counts, total-ordered argmax, and a delimiter-safe
+    non-overlapping regex rewrite make every round bit-identical to
+    the oracle's unrolled three rounds.  All post-wordcount work runs
+    on the VOCABULARY, not the corpus — see
+    :func:`operators.text.learn_bpe_merges`."""
+    from end_end_data_pipeline__spark.operators.text import learn_bpe_merges
+
+    docs = lake.load_table(spark, "documents", sf_dir)
+    return learn_bpe_merges(docs, n_merges=3)

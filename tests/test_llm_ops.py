@@ -523,3 +523,24 @@ def test_grid_radius_pairs_matches_brute_force(spark):
     assert deg == brute_deg
     with pytest.raises(ValueError, match="radius"):
         grid_radius_pairs(df, radius=0)
+
+
+def test_bpe_learn_merges_semantics(spark):
+    """Frequency BPE on a controlled corpus: argmax pair with
+    lexicographic tie-break, vocabulary rewrite between rounds, and
+    non-overlapping left-to-right merge application."""
+    from end_end_data_pipeline__spark.operators.text import learn_bpe_merges
+
+    # "aaab" x3, "ab" x2  ->  round 1 pairs: (a,a): 2 per aaab x3 = 6
+    # (overlapping occurrences both count), (a,b): 3 + 2 = 5
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab")], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in learn_bpe_merges(docs, n_merges=2).orderBy("merge_rank").collect()
+    ]
+    assert got[0] == (1, "a", "a", 6)
+    # after merging 'a a' -> 'aa': "aaab" becomes "aa a b" (left-to-right
+    # non-overlapping), so round 2 pairs: (aa,a):3, (a,b):3+2=5 -> (a,b) wins
+    assert got[1] == (2, "a", "b", 5)
