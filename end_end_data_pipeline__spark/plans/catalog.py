@@ -121,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stream_left_outer",
     "behavior_event_transitions",
     "text_bpe_learn_merges",
+    "pyds_generator_source",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

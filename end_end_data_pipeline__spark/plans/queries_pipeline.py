@@ -1408,3 +1408,60 @@ def format_roundtrip_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged = agg.select(F.lit(fmt).alias("fmt"), "*")
         out = tagged if out is None else out.unionByName(tagged)
     return out
+
+
+@register(
+    "pyds_generator_source",
+    oracle="""
+        WITH g AS (
+            SELECT i AS id,
+                   (i * 7919) % 1000 + 1 AS account_id,
+                   ['DEPOSIT', 'WITHDRAWAL', 'TRANSFER', 'PAYMENT',
+                    'REFUND', 'FEE', 'INTEREST'][(i % 7) + 1] AS txn_type,
+                   CASE WHEN i % 100 < 85 THEN 'COMPLETED'
+                        WHEN i % 100 < 93 THEN 'PENDING'
+                        WHEN i % 100 < 97 THEN 'FAILED'
+                        ELSE 'CANCELLED' END AS status,
+                   CAST((i * 31 + 7) % 1000000 AS DOUBLE)
+                       / CAST(100 AS DOUBLE) AS amount
+            FROM generate_series(0, 19999) AS t(i)
+        )
+        SELECT txn_type,
+               CAST(COUNT(*) AS BIGINT) AS n_txns,
+               CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS DOUBLE)
+                   AS total_amount,
+               CAST(MIN(id) AS BIGINT) AS min_id,
+               CAST(MAX(account_id) AS BIGINT) AS max_account
+        FROM g WHERE status = 'COMPLETED'
+        GROUP BY txn_type
+    """,
+    survey_ids=("S1", "S4", "S8", "UD4"),
+)
+def pyds_generator_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom CONNECTOR via the Python Data Source API: the
+    reference's single-threaded ~275 rows/s generator re-expressed as
+    a registered Spark source format — N planned input partitions,
+    vectorized numpy→Arrow batch synthesis on executors, and EqualTo
+    predicates PUSHED INTO the generator (the status filter here is
+    applied inside ``read()``; non-matching rows are never built).
+    Deterministic id arithmetic lets the oracle restate the whole
+    table with generate_series.  See ``sources/pyds.py``."""
+    from end_end_data_pipeline__spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("banking_gen")
+        .option("n_rows", 20000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return (
+        df.filter(F.col("status") == "COMPLETED")
+        .groupBy("txn_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_txns"),
+            dec_sum("amount", "total_amount"),
+            F.min("id").alias("min_id"),
+            F.max("account_id").alias("max_account"),
+        )
+    )

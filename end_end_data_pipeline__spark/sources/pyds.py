@@ -1,0 +1,143 @@
+"""Custom connector via the Python Data Source API (PySpark 4):
+a partition-parallel, filter-pushdown-capable re-implementation of
+the reference's row generator as a first-class Spark SOURCE.
+
+The reference generates banking rows with a single-threaded psycopg2
+loop at ~275 rows/s (reference ``data-generator/generator.py:168-208``,
+config ceiling in BASELINE.md).  Here the same domain surfaces as a
+``spark.read.format("banking_gen")`` table: the scan plans N input
+partitions, every executor synthesizes its slice vectorized with
+numpy into Arrow RecordBatches (no per-row Python), and supported
+predicates are PUSHED INTO the generator so filtered reads never
+materialize non-matching rows.
+
+All columns are deterministic integer arithmetic on the row id, so a
+SQL oracle can restate the whole table with ``generate_series`` —
+the same verifiability trick as the fixture embeddings.
+
+Usage::
+
+    spark.dataSource.register(BankingGeneratorDataSource)
+    df = (spark.read.format("banking_gen")
+          .option("n_rows", 20000).option("n_partitions", 8).load())
+
+CAVEAT (API behavior, asserted in tests/test_connectors.py): a loaded
+DataFrame's plan caches its reader INSTANCE, and ``pushFilters``
+mutates it — reusing one ``load()`` result across differently-filtered
+queries would leak the first query's pushed filters into the second.
+Build one ``load()`` per query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+TXN_TYPES = (
+    "DEPOSIT", "WITHDRAWAL", "TRANSFER", "PAYMENT", "REFUND", "FEE", "INTEREST",
+)
+# reference generator.py:49-54 — 85/8/4/3 status mix
+STATUS_BOUNDS = ((85, "COMPLETED"), (93, "PENDING"), (97, "FAILED"), (100, "CANCELLED"))
+
+_SCHEMA_DDL = (
+    "id long, account_id long, txn_type string, status string,"
+    " amount double, created_us long"
+)
+
+
+class _GenPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class BankingGeneratorReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 10_000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.eq_filters: dict[str, str] = {}
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept EqualTo on the two categorical columns (applied
+        inside the generator — non-matching rows are never built);
+        everything else is returned for Spark to evaluate."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute[0] in ("txn_type", "status"):
+                self.eq_filters[f.attribute[0]] = f.value
+            else:
+                yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        chunk = -(-self.n_rows // self.n_partitions)  # ceil
+        return [
+            _GenPartition(i * chunk, min((i + 1) * chunk, self.n_rows))
+            for i in range(self.n_partitions)
+            if i * chunk < self.n_rows
+        ]
+
+    def read(self, partition: _GenPartition):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = np.arange(partition.start, partition.end, dtype=np.int64)
+        txn_idx = ids % 7
+        status_pct = ids % 100
+        keep = np.ones(len(ids), dtype=bool)
+        if "txn_type" in self.eq_filters:
+            keep &= txn_idx == TXN_TYPES.index(self.eq_filters["txn_type"])
+        if "status" in self.eq_filters:
+            lo, hi = 0, 100
+            for bound, name in STATUS_BOUNDS:
+                if name == self.eq_filters["status"]:
+                    hi = bound
+                    break
+                lo = bound
+            keep &= (status_pct >= lo) & (status_pct < hi)
+        ids = ids[keep]
+        txn_idx = txn_idx[keep]
+        status_pct = status_pct[keep]
+        status = np.empty(len(ids), dtype=object)
+        lo = 0
+        for bound, name in STATUS_BOUNDS:
+            status[(status_pct >= lo) & (status_pct < bound)] = name
+            lo = bound
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array((ids * 7919) % 1000 + 1, pa.int64()),
+                pa.array([TXN_TYPES[i] for i in txn_idx], pa.string()),
+                pa.array(status, pa.string()),
+                pa.array(((ids * 31 + 7) % 1_000_000).astype(np.float64) / 100.0),
+                pa.array(1_700_000_000_000_000 + ids * 1_000_000, pa.int64()),
+            ],
+            names=["id", "account_id", "txn_type", "status", "amount", "created_us"],
+        )
+
+
+class BankingGeneratorDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "banking_gen"
+
+    def schema(self) -> str | StructType:
+        return _SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return BankingGeneratorReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the ``banking_gen`` format.  Python
+    data-source filter pushdown is opt-in (off by default); a reader
+    that implements ``pushFilters`` REFUSES to run without it, so the
+    flag is enabled here (runtime-settable, scoped to Python sources)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BankingGeneratorDataSource)

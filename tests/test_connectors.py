@@ -318,3 +318,46 @@ def test_stream_cdc_to_jdbc_live_exactly_once(spark, tmp_path, monkeypatch):
         crash_batch, 777, url, "accounts_live", ["id"], driver=driver
     ) is True
     assert state() == {1: 777.0, 2: 999.0}
+
+
+def test_pyds_banking_generator_pushdown(spark):
+    """Python Data Source connector: partition planning, vectorized
+    Arrow reads, and EqualTo pushdown INTO the generator (rejected
+    filters hand back to Spark)."""
+    import pyarrow as pa
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from end_end_data_pipeline__spark.sources import pyds
+
+    r = pyds.BankingGeneratorReader({"n_rows": "100", "n_partitions": "3"})
+    remaining = list(
+        r.pushFilters(
+            [EqualTo(("status",), "PENDING"), GreaterThan(("amount",), 1.0)]
+        )
+    )
+    assert len(remaining) == 1  # the range filter is NOT supported
+    parts = r.partitions()
+    assert len(parts) == 3
+    tbl = pa.Table.from_batches([b for p in parts for b in r.read(p)])
+    assert set(tbl.column("status").to_pylist()) == {"PENDING"}
+    assert tbl.num_rows == sum(1 for i in range(100) if 85 <= i % 100 < 93)
+
+    # end to end through the session: pushed filter == Spark-side filter
+    pyds.register(spark)
+
+    def load():
+        # one load() per query: the DataFrame's plan CACHES its reader
+        # instance, so a pushed filter would stick to a reused frame
+        # (documented in sources/pyds.py)
+        return (
+            spark.read.format("banking_gen")
+            .option("n_rows", 5000).option("n_partitions", 4).load()
+        )
+
+    import pyspark.sql.functions as F
+
+    n_pushed = load().filter(F.col("txn_type") == "FEE").count()
+    n_all = load().count()
+    assert n_all == 5000
+    assert n_pushed == sum(1 for i in range(5000) if i % 7 == 5)
+    assert load().rdd.getNumPartitions() == 4
