@@ -122,6 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "behavior_event_transitions",
     "text_bpe_learn_merges",
     "pyds_generator_source",
+    "pyds_stream_source_replay",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

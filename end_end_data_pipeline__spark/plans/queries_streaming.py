@@ -973,3 +973,56 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(sink)
+
+
+@register(
+    "pyds_stream_source_replay",
+    oracle="""
+        SELECT i AS id,
+               (i * 7919) % 1000 + 1 AS account_id,
+               ['DEPOSIT', 'WITHDRAWAL', 'TRANSFER', 'PAYMENT',
+                'REFUND', 'FEE', 'INTEREST'][(i % 7) + 1] AS txn_type,
+               CASE WHEN i % 100 < 85 THEN 'COMPLETED'
+                    WHEN i % 100 < 93 THEN 'PENDING'
+                    WHEN i % 100 < 97 THEN 'FAILED'
+                    ELSE 'CANCELLED' END AS status,
+               CAST((i * 31 + 7) % 1000000 AS DOUBLE)
+                   / CAST(100 AS DOUBLE) AS amount,
+               1700000000000000 + i * 1000000 AS created_us
+        FROM generate_series(0, 1499) AS t(i)
+    """,
+    survey_ids=("S2", "S3", "ST1", "ST6", "ST8"),
+)
+def pyds_stream_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source via the Python Data Source API with
+    explicit offset management: the banking generator emits 500-row
+    micro-batches (offset = next row id), and the query RESTARTS the
+    stream from its checkpoint repeatedly until the source is drained
+    — every restart resumes at the committed offset, so the sink holds
+    ids 0..1499 EXACTLY ONCE across all runs (the replayable-offsets
+    contract the reference's fire-and-forget consumer lacks,
+    ``sources/pyds.py``).  The oracle restates the drained table with
+    generate_series."""
+    from end_end_data_pipeline__spark.sources import pyds
+
+    pyds.register_stream(spark)
+    tmp = tempfile.mkdtemp(prefix="pyds_stream_")
+    sink, ckpt = os.path.join(tmp, "sink"), os.path.join(tmp, "ckpt")
+    n_rows = 1500
+    for _ in range(n_rows // 500 + 2):  # bounded: one batch per run
+        q = (
+            spark.readStream.format("banking_gen_stream")
+            .option("n_rows", n_rows)
+            .option("rows_per_batch", 500)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        done = spark.read.parquet(sink).count() >= n_rows
+        if done:
+            break
+    return spark.read.parquet(sink)

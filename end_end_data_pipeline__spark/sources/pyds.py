@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -141,3 +142,68 @@ def register(spark) -> None:
     flag is enabled here (runtime-settable, scoped to Python sources)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(BankingGeneratorDataSource)
+
+
+class BankingGeneratorStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector: a replayable micro-batch
+    source with EXPLICIT offset management — offsets are row ids, each
+    trigger emits the next ``rows_per_batch`` ids up to ``n_rows``,
+    and ``readBetweenOffsets`` regenerates any committed range
+    byte-identically, which is what makes checkpoint REPLAY exactly
+    once (the reference's pipeline has no offset story at all — its
+    consumer is fire-and-forget, reference ``consumer/consumer.py:21``).
+    """
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 10_000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 1_000))
+
+    def initialOffset(self) -> dict:
+        return {"next_id": 0}
+
+    def _rows(self, start: int, end: int):
+        # a LIST, not a generator: the prefetch cache copy.copy()s the
+        # returned iterator when slicing committed ranges
+        out = []
+        for i in range(start, end):
+            status_pct = i % 100
+            for bound, name in STATUS_BOUNDS:
+                if status_pct < bound:
+                    status = name
+                    break
+            out.append(
+                (
+                    i,
+                    (i * 7919) % 1000 + 1,
+                    TXN_TYPES[i % 7],
+                    status,
+                    float((i * 31 + 7) % 1_000_000) / 100.0,
+                    1_700_000_000_000_000 + i * 1_000_000,
+                )
+            )
+        return out
+
+    def read(self, start: dict):
+        s = start["next_id"]
+        e = min(s + self.rows_per_batch, self.n_rows)
+        return self._rows(s, e), {"next_id": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["next_id"], end["next_id"])
+
+
+class BankingGeneratorStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "banking_gen_stream"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return BankingGeneratorStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    """Idempotent registration of the ``banking_gen_stream`` format."""
+    spark.dataSource.register(BankingGeneratorStreamSource)
