@@ -123,6 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_learn_merges",
     "pyds_generator_source",
     "pyds_stream_source_replay",
+    "pyds_writer_sink_roundtrip",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -1465,3 +1465,47 @@ def pyds_generator_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("account_id").alias("max_account"),
         )
     )
+
+
+@register(
+    "pyds_writer_sink_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey <= 200
+    """,
+    survey_ids=("S5", "S7", "ST6"),
+)
+def pyds_writer_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Python Data Source API: an atomic
+    JSON-lines writer with the manifest-table commit protocol at
+    connector level — tasks stage files, the driver commit renames
+    them and writes a _MANIFEST naming exactly the committed files, so
+    readers never see a torn or orphaned file (the crash window the
+    reference's consumer leaves open).  The orders slice goes out
+    through the sink, comes back via the manifest-driven reader with a
+    pinned schema, and must hash-match the oracle's restatement — any
+    loss in the writer, the commit, or the JSON round-trip fails the
+    query.  See ``sources/pyds.py``."""
+    from end_end_data_pipeline__spark.sources import pyds
+
+    pyds.register_sink(spark)
+    slice_df = (
+        lake.load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_sink_"), "out")
+    os.makedirs(path)
+    (
+        slice_df.write.format("jsonl_atomic")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    return pyds.read_jsonl_atomic(spark, path, slice_df.schema)

@@ -31,14 +31,17 @@ Build one ``load()`` per query.
 from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -207,3 +210,106 @@ class BankingGeneratorStreamSource(DataSource):
 def register_stream(spark) -> None:
     """Idempotent registration of the ``banking_gen_stream`` format."""
     spark.dataSource.register(BankingGeneratorStreamSource)
+
+
+@dataclass
+class _JsonlCommit(WriterCommitMessage):
+    tmp_file: str
+    n_rows: int
+
+
+class JsonlAtomicWriter(DataSourceWriter):
+    """Batch WRITER half of the connector surface: an atomic
+    JSON-lines sink with the same two-phase protocol as the manifest
+    table — every task writes a staging file and reports it in its
+    commit message; ``commit`` on the driver renames the staged files
+    into place and writes a ``_MANIFEST`` naming exactly the committed
+    files (readers list the manifest, never the directory, so a
+    crashed or speculative task's orphan staging file is invisible);
+    ``abort`` removes the staging dir.  The reference's consumer
+    writes lake files with NO commit protocol — a crash mid-flush
+    leaves a torn file readers trip over (reference
+    ``consumer/consumer.py:44-49``); this sink is the corrected
+    design at connector level."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_atomic requires a 'path' option")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _JsonlCommit:
+        import json
+        import os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        stage_dir = os.path.join(self.path, "_staging")
+        os.makedirs(stage_dir, exist_ok=True)
+        tmp = os.path.join(
+            stage_dir, f"task-{tc.partitionId()}-{_uuid.uuid4().hex[:8]}.jsonl"
+        )
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommit(tmp_file=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        final_files = []
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            dest = os.path.join(self.path, os.path.basename(m.tmp_file))
+            os.replace(m.tmp_file, dest)
+            final_files.append(os.path.basename(dest))
+            total += m.n_rows
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            json.dump({"files": sorted(final_files), "n_rows": total}, f)
+        stage = os.path.join(self.path, "_staging")
+        if os.path.isdir(stage):
+            for leftover in os.listdir(stage):
+                os.remove(os.path.join(stage, leftover))
+            os.rmdir(stage)
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class JsonlAtomicSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_atomic"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return JsonlAtomicWriter(self.options, overwrite)
+
+
+def read_jsonl_atomic(spark, path: str, schema):
+    """Manifest-driven read of a ``jsonl_atomic`` directory: only the
+    files the committed ``_MANIFEST`` names are read (orphans from
+    crashed tasks are invisible), with the schema pinned."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, fn) for fn in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
+def register_sink(spark) -> None:
+    """Idempotent registration of the ``jsonl_atomic`` sink format."""
+    spark.dataSource.register(JsonlAtomicSink)

@@ -395,3 +395,33 @@ def test_pyds_stream_source_offsets_and_restart(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == got.select("id").distinct().count()
     assert os.path.isdir(ckpt)
+
+
+def test_pyds_jsonl_atomic_sink_manifest_protocol(spark, tmp_path):
+    """The custom sink's two-phase commit: committed files are exactly
+    the manifest's list; an orphan staging file from a crashed task is
+    invisible to the manifest-driven reader."""
+    import json
+    import os
+
+    from end_end_data_pipeline__spark.sources import pyds
+
+    pyds.register_sink(spark)
+    path = str(tmp_path / "out")
+    os.makedirs(path)
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    df.repartition(4).write.format("jsonl_atomic").option("path", path).mode(
+        "append"
+    ).save()
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    assert manifest["n_rows"] == 100
+    assert not os.path.isdir(os.path.join(path, "_staging"))  # cleaned
+    # plant an orphan "crashed task" file — reader must not see it
+    os.makedirs(os.path.join(path, "_staging"))
+    with open(os.path.join(path, "task-9-deadbeef.jsonl"), "w") as f:
+        f.write('{"id": 999999, "v": 0}\n')
+    back = pyds.read_jsonl_atomic(spark, path, df.schema)
+    assert back.count() == 100
+    assert back.filter("id = 999999").count() == 0
+    assert back.agg({"v": "sum"}).first()[0] == sum(i * 2 for i in range(100))
