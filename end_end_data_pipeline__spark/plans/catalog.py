@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "pyds_generator_source",
     "pyds_stream_source_replay",
     "pyds_writer_sink_roundtrip",
+    "lateral_top2_orders_per_customer",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

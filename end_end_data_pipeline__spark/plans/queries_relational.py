@@ -709,3 +709,42 @@ def window_percentile_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@register(
+    "lateral_top2_orders_per_customer",
+    oracle="""
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+    """,
+    survey_ids=("J1", "O3", "W2"),
+)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the SQL surface for per-row
+    derived tables (each customer's two most expensive orders here).
+    Catalyst DECORRELATES the lateral into a ranked window over one
+    equi-join, so despite the per-row phrasing the physical plan is
+    the same shuffle-once top-k-per-group as the DataFrame variant
+    (``topk_orders_per_segment``) — no nested-loop re-execution per
+    outer row.  Ties are totally ordered; the oracle is the identical
+    LATERAL in DuckDB."""
+    lake.load_table(spark, "customer", sf_dir).createOrReplaceTempView(
+        "lat_customer"
+    )
+    lake.load_table(spark, "orders", sf_dir).createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM lat_customer c,
+        LATERAL (
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM lat_orders WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        """
+    )
