@@ -125,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "pyds_stream_source_replay",
     "pyds_writer_sink_roundtrip",
     "lateral_top2_orders_per_customer",
+    "udtf_props_fanout",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

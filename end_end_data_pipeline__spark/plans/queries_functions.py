@@ -164,3 +164,62 @@ def functions_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"),
         F.array_join(F.array_sort(words), ",").alias("sorted_words"),
     )
+
+
+@register(
+    "udtf_props_fanout",
+    oracle="""
+        WITH kv AS (
+            SELECT event_type,
+                   unnest(json_keys(props)) AS prop_key,
+                   props
+            FROM events WHERE props IS NOT NULL
+        )
+        SELECT event_type, prop_key,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(json_extract(props, '$.' || prop_key)
+                             AS BIGINT)) AS BIGINT) AS total_val,
+               CAST(MIN(CAST(json_extract(props, '$.' || prop_key)
+                             AS BIGINT)) AS BIGINT) AS min_val,
+               CAST(MAX(CAST(json_extract(props, '$.' || prop_key)
+                             AS BIGINT)) AS BIGINT) AS max_val
+        FROM kv
+        GROUP BY 1, 2
+    """,
+    survey_ids=("UD4", "F10", "F12"),
+)
+def udtf_props_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python USER-DEFINED TABLE FUNCTION (the PySpark 4 `@udtf`
+    surface, UD4): a per-row JSON property exploder registered as a
+    SQL table function and applied via LATERAL — each event's props
+    document fans out to (key, value) rows, then rolls up per event
+    type.  UDTFs run row-at-a-time Python; this catalog keeps them for
+    irregular fan-out API coverage and routes bulk JSON through the
+    JVM `from_json` path (`cdc_roundtrip_latest_state`) — that trade
+    is the docstring contract.  The oracle is DuckDB's native
+    `json_each` lateral."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="prop_key string, prop_val long")
+    class ParseProps:
+        def eval(self, props: str):
+            import json as _json
+
+            if props:
+                doc = _json.loads(props)
+                for k in sorted(doc):
+                    yield (k, int(doc[k]))
+
+    spark.udtf.register("parse_props", ParseProps)
+    lake.load_table(spark, "events", sf_dir).createOrReplaceTempView("udtf_events")
+    return spark.sql(
+        """
+        SELECT e.event_type, t.prop_key,
+               COUNT(*) AS n_events,
+               SUM(t.prop_val) AS total_val,
+               MIN(t.prop_val) AS min_val,
+               MAX(t.prop_val) AS max_val
+        FROM udtf_events e, LATERAL parse_props(e.props) t
+        GROUP BY 1, 2
+        """
+    )
