@@ -1449,3 +1449,22 @@ def restore(spark: SparkSession, target: str, version: int) -> int:
         },
     )
     return versions[-1] + 1
+
+
+def dml_retry(fn, *args, max_attempts: int = 4, **kwargs) -> int:
+    """Bounded optimistic-concurrency loop for the DML surface —
+    ``dml_retry(delete_where, spark, target, conjuncts)`` /
+    ``dml_retry(update_where, spark, target, conjuncts, set_exprs)`` /
+    ``dml_retry(restore, spark, target, v)``.  Same contract as
+    :func:`merge_versioned_retry`: each attempt re-reads the (now
+    newer) manifest and re-derives its rewrite against it, so a lost
+    commit race is re-applied on fresh state, never blindly
+    re-committed.  Raises the final :class:`RuntimeError` when every
+    attempt loses."""
+    last: RuntimeError | None = None
+    for _ in range(max_attempts):
+        try:
+            return fn(*args, **kwargs)
+        except RuntimeError as e:  # lost the commit race; state moved on
+            last = e
+    raise last  # type: ignore[misc]

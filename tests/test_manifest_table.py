@@ -1232,3 +1232,43 @@ def test_dml_skips_unmatched_buckets_by_stats(spark, tmp_path):
     for b in carried:
         for f in before[b]:
             assert not mt._file_matches(stats.get(f), "id", "=", 7)
+
+
+def test_dml_retry_reapplies_on_commit_race(spark, tmp_path, monkeypatch):
+    """A DELETE that loses its first commit race must re-derive against
+    the NEW state and still apply correctly — the racing merge's row
+    survives, the delete's targets are gone."""
+    target = _dml_table(spark, tmp_path)
+    real_commit = mt._commit_manifest
+    raced = {"done": False}
+
+    def race_once(spark_, target_, manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            # concurrent writer merges a NEW row (below the delete
+            # threshold) and wins the version
+            mt.merge_versioned(
+                _batch(spark, [(99, 50.0, "c", 9)]), target, ["id"]
+            )
+        return real_commit(spark_, target_, manifest)
+
+    monkeypatch.setattr(mt, "_commit_manifest", race_once)
+    v = mt.dml_retry(
+        mt.delete_where, spark, target, [("amount", ">=", 150.0)]
+    )
+    assert v == 3  # racer took v2, retry committed v3
+    got = sorted(r["id"] for r in mt.read_snapshot(spark, target).collect())
+    assert got == list(range(1, 15)) + [99]  # racer's row survived
+
+
+def test_dml_retry_exhaustion_raises(spark, tmp_path, monkeypatch):
+    target = _dml_table(spark, tmp_path)
+
+    def always_lose(*a, **k):
+        raise RuntimeError("lost the race (simulated)")
+
+    monkeypatch.setattr(mt, "_commit_manifest", always_lose)
+    with pytest.raises(RuntimeError, match="simulated"):
+        mt.dml_retry(
+            mt.delete_where, spark, target, [("id", "=", 1)], max_attempts=2
+        )
