@@ -129,6 +129,8 @@ _PRIORITY: tuple[str, ...] = (
     "pyds_writer_sink_roundtrip",
     "lateral_top2_orders_per_customer",
     "udtf_props_fanout",
+    "scd2_point_in_time_join",
+    "approx_percentile_error_bound",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

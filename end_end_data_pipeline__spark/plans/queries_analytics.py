@@ -1009,3 +1009,150 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = lake.load_table(spark, "documents", sf_dir)
     return learn_bpe_merges(docs, n_merges=3)
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+        WITH changes AS (
+            SELECT o_orderkey, o_totalprice, 'c' AS op,
+                   CAST(1 AS BIGINT) AS ts_ms
+            FROM orders WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice + 50.0, 'u', CAST(2 AS BIGINT)
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey, NULL, 'd', CAST(3 AS BIGINT)
+            FROM orders WHERE o_orderkey % 20 = 0
+        ), versioned AS (
+            SELECT o_orderkey, o_totalprice, op, ts_ms,
+                   lead(ts_ms) OVER (PARTITION BY o_orderkey
+                                     ORDER BY ts_ms,
+                                              CASE op WHEN 'd' THEN 3
+                                                      WHEN 'u' THEN 2
+                                                      ELSE 1 END) AS next_ts
+            FROM changes
+        ), dim AS (
+            SELECT o_orderkey, o_totalprice AS price,
+                   ts_ms AS valid_from, next_ts AS valid_to
+            FROM versioned WHERE op <> 'd'
+        ), facts AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_linenumber % 3 + 1 AS BIGINT) AS fact_ts,
+                   CAST(l_quantity AS DOUBLE) AS quantity
+            FROM lineitem WHERE l_orderkey % 5 = 0
+        )
+        SELECT f.l_orderkey, f.l_linenumber, f.fact_ts, f.quantity,
+               d.price AS price_at_fact
+        FROM facts f LEFT JOIN dim d
+          ON d.o_orderkey = f.l_orderkey
+         AND d.valid_from <= f.fact_ts
+         AND (d.valid_to IS NULL OR f.fact_ts < d.valid_to)
+    """,
+    survey_ids=("J7", "ST5", "W3", "J4"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 dimension: every
+    lineitem fact joins the dim VERSION that was valid at its event
+    time — the warehouse query SCD2 exists for.  A fact whose time
+    falls after the key's delete (or before its insert) gets NULL —
+    history is honest, not latest-wins.  Plan: the dim is built once
+    via the CDC wire (same recipe as ``scd2_order_history``), then ONE
+    equi-join on the key with the interval predicate in the join
+    condition — fan-out bounded by versions-per-key (≤2 here), no
+    range explosion."""
+    orders = lake.load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+    from end_end_data_pipeline__spark.sources import cdc
+
+    inserts = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "*", F.lit("c").alias("op"), F.lit(1).cast("long").alias("ts_ms")
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 50.0)
+        .select("*", F.lit("u").alias("op"), F.lit(2).cast("long").alias("ts_ms"))
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        "*", F.lit("d").alias("op"), F.lit(3).cast("long").alias("ts_ms")
+    )
+    wire = cdc.encode_envelope(
+        inserts.unionByName(updates).unionByName(deletes), "op", "ts_ms", "orders"
+    )
+    changes = cdc.decode(
+        cdc.parse_envelope(wire, inserts.drop("op", "ts_ms").schema),
+        ["o_orderkey"],
+    )
+    hist = cdc.scd2_history(changes, ["o_orderkey"])
+    dim = hist.filter(F.col("image").isNotNull()).select(
+        F.col("o_orderkey").alias("d_orderkey"),
+        F.col("image.o_totalprice").alias("price"),
+        F.col("valid_from_ms").alias("valid_from"),
+        F.col("valid_to_ms").alias("valid_to"),
+    )
+    facts = (
+        lake.load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_linenumber") % 3 + 1).cast("long").alias("fact_ts"),
+            F.col("l_quantity").cast("double").alias("quantity"),
+        )
+    )
+    joined = facts.join(
+        dim,
+        (F.col("d_orderkey") == F.col("l_orderkey"))
+        & (F.col("valid_from") <= F.col("fact_ts"))
+        & (F.col("valid_to").isNull() | (F.col("fact_ts") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "fact_ts",
+        "quantity",
+        F.col("price").alias("price_at_fact"),
+    )
+
+
+@register(
+    "approx_percentile_error_bound",
+    # sketch estimates are engine-specific: the oracle checks the
+    # EXACT percentiles by value and the KLL-style sketch by its
+    # accuracy contract (same shape as approx_distinct_users_daily)
+    oracle="""
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.5) AS exact_p50,
+               quantile_cont(o_totalprice, 0.9) AS exact_p90,
+               TRUE AS approx_within_bound
+        FROM orders GROUP BY o_orderpriority
+    """,
+    survey_ids=("A8", "A4"),
+)
+def approx_percentile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile: ``approx_percentile`` (one-pass,
+    mergeable, bounded memory) next to the exact form, checked by its
+    ACCURACY CONTRACT — with accuracy=10000 the estimate must be a
+    true order statistic within 1% rank error, which for these
+    distributions keeps it within 2% of the exact value; a broken
+    sketch misses by orders of magnitude.  Exact percentiles are
+    value-checked against the oracle."""
+    orders = lake.load_table(spark, "orders", sf_dir)
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("exact_p50"),
+        F.percentile("o_totalprice", 0.9).alias("exact_p90"),
+        F.approx_percentile("o_totalprice", 0.5, 10000).alias("ap50"),
+        F.approx_percentile("o_totalprice", 0.9, 10000).alias("ap90"),
+    )
+    within = (
+        (F.abs(F.col("ap50") - F.col("exact_p50")) <= 0.02 * F.col("exact_p50"))
+        & (F.abs(F.col("ap90") - F.col("exact_p90")) <= 0.02 * F.col("exact_p90"))
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_p50",
+        "exact_p90",
+        within.alias("approx_within_bound"),
+    )
