@@ -1509,3 +1509,53 @@ def pyds_writer_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .save()
     )
     return pyds.read_jsonl_atomic(spark, path, slice_df.schema)
+
+
+@register(
+    "federated_jdbc_parquet_join",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                   AS total_acctbal
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE n.n_regionkey <= 2
+        GROUP BY n.n_name
+    """,
+    survey_ids=("S1", "J1", "A2"),
+)
+def federated_jdbc_parquet_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEDERATED query: the nation dimension lives in a live OLTP
+    database (embedded Derby over JDBC — the reference's system of
+    record, ``SCHEMA.sql``), the customer fact in the parquet lake;
+    one query joins across both sources.  The region filter on the
+    JDBC side is pushed into the REMOTE scan (V1 JDBC PushedFilters —
+    plan-asserted in tests/test_connectors.py for this source), the
+    25-row dim broadcasts into the fact join, and the aggregate is
+    decimal-exact.  The oracle restates the join from the parquet
+    mirrors — any fidelity loss through the OLTP round-trip
+    hash-fails."""
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='fed_')}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nation = lake.load_table(spark, "nation", sf_dir)
+    (
+        nation.write.format("jdbc")
+        .option("url", url).option("dbtable", "nation")
+        .option("driver", driver).mode("overwrite").save()
+    )
+    dim = (
+        lake.read_jdbc(spark, url, "nation", driver=driver)
+        .filter(F.col("n_regionkey") <= 2)
+        .select("n_nationkey", "n_name")
+    )
+    customer = lake.load_table(spark, "customer", sf_dir)
+    return (
+        customer.join(
+            F.broadcast(dim), dim.n_nationkey == customer.c_nationkey
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum("c_acctbal", "total_acctbal"),
+        )
+    )
