@@ -284,6 +284,36 @@ def minhash_signatures(
     return inv.groupBy("doc").agg(*mins)
 
 
+def _banded(sig: DataFrame, num_hashes: int, bands: int, hash_family: str) -> DataFrame:
+    """(doc, band, bh) band-key rows from a signature frame — the LSH
+    bucketing shared by the self-join and incremental paths.  md5
+    family uses '|'-joined raw signature slices (DuckDB-replicable);
+    xxhash64 compresses the slice to one long."""
+    r = num_hashes // bands
+    if hash_family == "md5":
+        band_cols = [
+            F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)]).alias(
+                f"band{b}"
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(*[F.col(f"h{b * r + i}") for i in range(r)]).alias(f"band{b}")
+            for b in range(bands)
+        ]
+    banded = sig.select("doc", *band_cols)
+    return banded.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("x"),
+    ).select("doc", "x.band", "x.bh")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -310,28 +340,7 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_family)
-    if hash_family == "md5":
-        band_cols = [
-            F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)]).alias(
-                f"band{b}"
-            )
-            for b in range(bands)
-        ]
-    else:
-        band_cols = [
-            F.xxhash64(*[F.col(f"h{b * r + i}") for i in range(r)]).alias(f"band{b}")
-            for b in range(bands)
-        ]
-    banded = sig.select("doc", *band_cols)
-    unpivot = banded.select(
-        "doc",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("x"),
-    ).select("doc", "x.band", "x.bh")
+    unpivot = _banded(sig, num_hashes, bands, hash_family)
     a, b_ = unpivot.alias("a"), unpivot.alias("b")
     candidates = (
         a.join(
@@ -507,4 +516,56 @@ def simhash_neardup_pairs(
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float = 0.5,
+    hash_family: str = "xxhash64",
+    corpus_sig: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dedup: a new ingest batch checked against the
+    historical corpus — the production shape (daily ingest vs index)
+    where the corpus's signatures are computed ONCE and reused
+    (pass ``corpus_sig``; the corpus is then only touched for the
+    exact-verify of actual candidates).  Asymmetric band join: batch
+    bands probe corpus bands, so cost is O(batch × collisions), never
+    corpus².  Doc ids must be disjoint across the two frames.
+
+    Output: (doc_new, doc_old, jaccard ≥ verify_threshold) — every
+    batch document with a near-duplicate already in the corpus.
+    """
+    sig_c = (
+        corpus_sig
+        if corpus_sig is not None
+        else minhash_signatures(corpus, text_col, id_col, n, num_hashes, hash_family)
+    )
+    sig_b = minhash_signatures(batch, text_col, id_col, n, num_hashes, hash_family)
+    bands_c = _banded(sig_c, num_hashes, bands, hash_family)
+    bands_b = _banded(sig_b, num_hashes, bands, hash_family)
+    candidates = (
+        bands_b.alias("a")
+        .join(
+            bands_c.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    shingles_both = _doc_shingles(batch, text_col, id_col, n).unionByName(
+        _doc_shingles(corpus, text_col, id_col, n)
+    )
+    return _verify_exact_jaccard(
+        candidates, shingles_both, verify_threshold
+    ).select(
+        F.col("doc_a").alias("doc_new"),
+        F.col("doc_b").alias("doc_old"),
+        "jaccard",
     )

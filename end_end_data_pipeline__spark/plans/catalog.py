@@ -132,6 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_point_in_time_join",
     "approx_percentile_error_bound",
     "federated_jdbc_parquet_join",
+    "dedup_incremental_batch",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -1862,3 +1862,79 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
     keep = F.when(F.col("lang") == "en", prefix < "80").otherwise(prefix < "e7")
     return docs.filter(keep).groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+def _minhash_incr_oracle(num_hashes: int = 32, bands: int = 8, thr: float = 0.5) -> str:
+    """DuckDB replica of ``dedup.minhash_lsh_pairs_incremental`` on the
+    %5 corpus/batch split: signatures are per-document (identical
+    whichever frame computes them), so the oracle builds one signature
+    table and applies the batch/corpus constraint at the band join."""
+    r = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(h1 + {i} * h2) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bh FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(h{b * r + i} AS VARCHAR)" for i in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_SHINGLE_CTE},
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM ds),
+        hh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(s), 1, 13))::BIGINT AS h1,
+                   ('0x' || substr(md5(s), 14, 13))::BIGINT AS h2
+            FROM inv
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM hh GROUP BY doc_id
+        ),
+        bands AS (
+            {band_rows}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bh = b.bh
+             AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        )
+        SELECT c.doc_new, c.doc_old,
+               CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                 AS jaccard
+        FROM cand c
+        JOIN ds x ON x.doc_id = c.doc_new
+        JOIN ds y ON y.doc_id = c.doc_old
+        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {thr}
+    """
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=_minhash_incr_oracle(),
+    survey_ids=("UD6", "J9", "ST8"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup — the shape a production ingest actually
+    runs: today's batch (doc_id %5 == 0) is checked against the
+    historical corpus (the rest) by an ASYMMETRIC banded-LSH join, so
+    cost is O(batch × collisions), never corpus²; corpus signatures
+    are computed once and reusable across batches
+    (``dedup.minhash_lsh_pairs_incremental``).  md5 family → the full
+    probabilistic pipeline is bit-replicated by the oracle."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.minhash_lsh_pairs_incremental(
+        corpus, batch, "text", "doc_id",
+        n=3, num_hashes=32, bands=8,
+        verify_threshold=0.5, hash_family="md5",
+    )

@@ -544,3 +544,37 @@ def test_bpe_learn_merges_semantics(spark):
     # after merging 'a a' -> 'aa': "aaab" becomes "aa a b" (left-to-right
     # non-overlapping), so round 2 pairs: (aa,a):3, (a,b):3+2=5 -> (a,b) wins
     assert got[1] == (2, "a", "b", 5)
+
+
+def test_incremental_minhash_reuses_corpus_signatures(spark):
+    """The incremental path with PRECOMPUTED corpus signatures must
+    equal the from-scratch run, and find a planted near-dup of a
+    corpus doc arriving in the batch."""
+    corpus_rows = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta doc{i} x y z")
+        for i in range(10)
+    ]
+    # batch doc 100 = near-copy of corpus doc 3; 101 = novel
+    batch_rows = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta doc3 x y w"),
+        (101, "totally different words with no overlap at all here now"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    fresh = {
+        (r["doc_new"], r["doc_old"])
+        for r in dedup.minhash_lsh_pairs_incremental(
+            corpus, batch, "text", "doc_id", verify_threshold=0.5
+        ).collect()
+    }
+    assert (100, 3) in fresh
+    assert all(new != 101 for new, _ in fresh)
+    sig = dedup.minhash_signatures(corpus, "text", "doc_id")
+    cached = {
+        (r["doc_new"], r["doc_old"])
+        for r in dedup.minhash_lsh_pairs_incremental(
+            corpus, batch, "text", "doc_id",
+            verify_threshold=0.5, corpus_sig=sig,
+        ).collect()
+    }
+    assert cached == fresh
