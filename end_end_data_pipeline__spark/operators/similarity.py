@@ -544,3 +544,73 @@ def kmeans_fixed_point(
         )
         assigned = assign(cent)
     return assigned.select(F.col("__id").alias(id_col), F.col("cid").alias("centroid_id"))
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 3,
+    pool: int = 8,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: diversified top-k — each
+    pick maximizes ``relevance − max-similarity-to-already-picked``
+    (λ=0.5 MMR; the λ factor scales both terms equally so it cancels
+    from the argmax).  The retrieval pattern behind "don't return five
+    copies of the same document".
+
+    Two stages, costed separately: the DISTRIBUTED stage scans the
+    corpus for the top-``pool`` candidates by quantized-integer dot
+    product (TakeOrderedAndProject — this is the part that sees all N
+    vectors); the greedy re-rank then runs over that bounded pool
+    client-side — the textbook split, since MMR is inherently
+    sequential and the pool is k-sized.  All arithmetic is exact
+    scaled-BIGINT (same quantization as ``kmeans_fixed_point``), so
+    picks are bit-deterministic and SQL-replicable.  Ties break on id.
+
+    Returns (rank, id, relevance) for the k picks.
+    """
+    spark = emb.sparkSession
+    qv = F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+    q = emb.filter(F.col(id_col) == query_id).select(qv.alias("q"))
+    qvec = q.collect()[0]["q"]  # one bounded row
+    lit_q = F.array(*[F.lit(int(c)).cast("long") for c in qvec])
+    dot_q = F.aggregate(
+        F.zip_with(qv, lit_q, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pool_df = (
+        emb.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col).alias("id"), qv.alias("v"), dot_q.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("id"))
+        .limit(pool)
+    )
+    cands = [(r["id"], r["rel"], list(r["v"])) for r in pool_df.collect()]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    picked: list[tuple[int, int]] = []  # (id, rel)
+    picked_vecs: list[list[int]] = []
+    remaining = list(cands)
+    for _ in range(min(k, len(cands))):
+        best = max(
+            remaining,
+            key=lambda c: (
+                c[1] - max((dot(c[2], s) for s in picked_vecs), default=0),
+                -c[0],
+            ),
+        )
+        picked.append((best[0], best[1]))
+        picked_vecs.append(best[2])
+        remaining = [c for c in remaining if c[0] != best[0]]
+    rows = [(i + 1, pid, rel) for i, (pid, rel) in enumerate(picked)]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "rank int, vec_id long, relevance long",
+    )

@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "approx_percentile_error_bound",
     "federated_jdbc_parquet_join",
     "dedup_incremental_batch",
+    "embedding_mmr_rerank",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -1156,3 +1156,70 @@ def approx_percentile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame
         "exact_p90",
         within.alias("approx_within_bound"),
     )
+
+
+@register(
+    "embedding_mmr_rerank",
+    oracle="""
+        WITH qv AS (
+            SELECT list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+            FROM embeddings WHERE vec_id = 0
+        ),
+        vv AS (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        rel AS (
+            SELECT vec_id, SUM(v[i] * q[i]) AS rel
+            FROM vv, qv, unnest(range(1, 65)) AS t(i)
+            GROUP BY vec_id
+        ),
+        pool AS (
+            SELECT r.vec_id, r.rel, v.v
+            FROM rel r JOIN vv v USING (vec_id)
+            ORDER BY r.rel DESC, r.vec_id LIMIT 8
+        ),
+        sims AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(a.v[i] * b.v[i]) AS s
+            FROM pool a, pool b, unnest(range(1, 65)) AS t(i)
+            GROUP BY 1, 2
+        ),
+        p1 AS (
+            SELECT vec_id, rel FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+        ),
+        p2 AS (
+            SELECT c.vec_id, c.rel
+            FROM pool c, p1
+            JOIN sims s1 ON s1.ia = c.vec_id AND s1.ib = p1.vec_id
+            WHERE c.vec_id <> p1.vec_id
+            ORDER BY c.rel - s1.s DESC, c.vec_id LIMIT 1
+        ),
+        p3 AS (
+            SELECT c.vec_id, c.rel
+            FROM pool c, p1, p2
+            JOIN sims s1 ON s1.ia = c.vec_id AND s1.ib = p1.vec_id
+            JOIN sims s2 ON s2.ia = c.vec_id AND s2.ib = p2.vec_id
+            WHERE c.vec_id NOT IN (p1.vec_id, p2.vec_id)
+            ORDER BY c.rel - greatest(s1.s, s2.s) DESC, c.vec_id LIMIT 1
+        )
+        SELECT 1 AS rank, vec_id, CAST(rel AS BIGINT) AS relevance FROM p1
+        UNION ALL SELECT 2, vec_id, CAST(rel AS BIGINT) FROM p2
+        UNION ALL SELECT 3, vec_id, CAST(rel AS BIGINT) FROM p3
+    """,
+    survey_ids=("UD7", "O2", "F13"),
+)
+def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: MMR re-ranking of the query vec_id=0's
+    top-8 neighbor pool down to 3 picks — each pick maximizes
+    relevance minus max-similarity-to-already-picked, so the result
+    set covers the space instead of clustering around the top hit.
+    Distributed top-pool scan + client-side greedy over the bounded
+    pool (MMR is inherently sequential), all in exact scaled-integer
+    arithmetic — the oracle unrolls the same three picks.  See
+    :func:`operators.similarity.mmr_rerank`."""
+    from end_end_data_pipeline__spark.operators.similarity import mmr_rerank
+
+    emb = lake.load_table(spark, "embeddings", sf_dir)
+    return mmr_rerank(emb, query_id=0, k=3, pool=8)
