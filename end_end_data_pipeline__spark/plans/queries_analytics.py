@@ -995,6 +995,7 @@ _BPE_ROUND = """
     """
     ),
     survey_ids=("UD5", "F3", "A2"),
+    bench=True,
 )
 def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training: the first 3 BPE merges learned from the

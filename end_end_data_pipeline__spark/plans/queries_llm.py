@@ -1921,6 +1921,7 @@ def _minhash_incr_oracle(num_hashes: int = 32, bands: int = 8, thr: float = 0.5)
     "dedup_incremental_batch",
     oracle=_minhash_incr_oracle(),
     survey_ids=("UD6", "J9", "ST8"),
+    bench=True,
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dedup — the shape a production ingest actually
