@@ -134,6 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "federated_jdbc_parquet_join",
     "dedup_incremental_batch",
     "embedding_mmr_rerank",
+    "governance_masked_customers",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -1224,3 +1224,41 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = lake.load_table(spark, "embeddings", sf_dir)
     return mmr_rerank(emb, query_id=0, k=3, pool=8)
+
+
+@register(
+    "governance_masked_customers",
+    oracle="""
+        SELECT c_custkey,
+               md5(c_name) AS c_name,
+               repeat('*', greatest(len(CAST(c_nationkey AS VARCHAR)) - 4, 0))
+                   || CASE WHEN len(CAST(c_nationkey AS VARCHAR)) >= 4
+                           THEN substr(CAST(c_nationkey AS VARCHAR),
+                                       len(CAST(c_nationkey AS VARCHAR)) - 3, 4)
+                           ELSE CAST(c_nationkey AS VARCHAR) END
+                   AS c_nationkey,
+               CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS c_acctbal,
+               c_mktsegment
+        FROM customer
+    """,
+    survey_ids=("P7", "F4", "F1"),
+)
+def governance_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level dynamic data masking over the customer dimension:
+    names become deterministic md5 pseudonyms (still joinable),
+    nation keys display-mask to their last 4 characters, balances
+    generalize to 1000-wide buckets (aggregates stay meaningful),
+    segment passes through — pure codegen'd JVM expressions, no UDF.
+    The masked frame keeps column names/types, so it is a drop-in
+    serving view.  See ``functions/masking.py``."""
+    from end_end_data_pipeline__spark.functions.masking import apply_policy
+
+    customer = lake.load_table(spark, "customer", sf_dir)
+    return apply_policy(
+        customer,
+        {
+            "c_name": "hash",
+            "c_nationkey": "partial",
+            "c_acctbal": "bucket:1000",
+        },
+    )

@@ -302,3 +302,35 @@ def test_flatten_hierarchy_cycle_guard_and_shapes(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 1)], "node long, parent long")
     out = flatten_hierarchy(cyc, max_depth=5).collect()
     assert all(r["depth"] == 5 for r in out)
+
+
+def test_masking_policies_semantics(spark):
+    from end_end_data_pipeline__spark.functions import masking
+
+    df = spark.createDataFrame(
+        [(1, "alice@example.com", 4242424242424242, 1234.56),
+         (2, "alice@example.com", 9999888877776666, 999.99)],
+        "id long, email string, card long, bal double",
+    )
+    out = masking.apply_policy(
+        df, {"email": "hash", "card": "partial", "bal": "bucket:1000"}
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    # deterministic joinable pseudonym: same input -> same mask
+    assert rows[1]["email"] == rows[2]["email"]
+    assert rows[1]["email"] != "alice@example.com" and len(rows[1]["email"]) == 32
+    # display mask keeps last 4
+    assert rows[1]["card"].endswith("4242") and set(rows[1]["card"][:-4]) == {"*"}
+    # bucketed, type preserved
+    assert rows[1]["bal"] == 1000.0 and rows[2]["bal"] == 0.0
+    assert dict(out.dtypes)["bal"] == "double"
+    # schema shape preserved (names), id untouched
+    assert out.columns == df.columns and rows[1]["id"] == 1
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unknown column"):
+        masking.apply_policy(df, {"nope": "hash"})
+    with _p.raises(ValueError, match="unknown masking policy"):
+        masking.apply_policy(df, {"email": "rot13"})
+    with _p.raises(ValueError, match="width"):
+        masking.apply_policy(df, {"bal": "bucket:0"})
