@@ -135,6 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_batch",
     "embedding_mmr_rerank",
     "governance_masked_customers",
+    "integrity_table_checksums",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -1262,3 +1262,114 @@ def governance_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal": "bucket:1000",
         },
     )
+
+
+@register(
+    "integrity_table_checksums",
+    oracle="""
+        WITH o AS (
+            SELECT md5(CAST(o_orderkey AS VARCHAR) || '|'
+                       || CAST(o_custkey AS VARCHAR) || '|'
+                       || o_orderstatus || '|'
+                       || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                       || '|' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                       || '|' || o_orderpriority) AS h
+            FROM orders
+        ),
+        c AS (
+            SELECT md5(CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+                       || CAST(c_nationkey AS VARCHAR) || '|'
+                       || CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)
+                       || '|' || c_mktsegment) AS h
+            FROM customer
+        ),
+        l AS (
+            SELECT md5(CAST(l_orderkey AS VARCHAR) || '|'
+                       || CAST(l_linenumber AS VARCHAR) || '|'
+                       || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                       || '|'
+                       || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)
+                       || '|' || l_returnflag || '|'
+                       || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS h
+            FROM lineitem
+        )
+        SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               bit_xor(('0x' || substr(h, 1, 13))::BIGINT) AS checksum
+        FROM o
+        UNION ALL
+        SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+               bit_xor(('0x' || substr(h, 1, 13))::BIGINT)
+        FROM c
+        UNION ALL
+        SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+               bit_xor(('0x' || substr(h, 1, 13))::BIGINT)
+        FROM l
+    """,
+    survey_ids=("P7", "F4", "U1"),
+)
+def integrity_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints — the migration/replication
+    validation primitive: each row canonicalizes to a fixed-format
+    string (doubles through DECIMAL so rendering is engine-stable,
+    timestamps through an explicit format), hashes to a 52-bit md5
+    slice, and the per-table checksum is the XOR of all row hashes —
+    commutative and overflow-free, so ANY row-level drift between two
+    copies of a table flips the checksum regardless of row order or
+    partitioning.  One scan per table, map-side-combinable bit_xor
+    agg."""
+    def canon(parts):
+        return F.md5(F.concat_ws("|", *parts).cast("binary"))
+
+    def h52(c):
+        return F.conv(F.substring(c, 1, 13), 16, 10).cast("long")
+
+    def table_sum(df, name, parts):
+        return df.select(h52(canon(parts)).alias("h")).agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("checksum"),
+        )
+
+    money = lambda c: F.col(c).cast("decimal(18,2)").cast("string")  # noqa: E731
+    ts = lambda c: F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    orders = lake.load_table(spark, "orders", sf_dir)
+    customer = lake.load_table(spark, "customer", sf_dir)
+    lineitem = lake.load_table(spark, "lineitem", sf_dir)
+    return (
+        table_sum(
+            orders, "orders",
+            [
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                money("o_totalprice"),
+                ts("o_orderdate"),
+                F.col("o_orderpriority"),
+            ],
+        )
+        .unionByName(
+            table_sum(
+                customer, "customer",
+                [
+                    F.col("c_custkey").cast("string"),
+                    F.col("c_name"),
+                    F.col("c_nationkey").cast("string"),
+                    money("c_acctbal"),
+                    F.col("c_mktsegment"),
+                ],
+            )
+        )
+        .unionByName(
+            table_sum(
+                lineitem, "lineitem",
+                [
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    money("l_quantity"),
+                    money("l_extendedprice"),
+                    F.col("l_returnflag"),
+                    ts("l_shipdate"),
+                ],
+            )
+        )
+    )

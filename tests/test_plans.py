@@ -102,3 +102,24 @@ def test_dim_joins_broadcast(spark):
     plan = q.fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_reused_exchange_in_self_join_plan(spark):
+    """Self-referencing aggregates must REUSE the shuffled exchange,
+    not recompute it — the plan-level sign Spark dedups identical
+    subtrees (matters when a mart references the same rollup twice)."""
+    from pyspark.sql import functions as F
+
+    from end_end_data_pipeline__spark.sources import lake
+    from tests.conftest import SF_SMOKE
+
+    orders = lake.load_table(spark, "orders", SF_SMOKE)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("s")
+    )
+    joined = per_cust.alias("a").join(
+        per_cust.alias("b"), F.col("a.o_custkey") == F.col("b.o_custkey")
+    )
+    joined.collect()  # AQE finalizes the physical plan on execution
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
