@@ -136,6 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_mmr_rerank",
     "governance_masked_customers",
     "integrity_table_checksums",
+    "retention_dau_wau_stickiness",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -1373,3 +1373,64 @@ def integrity_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "retention_dau_wau_stickiness",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        dau AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+        ),
+        contrib AS (
+            SELECT CAST(day + i * INTERVAL 1 DAY AS DATE) AS target_day,
+                   user_id
+            FROM du, unnest(range(0, 7)) AS t(i)
+        ),
+        wau AS (
+            SELECT target_day AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM contrib GROUP BY 1
+        )
+        SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+               CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+        FROM dau d JOIN wau w ON d.day = w.day
+    """,
+    survey_ids=("A4", "A6", "W4"),
+)
+def retention_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day — the
+    growth-metrics mart.  The trailing DISTINCT count (which a window
+    frame cannot stream) becomes a CONTRIBUTION explode: each
+    (user, active day) pair contributes to the 7 target days it keeps
+    the user active for, then one distinct-count per target day —
+    linear × 7 in the distinct pairs, shuffles only on (day, user),
+    no per-day rescan of the week.  Days are exact date arithmetic;
+    stickiness is the same integer division on both sides.  Output is
+    restricted to days with observed DAU (inner join), so partial
+    leading weeks are visible via WAU > DAU."""
+    events = lake.load_table(spark, "events", sf_dir)
+    du = events.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
