@@ -123,3 +123,28 @@ def test_reused_exchange_in_self_join_plan(spark):
     joined.collect()  # AQE finalizes the physical plan on execution
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+
+
+def test_observe_metrics_surface(spark):
+    """df.observe(): per-query metrics ride the execution (no second
+    scan) — the monitoring hook a production pipeline attaches to
+    every sink write."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from end_end_data_pipeline__spark.sources import lake
+    from tests.conftest import SF_SMOKE
+
+    orders = lake.load_table(spark, "orders", SF_SMOKE)
+    obs = Observation("orders_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("total"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive"),
+    )
+    n = observed.filter(F.col("o_orderstatus") == "F").count()
+    metrics = obs.get
+    assert metrics["n_rows"] == orders.count()  # observed BEFORE the filter
+    assert metrics["nonpositive"] == 0
+    assert metrics["total"] > 0 and n > 0
