@@ -148,3 +148,60 @@ def test_observe_metrics_surface(spark):
     assert metrics["n_rows"] == orders.count()  # observed BEFORE the filter
     assert metrics["nonpositive"] == 0
     assert metrics["total"] > 0 and n > 0
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS lands row/size stats in the
+    catalog — what the cost-based optimizer keys broadcast and join
+    ordering from when AQE's runtime stats are not yet available."""
+    from pyspark.sql import functions as F
+
+    name = "t_cbo_stats"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 100).alias("k")
+    ).write.saveAsTable(name)
+    try:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS k")
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        stats_row = [r for r in desc if r["col_name"] == "Statistics"]
+        assert stats_row and "rows" in stats_row[0]["data_type"]
+        coldesc = spark.sql(f"DESCRIBE EXTENDED {name} k").collect()
+        got = {r["info_name"]: r["info_value"] for r in coldesc}
+        assert got.get("distinct_count") not in (None, "NULL")
+        assert int(got["distinct_count"]) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_sorted_export_uses_range_partitioning(spark, tmp_path):
+    """A globally-sorted export must sample-range-partition (parallel
+    sort), not single-partition sort, and each output file must be
+    internally ordered with disjoint ranges — the layout that makes
+    downstream merge reads and binary-search skipping possible."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from end_end_data_pipeline__spark.sources import lake
+    from tests.conftest import SF_SMOKE
+
+    orders = lake.load_table(spark, "orders", SF_SMOKE)
+    out = str(tmp_path / "sorted")
+    q = orders.repartitionByRange(4, "o_orderdate", "o_orderkey").sortWithinPartitions(
+        "o_orderdate", "o_orderkey"
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    q.write.parquet(out)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    bounds = []
+    for f in files:
+        pdf = spark.read.parquet(f).select("o_orderdate", "o_orderkey").toPandas()
+        keys = list(zip(pdf["o_orderdate"], pdf["o_orderkey"]))
+        assert keys == sorted(keys), f  # internally ordered
+        bounds.append((keys[0], keys[-1]))
+    bounds.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2  # disjoint ranges across files
