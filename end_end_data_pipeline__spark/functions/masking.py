@@ -9,8 +9,9 @@ policies, all pure JVM expressions (codegen'd, no UDF):
 - ``hash``: deterministic md5 pseudonym — JOINABLE (the same value
   masks identically everywhere, so fact/dim joins still line up) but
   not reversible without the original;
-- ``partial``: keep the LAST 4 characters, star the rest — the
-  card-number / account display convention;
+- ``partial``: keep the LAST 4 characters, star the rest (values of
+  4 or fewer characters star out entirely — never an identity mask) —
+  the card-number / account display convention;
 - ``bucket:N``: numeric generalization to floor-of-N buckets
   (k-anonymity-style coarsening that keeps aggregates meaningful);
 - ``null``: full suppression (type-preserving NULL).
@@ -32,8 +33,13 @@ def _mask_expr(col: Column, dtype: str, policy: str) -> Column:
         return F.md5(col.cast("string").cast("binary"))
     if policy == "partial":
         s = col.cast("string")
-        keep = F.substring(s, -4, 4)
-        stars = F.repeat(F.lit("*"), F.greatest(F.length(s) - 4, F.lit(0)))
+        # values of length <= 4 mask FULLY — keeping the last 4 of a
+        # 4-char value would be an identity function, not a mask
+        keep = F.when(F.length(s) > 4, F.substring(s, -4, 4)).otherwise(F.lit(""))
+        stars = F.repeat(
+            F.lit("*"),
+            F.when(F.length(s) > 4, F.length(s) - 4).otherwise(F.length(s)),
+        )
         return F.concat(stars, keep)
     if policy == "null":
         return F.lit(None).cast(dtype)

@@ -257,6 +257,9 @@ def flatten_hierarchy(
         F.col(parent_col).alias("cur"),
         F.lit(0).alias("depth"),
         F.col(id_col).cast("string").alias("path"),
+        # pre-seeded so an all-roots (or empty) forest — where the
+        # loop below never runs — still resolves the final select
+        F.lit(None).cast(parents.schema[id_col].dataType).alias("root_sofar"),
     ).localCheckpoint(eager=True)
     for _ in range(max_depth):
         pending = state.filter(F.col("cur").isNotNull()).limit(1).count()
@@ -278,9 +281,7 @@ def flatten_hierarchy(
                 )
                 .otherwise(F.col("path"))
                 .alias("path"),
-                F.coalesce(F.col("cur"), F.col("root_sofar")).alias("root_sofar")
-                if "root_sofar" in state.columns
-                else F.col("cur").alias("root_sofar"),
+                F.coalesce(F.col("cur"), F.col("root_sofar")).alias("root_sofar"),
             )
             .withColumnRenamed("next_cur", "cur")
         )

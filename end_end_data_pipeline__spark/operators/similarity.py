@@ -505,6 +505,12 @@ def kmeans_fixed_point(
         (r["__id"], list(r["q"]))
         for r in q.filter(F.col("__id") < k).collect()  # k rows, bounded
     )
+    if len(cent) != k:
+        raise ValueError(
+            f"k={k} seeds require ids 0..{k - 1} to exist; found "
+            f"{len(cent)} — pass a frame containing the seed ids or "
+            "re-key it"
+        )
 
     def assign(centroids):
         entries = []
@@ -577,7 +583,10 @@ def mmr_rerank(
         vec_col, lambda x: F.floor(x.cast("double") * scale).cast("long")
     )
     q = emb.filter(F.col(id_col) == query_id).select(qv.alias("q"))
-    qvec = q.collect()[0]["q"]  # one bounded row
+    q_rows = q.collect()  # one bounded row
+    if not q_rows:
+        raise ValueError(f"query id {query_id!r} not found in {id_col!r}")
+    qvec = q_rows[0]["q"]
     lit_q = F.array(*[F.lit(int(c)).cast("long") for c in qvec])
     dot_q = F.aggregate(
         F.zip_with(qv, lit_q, lambda a, b: a * b),
@@ -612,5 +621,5 @@ def mmr_rerank(
     rows = [(i + 1, pid, rel) for i, (pid, rel) in enumerate(picked)]
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
-        "rank int, vec_id long, relevance long",
+        f"rank int, {id_col} long, relevance long",
     )

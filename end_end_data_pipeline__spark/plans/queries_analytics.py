@@ -366,8 +366,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN n = 7 THEN
                    (CAST(n AS DOUBLE) * total - s)
                        * (CAST(n AS DOUBLE) * total - s)
-                   > 4.0 * CAST(n AS DOUBLE)
-                       * (CAST(n AS DOUBLE) * s2 - s * s)
+                   > 4.0 * (CAST(n AS DOUBLE) * s2 - s * s)
                END AS is_anomaly
         FROM trail
     """,
@@ -380,8 +379,9 @@ def timeseries_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Numerics: the flag is equivalent to (x-mean)^2 > 4*var but is
     evaluated divide-free and sqrt-free —
-    ``(n*x - s)^2 > 4*n*(n*s2 - s^2)``
-    (multiply through by n^2) — where s and s2 accumulate as exact
+    ``(n*x - s)^2 > 4*(n*s2 - s^2)``
+    (multiply through by n^2: var = (n*s2 - s^2)/n^2) — where s and
+    s2 accumulate as exact
     DECIMALs inside the window (order-independent across engines)
     and the final comparison is the same double expression tree on
     both sides, hence bit-identical.
@@ -420,7 +420,7 @@ def timeseries_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         F.when(
             F.col("n") == 7,
-            dev * dev > F.lit(4.0) * nd * (nd * F.col("s2") - F.col("s") * F.col("s")),
+            dev * dev > F.lit(4.0) * (nd * F.col("s2") - F.col("s") * F.col("s")),
         ).alias("is_anomaly"),
     )
 
@@ -1231,11 +1231,11 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey,
                md5(c_name) AS c_name,
-               repeat('*', greatest(len(CAST(c_nationkey AS VARCHAR)) - 4, 0))
-                   || CASE WHEN len(CAST(c_nationkey AS VARCHAR)) >= 4
-                           THEN substr(CAST(c_nationkey AS VARCHAR),
-                                       len(CAST(c_nationkey AS VARCHAR)) - 3, 4)
-                           ELSE CAST(c_nationkey AS VARCHAR) END
+               CASE WHEN len(CAST(c_nationkey AS VARCHAR)) > 4
+                    THEN repeat('*', len(CAST(c_nationkey AS VARCHAR)) - 4)
+                         || substr(CAST(c_nationkey AS VARCHAR),
+                                   len(CAST(c_nationkey AS VARCHAR)) - 3, 4)
+                    ELSE repeat('*', len(CAST(c_nationkey AS VARCHAR))) END
                    AS c_nationkey,
                CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS c_acctbal,
                c_mktsegment
@@ -1246,7 +1246,7 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def governance_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level dynamic data masking over the customer dimension:
     names become deterministic md5 pseudonyms (still joinable),
-    nation keys display-mask to their last 4 characters, balances
+    nation keys display-mask (short values star out fully), balances
     generalize to 1000-wide buckets (aggregates stay meaningful),
     segment passes through — pure codegen'd JVM expressions, no UDF.
     The masked frame keeps column names/types, so it is a drop-in
@@ -1268,29 +1268,38 @@ def governance_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integrity_table_checksums",
     oracle="""
         WITH o AS (
-            SELECT md5(CAST(o_orderkey AS VARCHAR) || '|'
-                       || CAST(o_custkey AS VARCHAR) || '|'
-                       || o_orderstatus || '|'
-                       || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
-                       || '|' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
-                       || '|' || o_orderpriority) AS h
+            SELECT md5(COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|'
+                       || COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>') || '|'
+                       || COALESCE(o_orderstatus, '<NULL>') || '|'
+                       || COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                        AS VARCHAR), '<NULL>')
+                       || '|' || COALESCE(strftime(o_orderdate,
+                                          '%Y-%m-%d %H:%M:%S'), '<NULL>')
+                       || '|' || COALESCE(o_orderpriority, '<NULL>')) AS h
             FROM orders
         ),
         c AS (
-            SELECT md5(CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
-                       || CAST(c_nationkey AS VARCHAR) || '|'
-                       || CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)
-                       || '|' || c_mktsegment) AS h
+            SELECT md5(COALESCE(CAST(c_custkey AS VARCHAR), '<NULL>') || '|'
+                       || COALESCE(c_name, '<NULL>') || '|'
+                       || COALESCE(CAST(c_nationkey AS VARCHAR), '<NULL>')
+                       || '|'
+                       || COALESCE(CAST(CAST(c_acctbal AS DECIMAL(18,2))
+                                        AS VARCHAR), '<NULL>')
+                       || '|' || COALESCE(c_mktsegment, '<NULL>')) AS h
             FROM customer
         ),
         l AS (
-            SELECT md5(CAST(l_orderkey AS VARCHAR) || '|'
-                       || CAST(l_linenumber AS VARCHAR) || '|'
-                       || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+            SELECT md5(COALESCE(CAST(l_orderkey AS VARCHAR), '<NULL>') || '|'
+                       || COALESCE(CAST(l_linenumber AS VARCHAR), '<NULL>')
                        || '|'
-                       || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)
-                       || '|' || l_returnflag || '|'
-                       || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS h
+                       || COALESCE(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                        AS VARCHAR), '<NULL>')
+                       || '|'
+                       || COALESCE(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                        AS VARCHAR), '<NULL>')
+                       || '|' || COALESCE(l_returnflag, '<NULL>') || '|'
+                       || COALESCE(strftime(l_shipdate,
+                                   '%Y-%m-%d %H:%M:%S'), '<NULL>')) AS h
             FROM lineitem
         )
         SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1311,14 +1320,21 @@ def integrity_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table fingerprints — the migration/replication
     validation primitive: each row canonicalizes to a fixed-format
     string (doubles through DECIMAL so rendering is engine-stable,
-    timestamps through an explicit format), hashes to a 52-bit md5
+    timestamps through an explicit format, NULLs as an explicit
+    sentinel so null placement is part of the fingerprint — a literal
+    '<NULL>' string value is the one documented collision), hashes to
+    a 52-bit md5
     slice, and the per-table checksum is the XOR of all row hashes —
     commutative and overflow-free, so ANY row-level drift between two
     copies of a table flips the checksum regardless of row order or
     partitioning.  One scan per table, map-side-combinable bit_xor
     agg."""
     def canon(parts):
-        return F.md5(F.concat_ws("|", *parts).cast("binary"))
+        # concat_ws silently SKIPS nulls, which would both diverge from
+        # the oracle's || (null-propagating) and make ('a',NULL,'b') and
+        # (NULL,'a','b') collide — every part renders NULL explicitly
+        safe = [F.coalesce(pp, F.lit("<NULL>")) for pp in parts]
+        return F.md5(F.concat_ws("|", *safe).cast("binary"))
 
     def h52(c):
         return F.conv(F.substring(c, 1, 13), 16, 10).cast("long")

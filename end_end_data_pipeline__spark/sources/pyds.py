@@ -271,7 +271,27 @@ class JsonlAtomicWriter(DataSourceWriter):
             os.replace(m.tmp_file, dest)
             final_files.append(os.path.basename(dest))
             total += m.n_rows
-        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+        manifest_path = os.path.join(self.path, "_MANIFEST")
+        if self.overwrite:
+            # mode("overwrite"): prior committed files become orphans
+            # the new manifest no longer references — remove them
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    for old in json.load(f)["files"]:
+                        if old not in final_files:
+                            try:
+                                os.remove(os.path.join(self.path, old))
+                            except FileNotFoundError:
+                                pass
+        else:
+            # mode("append"): the new manifest carries prior committed
+            # files forward — appends accumulate, never clobber
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    prior = json.load(f)
+                final_files.extend(prior["files"])
+                total += prior["n_rows"]
+        with open(manifest_path, "w") as f:
             json.dump({"files": sorted(final_files), "n_rows": total}, f)
         stage = os.path.join(self.path, "_staging")
         if os.path.isdir(stage):

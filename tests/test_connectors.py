@@ -425,3 +425,20 @@ def test_pyds_jsonl_atomic_sink_manifest_protocol(spark, tmp_path):
     assert back.count() == 100
     assert back.filter("id = 999999").count() == 0
     assert back.agg({"v": "sum"}).first()[0] == sum(i * 2 for i in range(100))
+    # append ACCUMULATES (the manifest carries prior files forward)
+    spark.range(100, 150).selectExpr("id", "id * 2 AS v").write.format(
+        "jsonl_atomic"
+    ).option("path", path).mode("append").save()
+    assert pyds.read_jsonl_atomic(spark, path, df.schema).count() == 150
+    # overwrite REPLACES and removes the superseded committed files
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.format(
+        "jsonl_atomic"
+    ).option("path", path).mode("overwrite").save()
+    back = pyds.read_jsonl_atomic(spark, path, df.schema)
+    assert back.count() == 10
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        m2 = json.load(f)
+    on_disk = {fn for fn in os.listdir(path) if fn.endswith(".jsonl")}
+    # superseded COMMITTED files are gone; the planted never-committed
+    # orphan is not the overwrite's to delete (vacuum territory)
+    assert on_disk == set(m2["files"]) | {"task-9-deadbeef.jsonl"}

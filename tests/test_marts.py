@@ -302,6 +302,13 @@ def test_flatten_hierarchy_cycle_guard_and_shapes(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 1)], "node long, parent long")
     out = flatten_hierarchy(cyc, max_depth=5).collect()
     assert all(r["depth"] == 5 for r in out)
+    # an all-roots forest (loop never runs) must still resolve
+    roots = spark.createDataFrame([(7, None), (8, None)], "node long, parent long")
+    got_roots = {
+        r["node"]: (r["root"], r["depth"], r["path"])
+        for r in flatten_hierarchy(roots).collect()
+    }
+    assert got_roots == {7: (7, 0, "7"), 8: (8, 0, "8")}
 
 
 def test_masking_policies_semantics(spark):
@@ -321,6 +328,13 @@ def test_masking_policies_semantics(spark):
     assert rows[1]["email"] != "alice@example.com" and len(rows[1]["email"]) == 32
     # display mask keeps last 4
     assert rows[1]["card"].endswith("4242") and set(rows[1]["card"][:-4]) == {"*"}
+    # short values star out FULLY (never an identity mask)
+    short = masking.apply_policy(
+        spark.createDataFrame([(1, "1234"), (2, "ab")], "id long, pin string"),
+        {"pin": "partial"},
+    )
+    got_short = {r["id"]: r["pin"] for r in short.collect()}
+    assert got_short == {1: "****", 2: "**"}
     # bucketed, type preserved
     assert rows[1]["bal"] == 1000.0 and rows[2]["bal"] == 0.0
     assert dict(out.dtypes)["bal"] == "double"
