@@ -137,6 +137,8 @@ _PRIORITY: tuple[str, ...] = (
     "governance_masked_customers",
     "integrity_table_checksums",
     "retention_dau_wau_stickiness",
+    "setop_except_all_multiset",
+    "join_null_safe_equality",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

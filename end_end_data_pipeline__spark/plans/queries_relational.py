@@ -748,3 +748,71 @@ def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
         ) o
         """
     )
+
+
+@register(
+    "setop_except_all_multiset",
+    oracle="""
+        SELECT l_orderkey, l_returnflag FROM (
+            SELECT l_orderkey, l_returnflag FROM lineitem
+            WHERE l_orderkey <= 500
+            EXCEPT ALL
+            SELECT l_orderkey, l_returnflag FROM lineitem
+            WHERE l_orderkey <= 500 AND l_linenumber = 1
+        )
+    """,
+    survey_ids=("U2", "U1"),
+)
+def setop_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — BAG semantics (each right occurrence cancels ONE
+    left occurrence, duplicates survive), the multiset complement of
+    the existing distinct EXCEPT query: lineitem rows minus one copy
+    per (order, flag) that has a first line.  Spark plans this as an
+    aggregate on counts, not a distinct — no silent dedup."""
+    li = lake.load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_orderkey") <= 500
+    )
+    left = li.select("l_orderkey", "l_returnflag")
+    right = li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", "l_returnflag"
+    )
+    return left.exceptAll(right)
+
+
+@register(
+    "join_null_safe_equality",
+    oracle="""
+        WITH keyed AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_orderkey % 50 END AS grp
+            FROM orders WHERE o_orderkey <= 700
+        )
+        SELECT a.grp, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM keyed a JOIN keyed b
+          ON a.grp IS NOT DISTINCT FROM b.grp
+        GROUP BY a.grp
+    """,
+    survey_ids=("J1", "F11"),
+)
+def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match EACH OTHER instead of vanishing — the semantics a dedup or
+    reconciliation join over nullable business keys needs.  Still a
+    hash-partitionable equi-join (NULLs hash to one key — a hot NULL
+    group is the documented skew caveat; salt it like any hot key)."""
+    orders = lake.load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") <= 700
+    )
+    keyed = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey") % 50)
+        .alias("grp"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, F.col("a.grp").eqNullSafe(F.col("b.grp")))
+        .groupBy(F.col("a.grp").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -205,3 +205,23 @@ def test_sorted_export_uses_range_partitioning(spark, tmp_path):
     bounds.sort()
     for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
         assert hi1 <= lo2  # disjoint ranges across files
+
+
+def test_join_strategy_hints_are_respected(spark):
+    """The three join-strategy hints must land in the physical plan —
+    the manual override for when AQE/CBO guesses wrong."""
+    from pyspark.sql import functions as F
+
+    from end_end_data_pipeline__spark.sources import lake
+    from tests.conftest import SF_SMOKE
+
+    orders = lake.load_table(spark, "orders", SF_SMOKE)
+    cust = lake.load_table(spark, "customer", SF_SMOKE)
+
+    def plan_of(hint):
+        j = orders.join(cust.hint(hint), orders.o_custkey == cust.c_custkey)
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan_of("broadcast")
+    assert "ShuffledHashJoin" in plan_of("shuffle_hash")
+    assert "SortMergeJoin" in plan_of("merge")
