@@ -64,13 +64,13 @@ def register(
 # rotation: lead with the 10 round-4 additions that have never had a
 # driver row (they landed after the r04 window was set), then the
 # queries whose oracles are new this round, then the new round-5
-# queries.  Round 5 added more never-checked queries than the window
-# holds: the overflow (pyds_writer_sink_roundtrip,
-# lateral_top2_orders_per_customer, udtf_props_fanout, plus the two
-# r01-green functions batteries) sits at positions 50+ and is the
-# FIRST thing the r06 rotation should pull in; every one of them is
-# oracle-parity-green in pytest meanwhile.  Names not listed here
-# sort after the listed ones in registration order.
+# queries.  Round 5 added far more never-checked queries than the
+# window holds: positions 50+ (pyds_writer_sink_roundtrip through
+# join_null_safe_equality — 13 round-5 additions, plus the r01-green
+# functions batteries) are the FIRST thing the r06 rotation should
+# pull in; every one of them is oracle-parity-green in pytest
+# meanwhile.  Names not listed here sort after the listed ones in
+# registration order.
 _PRIORITY: tuple[str, ...] = (
     # --- never driver-checked: the 10 round-4 additions ---
     "tpch_q2_min_cost_supplier",
