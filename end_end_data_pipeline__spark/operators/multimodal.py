@@ -688,3 +688,54 @@ def image_stats(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_STATS_SCHEMA)
+
+
+def augment_images(
+    df: DataFrame,
+    payload_col: str = "media",
+    id_col: str = "doc_id",
+    crop: tuple[int, int] = (8, 6),
+    flip: bool = True,
+    out_format: str = "ppm",
+) -> DataFrame:
+    """Training-data image AUGMENTATION on the REAL decode path:
+    decode (any supported container) → horizontal flip → center crop →
+    re-encode.  The standard cheap augmentations of a vision training
+    pipeline, running as exact integer pixel moves so an oracle that
+    knows the source pixels can restate the augmented image — no
+    interpolation, no float resampling.
+
+    Arrow-batched ``mapInPandas`` like every operator here; output is
+    (id, media) with the augmented payload in ``out_format``.
+    """
+    cw, ch = crop
+    encoders = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
+    if out_format not in encoders:
+        raise ValueError(f"out_format must be one of {sorted(encoders)}")
+    encode = encoders[out_format]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc, p in zip(pdf[id_col], pdf[payload_col]):
+                _, w, h, rgb = decode_image(bytes(p))
+                if w < cw or h < ch:
+                    raise ValueError(
+                        f"crop {cw}x{ch} exceeds image {w}x{h} (doc {doc})"
+                    )
+                x0, y0 = (w - cw) // 2, (h - ch) // 2
+                out = bytearray(cw * ch * 3)
+                i = 0
+                for y in range(y0, y0 + ch):
+                    for x in range(x0, x0 + cw):
+                        sx = (w - 1 - x) if flip else x
+                        j = (y * w + sx) * 3
+                        out[i : i + 3] = rgb[j : j + 3]
+                        i += 3
+                ids.append(doc)
+                payloads.append(encode(cw, ch, bytes(out)))
+            yield pd.DataFrame({id_col: ids, "media": payloads})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, f"{id_col} long, media binary"
+    )

@@ -139,6 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "retention_dau_wau_stickiness",
     "setop_except_all_multiset",
     "join_null_safe_equality",
+    "multimodal_augment_images",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

@@ -1939,3 +1939,71 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3, num_hashes=32, bands=8,
         verify_threshold=0.5, hash_family="md5",
     )
+
+
+@register(
+    "multimodal_augment_images",
+    # augmented pixel (x,y) of the 8x6 center crop of the h-flipped
+    # 16x12 source = source pixel (11-x, 3+y); the oracle restates the
+    # channel sums in that closed form
+    oracle="""
+        WITH px AS (
+            SELECT doc_id, x.x AS x, y.y AS y
+            FROM (SELECT doc_id FROM documents) d,
+                 (SELECT unnest(range(0, 8)) AS x) x,
+                 (SELECT unnest(range(0, 6)) AS y) y
+        )
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                    ELSE 'ppm' END AS fmt,
+               8 AS width, 6 AS height,
+               CAST(SUM((doc_id * 7 + (11 - x) * 3 + (3 + y) * 5) % 256)
+                    AS BIGINT) AS sum_r,
+               CAST(SUM((doc_id * 11 + (11 - x) + 2 * (3 + y)) % 256)
+                    AS BIGINT) AS sum_g,
+               CAST(SUM((doc_id * 13 + 2 * (11 - x) + (3 + y)) % 256)
+                    AS BIGINT) AS sum_b
+        FROM px GROUP BY doc_id
+    """,
+    survey_ids=("UD8", "UD4", "F13"),
+)
+def multimodal_augment_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image AUGMENTATION on the real codec path: each fixture image
+    (PNG/BMP/PPM round-robin) decodes, horizontally flips, center-crops
+    to 8×6, re-encodes in its ORIGINAL container format, and the
+    augmented payloads' channel stats hash-match the oracle's
+    closed-form restatement of the moved pixels — proving the full
+    decode→transform→encode→decode chain is pixel-exact.  Exact
+    integer pixel moves only (no resampling), Arrow-batched
+    ``mapInPandas`` end to end.  See
+    :func:`operators.multimodal.augment_images`."""
+    import pandas as pd
+
+    docs = lake.load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(it):
+        encoders = (
+            multimodal.encode_png, multimodal.encode_bmp, multimodal.encode_ppm
+        )
+        for pdf in it:
+            payloads = [
+                encoders[int(d) % 3](
+                    16, 12, multimodal.render_test_image(int(d), 16, 12)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, media binary")
+    fmt_of = F.element_at(
+        F.array(F.lit("png"), F.lit("bmp"), F.lit("ppm")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    augmented = None
+    for fmt in ("png", "bmp", "ppm"):
+        part = media.filter(fmt_of == fmt)
+        aug = multimodal.augment_images(
+            part, "media", "doc_id", crop=(8, 6), flip=True, out_format=fmt
+        )
+        augmented = aug if augmented is None else augmented.unionByName(aug)
+    return multimodal.image_stats(augmented, "media", "doc_id")

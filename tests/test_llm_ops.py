@@ -578,3 +578,27 @@ def test_incremental_minhash_reuses_corpus_signatures(spark):
         ).collect()
     }
     assert cached == fresh
+
+
+def test_augment_images_pixel_exact(spark):
+    """Flip+crop must move EXACT pixels: augmenting a known pattern and
+    decoding the output reproduces the expected source pixels."""
+    import pandas as pd
+
+    src = multimodal.render_test_image(42, 16, 12)
+    payload = multimodal.encode_png(16, 12, src)
+    df = spark.createDataFrame([(42, bytearray(payload))], "doc_id long, media binary")
+    out = multimodal.augment_images(df, crop=(8, 6), flip=True, out_format="ppm")
+    raw = bytes(out.collect()[0]["media"])
+    fmt, w, h, rgb = multimodal.decode_image(raw)
+    assert (fmt, w, h) == ("ppm", 8, 6)
+    for y in range(6):
+        for x in range(8):
+            sx, sy = 11 - x, 3 + y  # flip of center crop
+            j_out = (y * 8 + x) * 3
+            j_src = (sy * 16 + sx) * 3
+            assert rgb[j_out:j_out + 3] == src[j_src:j_src + 3], (x, y)
+    import pytest as _p
+
+    with _p.raises(Exception, match="crop"):
+        multimodal.augment_images(df, crop=(99, 6)).collect()
