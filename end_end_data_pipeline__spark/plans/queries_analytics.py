@@ -1,13 +1,18 @@
 """Behavioral / operational analytics catalog: cohort retention,
-funnel conversion, RFM segmentation, column profiling, and trailing
-z-score anomaly flags.
+funnel conversion, RFM segmentation, column profiling, trailing
+z-score anomaly flags, DAU/WAU stickiness, Markov event transitions —
+plus the round-5 second-wave operator queries that did not fit an
+existing module (substring-span dedup, blocked fuzzy matching,
+fixed-point k-means, MMR re-ranking, spatial radius joins, triangle
+census, hierarchy flattening, BPE learning, BM25 search, forward
+as-of, manifest-table DML, column masking, table checksums).
 
-These are the marts the reference's declared-but-absent dbt layer
-implies (reference ``README.md:62`` lists ``banking_dbt/`` which was
-never built — SURVEY.md §0): per-entity activity retention, funnel
-progression over the event stream, and customer value segmentation
-over the order history served by the ``(account_id, created_at)``
-index (reference ``SCHEMA.sql:31``).
+The analytics marts are what the reference's declared-but-absent dbt
+layer implies (reference ``README.md:62`` lists ``banking_dbt/``
+which was never built — SURVEY.md §0): per-entity activity retention,
+funnel progression over the event stream, and customer value
+segmentation over the order history served by the
+``(account_id, created_at)`` index (reference ``SCHEMA.sql:31``).
 
 Cross-engine determinism (see tests/oracle.py):
 - week bucketing uses ``date_trunc('week', ...)`` — ISO Monday start
