@@ -505,11 +505,11 @@ def kmeans_fixed_point(
         (r["__id"], list(r["q"]))
         for r in q.filter(F.col("__id") < k).collect()  # k rows, bounded
     )
-    if len(cent) != k:
+    if {cid for cid, _ in cent} != set(range(k)):
         raise ValueError(
-            f"k={k} seeds require ids 0..{k - 1} to exist; found "
-            f"{len(cent)} — pass a frame containing the seed ids or "
-            "re-key it"
+            f"k={k} seeds require ids 0..{k - 1} to exist exactly once; "
+            f"found ids {sorted(c for c, _ in cent)} — pass a frame "
+            "containing the seed ids (no duplicates) or re-key it"
         )
 
     def assign(centroids):

@@ -1994,16 +1994,16 @@ def multimodal_augment_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
 
-    media = docs.mapInPandas(gen, "doc_id long, media binary")
-    fmt_of = F.element_at(
-        F.array(F.lit("png"), F.lit("bmp"), F.lit("ppm")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
-    )
+    # split by format BEFORE the mapInPandas barrier: a filter after
+    # it cannot push through the Python node, so each branch would
+    # re-render and re-encode the WHOLE corpus (3x the Python work)
     augmented = None
-    for fmt in ("png", "bmp", "ppm"):
-        part = media.filter(fmt_of == fmt)
+    for i, fmt in enumerate(("png", "bmp", "ppm")):
+        part_docs = docs.filter(F.col("doc_id") % 3 == i)
+        part_media = part_docs.mapInPandas(gen, "doc_id long, media binary")
         aug = multimodal.augment_images(
-            part, "media", "doc_id", crop=(8, 6), flip=True, out_format=fmt
+            part_media, "media", "doc_id", crop=(8, 6), flip=True,
+            out_format=fmt,
         )
         augmented = aug if augmented is None else augmented.unionByName(aug)
     return multimodal.image_stats(augmented, "media", "doc_id")

@@ -272,27 +272,32 @@ class JsonlAtomicWriter(DataSourceWriter):
             final_files.append(os.path.basename(dest))
             total += m.n_rows
         manifest_path = os.path.join(self.path, "_MANIFEST")
-        if self.overwrite:
-            # mode("overwrite"): prior committed files become orphans
-            # the new manifest no longer references — remove them
-            if os.path.exists(manifest_path):
-                with open(manifest_path) as f:
-                    for old in json.load(f)["files"]:
-                        if old not in final_files:
-                            try:
-                                os.remove(os.path.join(self.path, old))
-                            except FileNotFoundError:
-                                pass
-        else:
-            # mode("append"): the new manifest carries prior committed
-            # files forward — appends accumulate, never clobber
-            if os.path.exists(manifest_path):
-                with open(manifest_path) as f:
-                    prior = json.load(f)
+        superseded: list[str] = []
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                prior = json.load(f)
+            if self.overwrite:
+                superseded = [
+                    fn for fn in prior["files"] if fn not in final_files
+                ]
+            else:
+                # mode("append"): the new manifest carries prior
+                # committed files forward — appends accumulate
                 final_files.extend(prior["files"])
                 total += prior["n_rows"]
-        with open(manifest_path, "w") as f:
+        # manifest FIRST, atomically (tmp + rename): a crash at any
+        # point leaves either the old or the new manifest fully
+        # intact and only then are superseded files removed — readers
+        # never see a manifest referencing deleted files or a torn one
+        tmp_manifest = manifest_path + ".tmp"
+        with open(tmp_manifest, "w") as f:
             json.dump({"files": sorted(final_files), "n_rows": total}, f)
+        os.replace(tmp_manifest, manifest_path)
+        for fn in superseded:
+            try:
+                os.remove(os.path.join(self.path, fn))
+            except FileNotFoundError:
+                pass
         stage = os.path.join(self.path, "_staging")
         if os.path.isdir(stage):
             for leftover in os.listdir(stage):

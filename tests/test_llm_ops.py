@@ -602,3 +602,18 @@ def test_augment_images_pixel_exact(spark):
 
     with _p.raises(Exception, match="crop"):
         multimodal.augment_images(df, crop=(99, 6)).collect()
+
+
+def test_kmeans_rejects_duplicate_or_missing_seed_ids(spark):
+    from end_end_data_pipeline__spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+
+    # ids {0, 0, 2}: two rows pass the id < 2 filter but seed 1 is
+    # missing — must refuse, not cluster degenerately
+    emb = spark.createDataFrame(
+        [(0, [0.1, 0.2]), (0, [0.3, 0.4]), (2, [0.5, 0.6])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="no duplicates"):
+        kmeans_fixed_point(emb, k=2, iterations=1)
