@@ -173,3 +173,102 @@ def test_salted_join_equivalence_fuzz(spark, keys):
         for r in scale.salted_join(big, dim, "k", F.col("uid"), 4).collect()
     )
     assert salted == plain
+
+
+# --------------------------------------------------------------------------
+# as-of join (both directions, with tolerance) vs a sequential model
+# --------------------------------------------------------------------------
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (key, ts-seconds)
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=12,
+    ),
+    st.lists(  # right: (key, ts-seconds, value)
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(-9, 9)),
+        min_size=0, max_size=12,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.sampled_from([None, 100, 0]),
+)
+
+
+@PROP
+@given(asof_strategy)
+def test_asof_join_matches_model(spark, case):
+    """asof_join == the obvious per-row scan model, for both
+    directions and with/without tolerance.  Right timestamps are made
+    unique per key (the engine's documented determinism precondition);
+    duplicate LEFT rows are fine."""
+    left_rows, right_rows, direction, tol = case
+    # unique right (key, ts): the carry trick is order-sensitive on ties
+    right_rows = list({(k, t): v for k, t, v in right_rows}.items())
+    right_rows = [(k, t, v) for (k, t), v in right_rows]
+
+    from end_end_data_pipeline__spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, k long, secs long",
+    ).select("lid", "k", F.timestamp_seconds("secs").alias("ts"))
+    right = spark.createDataFrame(
+        right_rows or [(99, -1, 0)], "k long, secs long, v long"
+    ).select("k", F.timestamp_seconds("secs").alias("ts"), "v")
+    if not right_rows:
+        right = right.filter("k < 0")
+
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, key="k", direction=direction,
+            tolerance_seconds=tol,
+        ).collect()
+    }
+
+    def model(k, t):
+        if direction == "backward":
+            cands = [(rt, v) for rk, rt, v in right_rows if rk == k and rt <= t]
+            best = max(cands, default=None)
+        else:
+            cands = [(rt, v) for rk, rt, v in right_rows if rk == k and rt >= t]
+            best = min(cands, default=None)
+        if best is None:
+            return None
+        if tol is not None and abs(best[0] - t) > tol:
+            return None
+        return best[1]
+
+    want = {i: model(k, t) for i, (k, t) in enumerate(left_rows)}
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# grid radius join vs brute force over random point sets
+# --------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=1, max_size=25, unique=True,
+    ),
+    st.sampled_from([1, 7, 20]),
+)
+def test_grid_radius_pairs_fuzz(spark, pts, radius):
+    import itertools
+
+    from end_end_data_pipeline__spark.operators.spatial import grid_radius_pairs
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["dist2"])
+        for r in grid_radius_pairs(df, radius=radius).collect()
+    )
+    want = sorted(
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for a, b in itertools.combinations(rows, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= radius * radius
+    )
+    assert got == want
