@@ -140,6 +140,8 @@ _PRIORITY: tuple[str, ...] = (
     "setop_except_all_multiset",
     "join_null_safe_equality",
     "multimodal_augment_images",
+    "currency_asof_conversion",
+    "fulfillment_latency_percentiles",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

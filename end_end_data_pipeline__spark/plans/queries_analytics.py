@@ -1455,3 +1455,128 @@ def retention_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@register(
+    "currency_asof_conversion",
+    oracle="""
+        WITH rates AS (
+            SELECT c.cur, d.d AS rate_day,
+                   CAST(1 + c.i AS DOUBLE)
+                       + CAST(d.d AS DOUBLE) / CAST(100 AS DOUBLE) AS rate
+            FROM (SELECT unnest(['USD','EUR','GBP','INR','CAD','AUD']) AS cur,
+                         unnest([0, 1, 2, 3, 4, 5]) AS i) c,
+                 (SELECT unnest(range(0, 30)) AS d) d
+            WHERE d.d % 7 <> 0
+        ),
+        ev AS (
+            SELECT CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS day,
+                   ['USD','EUR','GBP','INR','CAD','AUD']
+                       [CAST(user_id % 6 AS INT) + 1] AS cur,
+                   value
+            FROM events
+        ),
+        matched AS (
+            SELECT e.day, e.cur, e.value, r.rate
+            FROM ev e ASOF LEFT JOIN rates r
+              ON e.cur = r.cur AND e.day >= r.rate_day
+        )
+        SELECT cur, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value * rate AS DECIMAL(25,6))) AS DOUBLE)
+                   AS usd_total
+        FROM matched GROUP BY cur
+    """,
+    survey_ids=("J7", "A2", "F9"),
+)
+def currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency conversion mart — the reference's CHAR(3) currency
+    column (``SCHEMA.sql:16``, 6 currencies from ``generator.py:23``)
+    finally used: every event converts at the LATEST rate posted
+    at-or-before its day (rates gap on every 7th day, so the as-of
+    backward join must carry Friday's rate over the gap — exactly why
+    a plain equi-join on day is wrong), then rolls up to
+    decimal-exact converted totals per currency.  Rates are a
+    deterministic synthesized table; the conversion product is
+    quantized to DECIMAL before summing so the rollup is
+    order-independent.  One as-of join (single shuffle) + one hash
+    agg."""
+    from end_end_data_pipeline__spark.operators.relational import asof_join
+
+    curs = ["USD", "EUR", "GBP", "INR", "CAD", "AUD"]
+    events = lake.load_table(spark, "events", sf_dir)
+    cur_of = F.element_at(
+        F.array(*[F.lit(c) for c in curs]), (F.col("user_id") % 6 + 1).cast("int")
+    )
+    ev = events.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        cur_of.alias("cur"),
+        "value",
+    )
+    # 6x26 literal rate dim, built driver-side (156 rows — a real
+    # pipeline would read it; synthesizing via a join would put a
+    # CartesianProduct in the plan for no reason)
+    rate_rows = [
+        (c, d, (1.0 + i) + d / 100.0)
+        for i, c in enumerate(curs)
+        for d in range(30)
+        if d % 7 != 0
+    ]
+    rates = spark.createDataFrame(
+        spark.sparkContext.parallelize(rate_rows, 1),
+        "cur string, rate_day long, rate double",
+    )
+    matched = asof_join(
+        ev.withColumn("ets", F.timestamp_seconds(F.col("day") * 86400)),
+        rates.withColumn(
+            "rts", F.timestamp_seconds(F.col("rate_day") * 86400)
+        ).select("cur", F.col("rts").alias("ts"), "rate"),
+        key="cur",
+        left_ts="ets",
+        right_ts="ts",
+    )
+    return matched.groupBy("cur").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum(F.col("value") * F.col("asof_rate"), "usd_total"),
+    )
+
+
+@register(
+    "fulfillment_latency_percentiles",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate),
+                             0.5) AS p50_days,
+               quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate),
+                             0.9) AS p90_days,
+               CAST(MAX(date_diff('day', o.o_orderdate, l.l_shipdate))
+                    AS BIGINT) AS max_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    survey_ids=("A8", "J2", "F6"),
+)
+def fulfillment_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority — the SLA mart
+    the reference's (account_id, created_at) index exists to serve:
+    order ⋈ lineitem on the key, day lag per line, exact p50/p90 +
+    max.  Integer day lags make the percentiles cross-engine exact."""
+    orders = lake.load_table(spark, "orders", sf_dir)
+    lineitem = lake.load_table(spark, "lineitem", sf_dir)
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", lag.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.percentile("lag_days", 0.5).alias("p50_days"),
+            F.percentile("lag_days", 0.9).alias("p90_days"),
+            F.max("lag_days").alias("max_days"),
+        )
+    )
