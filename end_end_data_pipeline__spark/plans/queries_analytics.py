@@ -1515,7 +1515,7 @@ def currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur_of.alias("cur"),
         "value",
     )
-    # 6x26 literal rate dim, built driver-side (156 rows — a real
+    # 6x25 literal rate dim, built driver-side (150 rows — a real
     # pipeline would read it; synthesizing via a join would put a
     # CartesianProduct in the plan for no reason)
     rate_rows = [
@@ -1528,13 +1528,13 @@ def currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.parallelize(rate_rows, 1),
         "cur string, rate_day long, rate double",
     )
+    # asof_join orders on the ts columns as-is — integer days join
+    # directly, mirroring the oracle's integer-day ASOF comparison
     matched = asof_join(
-        ev.withColumn("ets", F.timestamp_seconds(F.col("day") * 86400)),
-        rates.withColumn(
-            "rts", F.timestamp_seconds(F.col("rate_day") * 86400)
-        ).select("cur", F.col("rts").alias("ts"), "rate"),
+        ev,
+        rates.select("cur", F.col("rate_day").alias("ts"), "rate"),
         key="cur",
-        left_ts="ets",
+        left_ts="day",
         right_ts="ts",
     )
     return matched.groupBy("cur").agg(

@@ -190,6 +190,7 @@ asof_strategy = st.tuples(
     ),
     st.sampled_from(["backward", "forward"]),
     st.sampled_from([None, 100, 0]),
+    st.booleans(),  # strict
 )
 
 
@@ -200,7 +201,7 @@ def test_asof_join_matches_model(spark, case):
     directions and with/without tolerance.  Right timestamps are made
     unique per key (the engine's documented determinism precondition);
     duplicate LEFT rows are fine."""
-    left_rows, right_rows, direction, tol = case
+    left_rows, right_rows, direction, tol, strict = case
     # unique right (key, ts): the carry trick is order-sensitive on ties
     right_rows = list({(k, t): v for k, t, v in right_rows}.items())
     right_rows = [(k, t, v) for (k, t), v in right_rows]
@@ -217,20 +218,24 @@ def test_asof_join_matches_model(spark, case):
     if not right_rows:
         right = right.filter("k < 0")
 
-    got = {
-        r["lid"]: r["asof_v"]
+    # sorted MULTISET compare: a dict would silently collapse a
+    # regression that emits duplicate rows per left row
+    got = sorted(
+        (r["lid"], r["asof_v"])
         for r in asof_join(
             left, right, key="k", direction=direction,
-            tolerance_seconds=tol,
+            tolerance_seconds=tol, strict=strict,
         ).collect()
-    }
+    )
 
     def model(k, t):
         if direction == "backward":
-            cands = [(rt, v) for rk, rt, v in right_rows if rk == k and rt <= t]
+            ok = (lambda rt: rt < t) if strict else (lambda rt: rt <= t)
+            cands = [(rt, v) for rk, rt, v in right_rows if rk == k and ok(rt)]
             best = max(cands, default=None)
         else:
-            cands = [(rt, v) for rk, rt, v in right_rows if rk == k and rt >= t]
+            ok = (lambda rt: rt > t) if strict else (lambda rt: rt >= t)
+            cands = [(rt, v) for rk, rt, v in right_rows if rk == k and ok(rt)]
             best = min(cands, default=None)
         if best is None:
             return None
@@ -238,7 +243,7 @@ def test_asof_join_matches_model(spark, case):
             return None
         return best[1]
 
-    want = {i: model(k, t) for i, (k, t) in enumerate(left_rows)}
+    want = sorted((i, model(k, t)) for i, (k, t) in enumerate(left_rows))
     assert got == want
 
 
