@@ -142,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_augment_images",
     "currency_asof_conversion",
     "fulfillment_latency_percentiles",
+    "quality_event_disorder_rate",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

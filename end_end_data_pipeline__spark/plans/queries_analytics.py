@@ -1580,3 +1580,58 @@ def fulfillment_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
             F.max("lag_days").alias("max_days"),
         )
     )
+
+
+@register(
+    "quality_event_disorder_rate",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts,
+                   MAX(ts) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prior_max
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(CASE WHEN ts < prior_max THEN 1 END) AS BIGINT)
+                   AS n_out_of_order,
+               CAST(COUNT(CASE WHEN ts < prior_max THEN 1 END) AS DOUBLE)
+                   / COUNT(*) AS disorder_rate,
+               CAST(MAX(CASE WHEN ts < prior_max
+                    THEN epoch_us(prior_max) - epoch_us(ts) END) AS BIGINT)
+                   AS max_lateness_us
+        FROM seq GROUP BY user_id
+    """,
+    survey_ids=("P7", "W1", "ST3"),
+)
+def quality_event_disorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-quality mart: how OUT-OF-ORDER each user's event stream
+    arrives (event_id is the arrival proxy) — the measurement that
+    justifies a watermark setting: an event is disordered when its
+    event time precedes the running max of everything that arrived
+    before it, and max_lateness_us is the per-user watermark bound a
+    pipeline would need to not drop data.  One streamed window per
+    user + one hash agg; the rate is the same exact-integer division
+    on both sides."""
+    events = lake.load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = events.select(
+        "user_id", "ts", F.max("ts").over(w).alias("prior_max")
+    )
+    late = F.when(F.col("ts") < F.col("prior_max"), 1)
+    lateness = F.when(
+        F.col("ts") < F.col("prior_max"),
+        F.unix_micros("prior_max") - F.unix_micros("ts"),
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(late).alias("n_out_of_order"),
+        (F.count(late).cast("double") / F.count(F.lit(1))).alias("disorder_rate"),
+        F.max(lateness).alias("max_lateness_us"),
+    )
