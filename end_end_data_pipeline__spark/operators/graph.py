@@ -294,3 +294,52 @@ def flatten_hierarchy(
         "depth",
         "path",
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 20,
+    undirected: bool = True,
+) -> DataFrame:
+    """Single-source shortest path lengths (unweighted BFS) by
+    iterative frontier expansion.
+
+    Returns (node, hops) for every node reachable from ``source``
+    within ``max_hops``.  Per iteration: join the current FRONTIER
+    (only the nodes discovered last round, not the whole visited set)
+    against the edge list, anti-join out already-visited nodes, union
+    into the visited set.  Frontier-only joins keep per-iteration work
+    proportional to the BFS wavefront, the same reason level-synchronous
+    BFS scales on Pregel-style systems; ``localCheckpoint`` truncates
+    lineage per level.  Oracle form: a recursive CTE taking MIN(hop)
+    per node (equivalent because BFS discovers nodes in hop order).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if undirected:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    e = e.filter(F.col("a").isNotNull() & F.col("b").isNotNull()).distinct()
+    e = e.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(int(source), 0)], schema="node long, hops int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.select(F.col("node").alias("a")), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -79,3 +79,62 @@ def gap_fill(
             c = F.when(is_gap, F.lit(zero_fill[name])).otherwise(c).alias(name)
         cols.append(c)
     return dense.select(*cols, is_gap.alias(gap_col))
+
+
+def ewma_lags(
+    value: Column | str,
+    order_col: Column | str,
+    partition_cols: list[str],
+    decay: str = "0.9",
+    n_lags: int = 8,
+) -> Column:
+    """Trailing exponentially-weighted moving average as a finite sum
+    of window lags: ewma_t = Σ_{i<n} λ^i·x_{t−i} / Σ_{i<n} λ^i (terms
+    with no row at lag i drop out of BOTH sums).
+
+    Truncating at ``n_lags`` makes the recursion a fixed expression
+    tree — one window shuffle, no recursion, SQL-replayable — and the
+    tail loss is λ^n (< 0.5% of total weight at λ=0.9, n=8 is ~43% —
+    pick n for the decay).  Weights are exact decimal powers of the
+    DECIMAL string ``decay`` computed driver-side, so with integer or
+    decimal ``value`` both numerator and denominator accumulate
+    exactly; the single double division at the end is the only lossy
+    step, bit-identical on any engine evaluating the same tree.
+    """
+    from decimal import Decimal
+
+    lam = Decimal(decay)
+    # Weight scale = the decimal digits of the longest power — kept
+    # minimal (7 for λ=0.9, n=8) so numerator/denominator magnitudes
+    # stay inside the exactly-double-convertible range (< 2^53 scaled
+    # units); a fat scale like 18 would make the final decimal→double
+    # cast double-round differently across engines (1-ulp drift).
+    if not (0 < lam <= 1):
+        raise ValueError(f"decay must be in (0, 1], got {decay}")
+    s = -(lam ** (n_lags - 1)).as_tuple().exponent
+    if n_lags > 10 or s > 17:
+        # Spark decimal headroom: the weight×lag product is
+        # (s+2+18+1, s) and each chained + widens precision by one
+        # digit — these bounds keep every intermediate ≤ precision 38
+        # so Spark never applies its lossy scale-reduction fallback
+        raise ValueError(
+            f"n_lags must be <= 10 and decay digits <= 17; got "
+            f"n_lags={n_lags}, scale={s}"
+        )
+    v = F.col(value) if isinstance(value, str) else value
+    w = (
+        Window.partitionBy(*partition_cols).orderBy(order_col)
+        if partition_cols
+        else Window.orderBy(order_col)
+    )
+    zero = F.lit("0").cast(f"decimal(28,{s})")
+    num = zero
+    den = zero
+    for i in range(n_lags):
+        coef = F.lit(str(lam**i)).cast(f"decimal({s + 2},{s})")
+        xi = F.lag(v, i).over(w).cast("decimal(18,0)")
+        num = num + F.coalesce((coef * xi).cast(f"decimal(28,{s})"), zero)
+        den = den + F.when(xi.isNotNull(), coef).otherwise(F.lit("0")).cast(
+            f"decimal(28,{s})"
+        )
+    return (num.cast("double") / den.cast("double")).alias("ewma")

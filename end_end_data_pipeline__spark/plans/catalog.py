@@ -66,7 +66,8 @@ def register(
 # queries whose oracles are new this round, then the new round-5
 # queries.  Round 5 added far more never-checked queries than the
 # window holds: positions 50+ (pyds_writer_sink_roundtrip through
-# join_null_safe_equality — 13 round-5 additions, plus the r01-green
+# pareto_abc_revenue — 24 round-5 additions including the seven
+# queries_stats.py statistical operators, plus the r01-green
 # functions batteries) are the FIRST thing the r06 rotation should
 # pull in; every one of them is oracle-parity-green in pytest
 # meanwhile.  Names not listed here sort after the listed ones in
@@ -143,6 +144,14 @@ _PRIORITY: tuple[str, ...] = (
     "currency_asof_conversion",
     "fulfillment_latency_percentiles",
     "quality_event_disorder_rate",
+    # --- statistical / ML operators (queries_stats.py, late round-5) ---
+    "stats_linear_trend_by_segment",
+    "market_basket_brand_pairs",
+    "graph_bfs_transfer_hops",
+    "timeseries_ewma_daily_volume",
+    "heavy_hitters_brand_lineitems",
+    "embedding_covariance_matrix",
+    "pareto_abc_revenue",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",
@@ -260,6 +269,7 @@ def load_all() -> dict[str, Query]:
         queries_pipeline,
         queries_tpch,
         queries_analytics,
+        queries_stats,
     )
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}

@@ -1,0 +1,207 @@
+"""Targeted tests for the statistical operators (operators/stats.py,
+operators/timeseries.ewma_lags, operators/graph.bfs_hops): the
+guarantee arguments behind the catalog queries, checked against
+sequential in-memory models.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter, deque
+from decimal import Decimal
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from end_end_data_pipeline__spark.operators.graph import bfs_hops
+from end_end_data_pipeline__spark.operators.stats import (
+    heavy_hitters,
+    misra_gries_candidates,
+    quantized_covariance,
+)
+from end_end_data_pipeline__spark.operators.timeseries import ewma_lags
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _zipf_keys(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    # Zipf-ish: key i drawn with weight 1/(i+1)
+    keys = [f"k{i}" for i in range(50)]
+    weights = [1.0 / (i + 1) for i in range(50)]
+    return rng.choices(keys, weights=weights, k=n)
+
+
+@pytest.mark.parametrize("seed,k,n_parts", [(7, 10, 5), (11, 5, 3), (13, 20, 8)])
+def test_heavy_hitters_equals_exact_groupby(spark, seed, k, n_parts):
+    """The sketch-pruned result must equal GROUP BY/HAVING exactly,
+    for any partitioning — the MG superset guarantee."""
+    data = _zipf_keys(2000, seed)
+    df = spark.createDataFrame([(x,) for x in data], "key string").repartition(
+        n_parts
+    )
+    got = {
+        (r["key"], r["freq"]) for r in heavy_hitters(df, "key", k).collect()
+    }
+    cnt = Counter(data)
+    want = {(key, c) for key, c in cnt.items() if c * k > len(data)}
+    assert got == want
+
+
+def test_misra_gries_candidates_superset(spark):
+    """Every true heavy hitter appears in the candidate set (the MG
+    guarantee the exact pass relies on)."""
+    data = _zipf_keys(3000, seed=3)
+    k = 8
+    df = spark.createDataFrame([(x,) for x in data], "key string").repartition(4)
+    sk = misra_gries_candidates(df, "key", k).collect()
+    cands = {r["key"] for r in sk if r["key"] is not None}
+    n = sum(r["part_rows"] for r in sk if r["key"] is None)
+    assert n == len(data)
+    cnt = Counter(data)
+    heavy = {key for key, c in cnt.items() if c * k > n}
+    assert heavy <= cands
+
+
+def test_heavy_hitters_k_validation(spark):
+    df = spark.createDataFrame([("a",)], "key string")
+    with pytest.raises(ValueError, match="k must be"):
+        misra_gries_candidates(df, "key", 0)
+
+
+# ---------------------------------------------------------------------------
+# Quantized covariance / PCA
+# ---------------------------------------------------------------------------
+
+
+def test_quantized_covariance_matches_numpy(spark):
+    rng = np.random.default_rng(42)
+    d, n, scale = 6, 400, 10_000
+    # 0.25σ keeps |x·scale| inside the ±32767 clamp, so the raw-cov
+    # error bound below reflects pure quantization, not clipping
+    x = (0.25 * rng.normal(size=(n, d))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in x], "embedding array<float>"
+    ).repartition(4)
+    rows = quantized_covariance(df, "embedding", scale=scale).collect()
+    assert len(rows) == d * (d + 1) // 2
+    got = np.zeros((d, d))
+    for r in rows:
+        got[r["i"], r["j"]] = got[r["j"], r["i"]] = r["cov"]
+    q = np.clip(
+        np.floor(x.astype(np.float64) * scale + 0.5), -32_767, 32_767
+    )
+    want_q = np.cov(q.T, bias=True) / (scale * scale)
+    assert np.allclose(got, want_q, rtol=0, atol=1e-12)
+    # quantization error vs the raw float covariance is bounded
+    want_raw = np.cov(x.astype(np.float64).T, bias=True)
+    assert np.abs(got - want_raw).max() < 1e-3
+
+
+def test_pca_end_to_end(spark):
+    """The standard big-data PCA split: distributed covariance →
+    driver-local eigendecomposition → projection check."""
+    rng = np.random.default_rng(7)
+    d, n = 5, 500
+    # anisotropic cloud: one dominant direction
+    base = rng.normal(size=(n, 1)) @ np.array([[0.6, 0.2, 0.1, 0.02, 0.01]])
+    x = (base + 0.02 * rng.normal(size=(n, d))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in x], "embedding array<float>"
+    ).repartition(3)
+    rows = quantized_covariance(df, "embedding").collect()
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(cov)
+    assert evals.min() > -1e-9  # PSD up to quantization noise
+    top = evecs[:, -1]
+    proj = (x.astype(np.float64) - x.mean(axis=0)) @ top
+    # variance captured by the top component equals its eigenvalue
+    assert np.isclose(proj.var(), evals[-1], rtol=1e-2)
+    # and it dominates, as constructed
+    assert evals[-1] > 10 * evals[-2]
+
+
+def test_quantized_covariance_empty_raises(spark):
+    df = spark.createDataFrame([], "embedding array<float>")
+    with pytest.raises(ValueError, match="no rows"):
+        quantized_covariance(df)
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest paths
+# ---------------------------------------------------------------------------
+
+
+def _seq_bfs(edges: list[tuple[int, int]], source: int, max_hops: int):
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {source: 0}
+    dq = deque([source])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    return dist
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_bfs_hops_matches_sequential(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(1, 40))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, source=1, max_hops=6).collect()}
+    want = _seq_bfs(edges, 1, 6)
+    assert got == want
+
+
+def test_bfs_isolated_source(spark):
+    df = spark.createDataFrame([(5, 6)], "src long, dst long")
+    got = bfs_hops(df, source=1, max_hops=3).collect()
+    assert [(r["node"], r["hops"]) for r in got] == [(1, 0)]
+
+
+# ---------------------------------------------------------------------------
+# EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_sequential_model(spark):
+    xs = [5, 8, 2, 0, 7, 3, 9, 4, 6, 1]
+    rows = [("g", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, t int, x int")
+    out = (
+        df.select(
+            "t", ewma_lags("x", "t", ["g"], decay="0.9", n_lags=8).alias("ewma")
+        )
+        .orderBy("t")
+        .collect()
+    )
+    lam = Decimal("0.9")
+    for r in out:
+        t = r["t"]
+        lags = [xs[t - i] for i in range(8) if t - i >= 0]
+        num = sum((lam**i) * v for i, v in enumerate(lags))
+        den = sum(lam**i for i in range(len(lags)))
+        assert r["ewma"] == pytest.approx(float(num) / float(den), abs=1e-12)
+
+
+def test_ewma_parameter_guards(spark):
+    with pytest.raises(ValueError, match="decay"):
+        ewma_lags("x", "t", [], decay="1.5")
+    with pytest.raises(ValueError, match="n_lags"):
+        ewma_lags("x", "t", [], n_lags=11)
