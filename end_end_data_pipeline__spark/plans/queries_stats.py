@@ -166,6 +166,7 @@ _MIN_PAIR_SUPPORT = 10  # same constant both engines; semantic, not sf-tuned
         JOIN bc bb ON bb.b = pairs.brand_b
     """,
     survey_ids=("J3", "A1", "A5"),
+    bench=True,
 )
 def market_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association over order lines: brand pairs bought
@@ -188,6 +189,10 @@ def market_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
+        # materialized once: the (order, brand) frame feeds FOUR
+        # consumers (N count, per-brand totals, both self-join sides) —
+        # without the checkpoint each re-runs the fact join + distinct
+        .localCheckpoint(eager=True)
     )
     n_orders = ob.select("o").distinct().count()
     bc = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
@@ -360,6 +365,7 @@ _HH_K = 30
         HAVING COUNT(*) * {_HH_K} > (SELECT COUNT(*) FROM lineitem)
     """,
     survey_ids=("A4", "UD1"),
+    bench=True,
 )
 def heavy_hitters_brand_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brands accounting for more than 1/30 of all order lines, found
