@@ -152,6 +152,9 @@ _PRIORITY: tuple[str, ...] = (
     "heavy_hitters_brand_lineitems",
     "embedding_covariance_matrix",
     "pareto_abc_revenue",
+    "embedding_dim_feature_stats",
+    "corpus_source_lang_chisq",
+    "ab_conversion_ztest",
     # --- r01-only greens whose slots were ceded in r04 ---
     "functions_string_battery",
     "functions_datetime_battery",

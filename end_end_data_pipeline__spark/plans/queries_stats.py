@@ -540,3 +540,281 @@ def pareto_abc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# F13/A2: per-dimension feature stats (normalization constants)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_feature_stats",
+    oracle=f"""
+        WITH comp AS (
+            SELECT vec_id, CAST(i AS INT) AS dim,
+                   CAST(embedding[i + 1] AS DOUBLE) AS v,
+                   CAST(greatest(-{_COV_CLAMP}, least({_COV_CLAMP},
+                       CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                                  * {_COV_SCALE} + 0.5) AS BIGINT)))
+                       AS BIGINT) AS q
+            FROM embeddings,
+                 (SELECT unnest(range(len(embedding))) AS i
+                  FROM (SELECT embedding FROM embeddings LIMIT 1))
+        ),
+        m AS (
+            SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(q AS HUGEINT)) AS s,
+                   SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS s2,
+                   MIN(v) AS min_v, MAX(v) AS max_v
+            FROM comp GROUP BY dim
+        )
+        SELECT dim, n,
+               CAST(s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * {float(_COV_SCALE)!r}) AS mean_q,
+               sqrt(CAST(n * s2 - s * s AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * {float(_COV_SCALE) * float(_COV_SCALE)!r})) AS std_q,
+               min_v, max_v
+        FROM m
+    """,
+    survey_ids=("F13", "A2", "UD7"),
+)
+def embedding_dim_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics of the embedding corpus
+    (count, mean, population std, min, max) — the normalization
+    constants a standardize/whiten step broadcasts before training.
+
+    One posexplode + one hash agg on a d-sized key.  Mean/std come
+    from exact integer moments of the same floor(v·S + 0.5)
+    quantization as the covariance gramian, so both engines agree
+    bit-for-bit (sqrt is IEEE correctly-rounded — safe in a hash
+    check, unlike ln/exp); min/max compare float components exactly.
+    """
+    emb = lake.load_table(spark, "embeddings", sf_dir)
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "__f")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("__f").cast("double").alias("v"),
+    )
+    q = F.greatest(
+        F.lit(-_COV_CLAMP),
+        F.least(
+            F.lit(_COV_CLAMP),
+            F.floor(F.col("v") * _COV_SCALE + F.lit(0.5)).cast("bigint"),
+        ),
+    )
+    m = comp.withColumn("q", q).groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("q") * F.col("q")).cast("decimal(38,0)")
+        ).alias("s2"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    n_dec = F.col("n").cast("decimal(38,0)")
+    return m.select(
+        "dim",
+        "n",
+        (
+            F.col("s").cast("double")
+            / (F.col("n").cast("double") * F.lit(float(_COV_SCALE)))
+        ).alias("mean_q"),
+        F.sqrt(
+            (n_dec * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("n").cast("double")
+                * F.lit(float(_COV_SCALE) * float(_COV_SCALE))
+            )
+        ).alias("std_q"),
+        "min_v",
+        "max_v",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/P7: chi-square association cells (source × language)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_source_lang_chisq",
+    oracle="""
+        WITH cells AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source, lang
+        ),
+        tot AS (
+            SELECT source, lang, n_docs,
+                   SUM(n_docs) OVER (PARTITION BY source) AS row_tot,
+                   SUM(n_docs) OVER (PARTITION BY lang) AS col_tot,
+                   SUM(n_docs) OVER () AS grand_tot
+            FROM cells
+        )
+        SELECT source, lang, n_docs,
+               (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
+                   / CAST(grand_tot AS DOUBLE) AS expected,
+               (CAST(n_docs AS DOUBLE)
+                - (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
+                      / CAST(grand_tot AS DOUBLE))
+               * (CAST(n_docs AS DOUBLE)
+                - (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
+                      / CAST(grand_tot AS DOUBLE))
+               / ((CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
+                      / CAST(grand_tot AS DOUBLE)) AS chi2_cell
+        FROM tot
+    """,
+    survey_ids=("A3", "P7"),
+)
+def corpus_source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association cells for the source × language
+    contingency table over the document corpus — the drift/statistical
+    dependence test behind 'is this crawl source language-skewed?'.
+    Reported per CELL ((obs − exp)²/exp, a fixed scalar double tree on
+    exact integer marginals) rather than as the summed statistic:
+    per-cell values hash-check deterministically, while a cross-group
+    double SUM would be partition-order dependent.  Chi-square (not
+    KL) keeps the math transcendental-free.
+
+    Plan: one hash agg to the |sources|×|langs| cell grid, then window
+    sums over that tiny grid for the marginals — no second scan.
+    """
+    docs = lake.load_table(spark, "documents", sf_dir)
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_src = Window.partitionBy("source")
+    w_lang = Window.partitionBy("lang")
+    w_all = Window.partitionBy()
+    tot = cells.select(
+        "source",
+        "lang",
+        "n_docs",
+        F.sum("n_docs").over(w_src).alias("row_tot"),
+        F.sum("n_docs").over(w_lang).alias("col_tot"),
+        F.sum("n_docs").over(w_all).alias("grand_tot"),
+    )
+    exp_d = (
+        F.col("row_tot").cast("double") * F.col("col_tot").cast("double")
+    ) / F.col("grand_tot").cast("double")
+    obs_d = F.col("n_docs").cast("double")
+    return tot.select(
+        "source",
+        "lang",
+        "n_docs",
+        exp_d.alias("expected"),
+        ((obs_d - exp_d) * (obs_d - exp_d) / exp_d).alias("chi2_cell"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: two-proportion z-test (A/B experiment readout)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_conversion_ztest",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 14
+                        THEN 1 ELSE 0 END AS converted
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT
+                CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_control,
+                CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_treatment,
+                CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                    AS BIGINT) AS c_control,
+                CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                    AS BIGINT) AS c_treatment
+            FROM per_user
+        )
+        SELECT n_control, n_treatment, c_control, c_treatment,
+               CAST(c_control AS DOUBLE) / CAST(n_control AS DOUBLE)
+                   AS p_control,
+               CAST(c_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+                   AS p_treatment,
+               (CAST(c_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+                - CAST(c_control AS DOUBLE) / CAST(n_control AS DOUBLE))
+               / sqrt(
+                   (CAST(c_control + c_treatment AS DOUBLE)
+                        / CAST(n_control + n_treatment AS DOUBLE))
+                   * (1.0 - CAST(c_control + c_treatment AS DOUBLE)
+                        / CAST(n_control + n_treatment AS DOUBLE))
+                   * (1.0 / CAST(n_control AS DOUBLE)
+                      + 1.0 / CAST(n_treatment AS DOUBLE))
+               ) AS z_score
+        FROM agg
+    """,
+    survey_ids=("A5", "A1"),
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test readout of a deterministic A/B split
+    (variant = user_id mod 2; conversion = user made ≥14 purchases, a
+    threshold near the fixture's per-user median so both variants get
+    a non-degenerate rate) — the experiment-analysis mart: per-variant
+    sample sizes, conversion rates, and the pooled z statistic.
+
+    Plan: per-user collapse (hash agg on user_id, map-side
+    combinable), then a single global conditional agg to four exact
+    integers; rates and z are one fixed double tree (sqrt is IEEE
+    correctly-rounded, so the statistic itself hash-checks).  At
+    100 TB the shuffle after the per-user collapse carries four
+    numbers.
+    """
+    events = lake.load_table(spark, "events", sf_dir)
+    per_user = events.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+    )
+    agg = per_user.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_control"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treatment"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_control"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_treatment"),
+    )
+    nc = F.col("n_control").cast("double")
+    nt = F.col("n_treatment").cast("double")
+    cc = F.col("c_control").cast("double")
+    ct = F.col("c_treatment").cast("double")
+    pool = (cc + ct) / (nc + nt)
+    # NOTE: the pooled term is written as (c_control + c_treatment) /
+    # (n_control + n_treatment) on BOTH sides (sum in double of exact
+    # ints — deterministic), not via the decimal sums
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        "c_control",
+        "c_treatment",
+        (cc / nc).alias("p_control"),
+        (ct / nt).alias("p_treatment"),
+        (
+            (ct / nt - cc / nc)
+            / F.sqrt(pool * (F.lit(1.0) - pool) * (1.0 / nc + 1.0 / nt))
+        ).alias("z_score"),
+    )
