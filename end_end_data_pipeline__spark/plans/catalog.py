@@ -144,6 +144,14 @@ _PRIORITY: tuple[str, ...] = (
     "currency_asof_conversion",
     "fulfillment_latency_percentiles",
     "quality_event_disorder_rate",
+    # --- audit / diagnostics operators (queries_audit.py, round-5
+    # continuation — never driver-checked, r06 window candidates) ---
+    "fraud_benford_digit_audit",
+    "market_hhi_concentration",
+    "timeseries_seasonal_decompose",
+    "timeseries_cusum_changepoint",
+    "text_token_frequency_quality",
+    "assoc_rules_brand_confidence",
     # --- statistical / ML operators (queries_stats.py, late round-5) ---
     "stats_linear_trend_by_segment",
     "market_basket_brand_pairs",
@@ -273,6 +281,7 @@ def load_all() -> dict[str, Query]:
         queries_tpch,
         queries_analytics,
         queries_stats,
+        queries_audit,
     )
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}
