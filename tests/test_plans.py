@@ -227,6 +227,52 @@ def test_join_strategy_hints_are_respected(spark):
     assert "SortMergeJoin" in plan_of("merge")
 
 
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime row-level filtering: a selective dim-side filter must
+    inject a bloom filter (`might_contain`) on the fact side of a
+    shuffle join, pre-filtering fact rows BEFORE the shuffle — the
+    row-granular sibling of dynamic partition pruning.  At 100 TB a
+    95%-selective dim predicate means the fact shuffle carries 5% of
+    the bytes.  Thresholds are lowered because the sf0.001 fixture is
+    below the production defaults (10 MB creation / 10 GB scan)."""
+    from pyspark.sql import functions as F
+
+    from end_end_data_pipeline__spark.sources import lake
+    from tests.conftest import SF_SMOKE
+
+    overrides = {
+        # force a shuffle join: broadcast joins don't need the filter
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        lineitem = lake.load_table(spark, "lineitem", SF_SMOKE)
+        orders = lake.load_table(spark, "orders", SF_SMOKE)
+        dim = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        joined = lineitem.join(dim, lineitem.l_orderkey == dim.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        # and the filtered join still computes the exact answer
+        want = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .count()
+        )
+        assert joined.count() == want
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_dynamic_partition_pruning(spark, tmp_path):
     """Dynamic partition pruning: a filter that only exists on the DIM
     side must prune the partitioned FACT's directories at runtime (the
