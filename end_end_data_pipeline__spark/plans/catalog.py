@@ -152,6 +152,9 @@ _PRIORITY: tuple[str, ...] = (
     "timeseries_cusum_changepoint",
     "text_token_frequency_quality",
     "assoc_rules_brand_confidence",
+    "robust_median_mad_by_priority",
+    "inequality_gini_by_nation",
+    "robust_trimmed_mean_order_value",
     # --- statistical / ML operators (queries_stats.py, late round-5) ---
     "stats_linear_trend_by_segment",
     "market_basket_brand_pairs",

@@ -818,3 +818,297 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(pool * (F.lit(1.0) - pool) * (1.0 / nc + 1.0 / nt))
         ).alias("z_score"),
     )
+
+# ---------------------------------------------------------------------------
+# A8/W2: rank-exact median + MAD (robust location/scale per group)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "robust_median_mad_by_priority",
+    oracle="""
+        WITH cents AS (
+            SELECT o_orderpriority AS pri, o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT)
+                       AS xc
+            FROM orders
+        ),
+        ranked AS (
+            SELECT pri, xc,
+                   row_number() OVER (PARTITION BY pri ORDER BY xc,
+                                      o_orderkey) AS r,
+                   CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+            FROM cents
+        ),
+        med AS (
+            SELECT pri, MAX(n) AS n,
+                   SUM(xc * (CASE WHEN r = (n + 1) // 2 THEN 1 ELSE 0 END
+                             + CASE WHEN r = (n + 2) // 2 THEN 1 ELSE 0 END))
+                       AS m2
+            FROM ranked GROUP BY pri
+        ),
+        dev AS (
+            SELECT c.pri, abs(2 * c.xc - m.m2) AS d,
+                   row_number() OVER (PARTITION BY c.pri
+                                      ORDER BY abs(2 * c.xc - m.m2),
+                                               c.o_orderkey) AS r,
+                   m.n
+            FROM cents c JOIN med m ON c.pri = m.pri
+        ),
+        mad AS (
+            SELECT pri,
+                   SUM(d * (CASE WHEN r = (n + 1) // 2 THEN 1 ELSE 0 END
+                            + CASE WHEN r = (n + 2) // 2 THEN 1 ELSE 0 END))
+                       AS d2
+            FROM dev GROUP BY pri
+        )
+        SELECT m.pri AS o_orderpriority, m.n AS n_orders,
+               CAST(m.m2 AS DOUBLE) / 200.0 AS median_value,
+               CAST(a.d2 AS DOUBLE) / 400.0 AS mad_value
+        FROM med m JOIN mad a ON m.pri = a.pri
+    """,
+    survey_ids=("A8", "W2", "F13"),
+)
+def robust_median_mad_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale per order priority: the exact median and
+    the median absolute deviation (MAD), the outlier-resistant
+    alternative to mean/stddev a monitoring rule should prefer on
+    heavy-tailed money columns.
+
+    Rank-exact, interpolation-free: both medians are picked by ROW
+    NUMBER (central one or two elements, the single middle weighted
+    twice for odd n), deviations are |2x − (m_lo + m_hi)| — the ×2
+    clears the midpoint's /2 so EVERYTHING stays exact integer cents
+    until two final double divisions.  Plan: two window passes per
+    group (rank by value, rank by deviation) with the 5-row median
+    frame broadcast back — the per-group sort is the same shuffle a
+    percentile agg needs; at 100 TB the scale path swaps in
+    approx_percentile while this stays the exact-audit variant.
+    """
+    orders = lake.load_table(spark, "orders", sf_dir)
+    cents = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+        .cast("bigint")
+        .alias("xc"),
+    )
+    w_rank = Window.partitionBy("pri").orderBy("xc", "o_orderkey")
+    w_all = Window.partitionBy("pri")
+    ranked = cents.select(
+        "pri",
+        "xc",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    pick = F.when(F.col("r") == lo, 1).otherwise(0) + F.when(
+        F.col("r") == hi, 1
+    ).otherwise(0)
+    med = ranked.groupBy("pri").agg(
+        F.max("n").alias("n"), F.sum(F.col("xc") * pick).alias("m2")
+    )
+    dev = cents.join(F.broadcast(med), "pri").select(
+        "pri",
+        "o_orderkey",
+        F.abs(2 * F.col("xc") - F.col("m2")).alias("d"),
+        "n",
+    )
+    w_dev = Window.partitionBy("pri").orderBy("d", "o_orderkey")
+    dev_ranked = dev.select(
+        "pri", "d", "n", F.row_number().over(w_dev).alias("r")
+    )
+    mad = dev_ranked.groupBy("pri").agg(
+        F.sum(F.col("d") * pick).alias("d2")
+    )
+    return (
+        med.join(mad, "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            F.col("n").alias("n_orders"),
+            (F.col("m2").cast("double") / F.lit(200.0)).alias("median_value"),
+            (F.col("d2").cast("double") / F.lit(400.0)).alias("mad_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/W1: Gini inequality coefficient of customer revenue per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inequality_gini_by_nation",
+    oracle="""
+        WITH rev AS (
+            SELECT n_name AS nation, c_custkey,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100
+                            AS BIGINT)) AS xc
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT nation, xc,
+                   CAST(row_number() OVER (PARTITION BY nation
+                                           ORDER BY xc, c_custkey)
+                        AS HUGEINT) AS i
+            FROM rev
+        ),
+        m AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(xc AS HUGEINT)) AS sx,
+                   SUM(i * CAST(xc AS HUGEINT)) AS six
+            FROM ranked GROUP BY nation
+        )
+        SELECT nation, CAST(n AS BIGINT) AS n_customers,
+               CAST(sx AS DOUBLE) / 100.0 AS total_revenue,
+               CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                   / CAST(n * sx AS DOUBLE) AS gini
+        FROM m
+    """,
+    survey_ids=("A2", "W1", "A3"),
+)
+def inequality_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue within each nation
+    (0 = perfectly equal, →1 = one customer holds everything) — the
+    revenue-concentration risk metric one level finer than the
+    supplier HHI (Gini weighs the whole Lorenz curve, HHI only
+    squared shares).  Customers without orders are out of frame (the
+    rev CTE is the population).
+
+    Exact rank form G = (2·Σi·x − (n+1)·Σx) / (n·Σx) with ascending
+    ranks made total by the customer key: every sum is an exact
+    DECIMAL(38)/HUGEINT, one double division at the end.  Plan: fact
+    collapses to one row per customer (hash agg), the per-nation rank
+    runs over the customer DIMENSION — same shape as the Pareto ABC
+    query, fact-scan-sized shuffle never reaches the window.
+    """
+    orders = lake.load_table(spark, "orders", sf_dir)
+    customer = lake.load_table(spark, "customer", sf_dir)
+    nation = lake.load_table(spark, "nation", sf_dir)
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(13,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("xc")
+        )
+    )
+    w_rank = Window.partitionBy("nation").orderBy("xc", "c_custkey")
+    ranked = rev.select(
+        "nation",
+        "xc",
+        F.row_number().over(w_rank).cast("decimal(38,0)").alias("i"),
+    )
+    xc_dec = F.col("xc").cast("decimal(38,0)")
+    m = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xc_dec).alias("sx"),
+        F.sum(F.col("i") * xc_dec).alias("six"),
+    )
+    return m.select(
+        "nation",
+        F.col("n").cast("bigint").alias("n_customers"),
+        (F.col("sx").cast("double") / F.lit(100.0)).alias("total_revenue"),
+        (
+            (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double")
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8/W2: trimmed mean (rank-based winsorization bounds)
+# ---------------------------------------------------------------------------
+
+_TRIM_PCT = 5  # trim this percent of rows from EACH tail
+
+
+@register(
+    "robust_trimmed_mean_order_value",
+    oracle=f"""
+        WITH cents AS (
+            SELECT o_orderpriority AS pri, o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT)
+                       AS xc
+            FROM orders
+        ),
+        ranked AS (
+            SELECT pri, xc,
+                   row_number() OVER (PARTITION BY pri ORDER BY xc,
+                                      o_orderkey) AS r,
+                   CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+            FROM cents
+        )
+        SELECT pri AS o_orderpriority,
+               MAX(n) AS n_orders,
+               CAST(SUM(CAST(xc AS HUGEINT)) AS DOUBLE)
+                   / (CAST(MAX(n) AS DOUBLE) * 100.0) AS mean_value,
+               CAST(SUM(CASE WHEN r > (n * {_TRIM_PCT}) // 100
+                              AND r <= n - (n * {_TRIM_PCT}) // 100
+                             THEN CAST(xc AS HUGEINT) ELSE 0 END) AS DOUBLE)
+                   / (CAST(SUM(CASE WHEN r > (n * {_TRIM_PCT}) // 100
+                                     AND r <= n - (n * {_TRIM_PCT}) // 100
+                                    THEN 1 ELSE 0 END) AS DOUBLE) * 100.0)
+                   AS trimmed_mean_value
+        FROM ranked GROUP BY pri
+    """,
+    survey_ids=("A8", "W2", "A5"),
+)
+def robust_trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-per-tail trimmed mean of order value per priority, next to
+    the plain mean — the robust central-tendency readout that ignores
+    promo outliers and fat-finger amounts.  Trim bounds are RANK
+    cutoffs (r in (k, n−k], k = ⌊n·5/100⌋ — pure integer arithmetic,
+    truncating division is floor for positive n on both engines), so
+    membership is exact; sums stay integer cents to one double
+    division.  Plan: one per-group rank window then a conditional
+    agg — no second pass, no percentile interpolation anywhere.
+    """
+    orders = lake.load_table(spark, "orders", sf_dir)
+    cents = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+        .cast("bigint")
+        .alias("xc"),
+    )
+    w_rank = Window.partitionBy("pri").orderBy("xc", "o_orderkey")
+    w_all = Window.partitionBy("pri")
+    ranked = cents.select(
+        "pri",
+        "xc",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    k = F.expr(f"(n * {_TRIM_PCT}) div 100")
+    keep = (F.col("r") > k) & (F.col("r") <= F.col("n") - k)
+    xc_dec = F.col("xc").cast("decimal(38,0)")
+    return ranked.groupBy("pri").agg(
+        F.max("n").alias("n_orders"),
+        (
+            F.sum(xc_dec).cast("double")
+            / (F.max("n").cast("double") * F.lit(100.0))
+        ).alias("mean_value"),
+        (
+            F.sum(F.when(keep, xc_dec).otherwise(F.lit(0).cast("decimal(38,0)")))
+            .cast("double")
+            / (
+                F.sum(F.when(keep, 1).otherwise(0)).cast("double")
+                * F.lit(100.0)
+            )
+        ).alias("trimmed_mean_value"),
+    ).select(
+        F.col("pri").alias("o_orderpriority"),
+        "n_orders",
+        "mean_value",
+        "trimmed_mean_value",
+    )

@@ -205,3 +205,62 @@ def test_ewma_parameter_guards(spark):
         ewma_lags("x", "t", [], decay="1.5")
     with pytest.raises(ValueError, match="n_lags"):
         ewma_lags("x", "t", [], n_lags=11)
+
+
+def test_robust_median_mad_vs_python(spark):
+    """Rank-exact median/MAD must equal the sequential definition."""
+    import statistics
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from end_end_data_pipeline__spark.sources import lake
+    from tests.conftest import SF_SMOKE
+
+    rows = load_all()["robust_median_mad_by_priority"].fn(spark, SF_SMOKE).collect()
+    orders = (
+        lake.load_table(spark, "orders", SF_SMOKE)
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    by_pri: dict[str, list[float]] = {}
+    for r in orders:
+        by_pri.setdefault(r["o_orderpriority"], []).append(
+            round(r["o_totalprice"] * 100)
+        )
+    assert {r["o_orderpriority"] for r in rows} == set(by_pri)
+    for r in rows:
+        xs = by_pri[r["o_orderpriority"]]
+        med = statistics.median(xs)
+        mad = statistics.median(abs(x - med) for x in xs)
+        assert r["n_orders"] == len(xs)
+        assert r["median_value"] == pytest.approx(med / 100.0, abs=1e-9)
+        assert r["mad_value"] == pytest.approx(mad / 100.0, abs=1e-9)
+
+
+def test_gini_bounds_and_known_values(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    rows = load_all()["inequality_gini_by_nation"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0, r
+        # max possible Gini for n customers is (n-1)/n
+        assert r["gini"] <= (r["n_customers"] - 1) / r["n_customers"] + 1e-12
+
+
+def test_trimmed_mean_between_bounds(spark):
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_all()["robust_trimmed_mean_order_value"].fn(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    for r in rows:
+        # trimming both tails by the same count keeps the mean finite
+        # and cannot move it outside the untrimmed min/max envelope;
+        # with symmetric trim counts it stays close to the plain mean
+        assert r["trimmed_mean_value"] > 0
+        assert abs(r["trimmed_mean_value"] - r["mean_value"]) < r["mean_value"]
