@@ -66,12 +66,13 @@ def register(
 # queries whose oracles are new this round, then the new round-5
 # queries.  Round 5 added far more never-checked queries than the
 # window holds: positions 50+ (pyds_writer_sink_roundtrip through
-# pareto_abc_revenue — 24 round-5 additions including the seven
-# queries_stats.py statistical operators, plus the r01-green
-# functions batteries) are the FIRST thing the r06 rotation should
-# pull in; every one of them is oracle-parity-green in pytest
-# meanwhile.  Names not listed here sort after the listed ones in
-# registration order.
+# robust_trimmed_mean_order_value — 33 round-5 additions including
+# the queries_stats.py statistical/robust operators and the
+# queries_audit.py audit suite, plus the r01-green functions
+# batteries) are the FIRST thing the r06 rotation should pull in;
+# every one of them is oracle-parity-green in pytest meanwhile.
+# Names not listed here sort after the listed ones in registration
+# order.
 _PRIORITY: tuple[str, ...] = (
     # --- never driver-checked: the 10 round-4 additions ---
     "tpch_q2_min_cost_supplier",
@@ -144,8 +145,9 @@ _PRIORITY: tuple[str, ...] = (
     "currency_asof_conversion",
     "fulfillment_latency_percentiles",
     "quality_event_disorder_rate",
-    # --- audit / diagnostics operators (queries_audit.py, round-5
-    # continuation — never driver-checked, r06 window candidates) ---
+    # --- round-5 continuation: audit/diagnostics (queries_audit.py)
+    # and robust statistics (queries_stats.py) — never driver-checked,
+    # r06 window candidates ---
     "fraud_benford_digit_audit",
     "market_hhi_concentration",
     "timeseries_seasonal_decompose",
@@ -155,7 +157,7 @@ _PRIORITY: tuple[str, ...] = (
     "robust_median_mad_by_priority",
     "inequality_gini_by_nation",
     "robust_trimmed_mean_order_value",
-    # --- statistical / ML operators (queries_stats.py, late round-5) ---
+    # --- statistical / ML operators (queries_stats.py first wave) ---
     "stats_linear_trend_by_segment",
     "market_basket_brand_pairs",
     "graph_bfs_transfer_hops",

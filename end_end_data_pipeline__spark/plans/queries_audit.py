@@ -49,7 +49,7 @@ _BENFORD_SQL_CASE = " ".join(
             SELECT CAST(substr(CAST(CAST(floor(
                        CAST(o_totalprice AS DECIMAL(13,2))) AS BIGINT)
                        AS VARCHAR), 1, 1) AS INT) AS digit
-            FROM orders
+            FROM orders WHERE o_totalprice >= 1
         ),
         counted AS (
             SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -82,11 +82,19 @@ def fraud_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the leading digit is extracted *lexically* (decimal →
     bigint → string → first char), never via log10; the Benford
     expectations are Python-precomputed literals identical in both
-    plans.  Plan: one scan, one 9-key hash agg (map-side combinable),
-    a window over 9 rows for the total — at 100 TB the shuffle carries
-    nine numbers.
+    plans.  Sub-unit and non-positive amounts are excluded up front
+    (identically on both sides): Benford's first-significant-digit
+    law needs the fractional-magnitude walk, and a 0.50 total would
+    otherwise produce digit 0 with no expectation — silently
+    deflating every real digit's share.  Production note: route the
+    excluded rows to their own screen rather than this one.  Plan:
+    one scan, one 9-key hash agg (map-side combinable), a window over
+    9 rows for the total — at 100 TB the shuffle carries nine
+    numbers.
     """
-    orders = lake.load_table(spark, "orders", sf_dir)
+    orders = lake.load_table(spark, "orders", sf_dir).filter(
+        F.col("o_totalprice") >= 1
+    )
     digit = F.substring(
         F.floor(F.col("o_totalprice").cast("decimal(13,2)"))
         .cast("bigint")
@@ -270,6 +278,12 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
     diagnostic (identity n = trend + seasonal + remainder holds
     exactly on every full-window day; proven in tests/test_audit.py).
 
+    The 7-row centered window assumes a GAP-FREE daily series (a
+    missing calendar day would make the frame span 8 days and bias
+    the dow alignment) — on sparse series compose with
+    ``timeseries_gap_fill_daily`` (zero-fill) first; the fixture
+    series is dense.
+
     Determinism: the seasonal means come from Σ(7·n − w7) — an exact
     BIGINT in both engines because the ×7 clears the division — with
     ONE double division at the end; day-of-week is an integer
@@ -362,7 +376,9 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT event_type, day, n AS n_events,
                CAST(cusum_num AS DOUBLE) / CAST(n_days AS DOUBLE) AS cusum,
                abs(cusum_num) = MAX(abs(cusum_num))
-                   OVER (PARTITION BY event_type) AS is_changepoint
+                   OVER (PARTITION BY event_type)
+               AND MAX(abs(cusum_num)) OVER (PARTITION BY event_type) > 0
+                   AS is_changepoint
         FROM scored
     """,
     survey_ids=("W1", "A6", "W2"),
@@ -377,7 +393,11 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: C_k is computed as the exact integer N·run_k − k·S
     (multiplying through by N clears the mean's division), one double
-    division at the end; the peak flag compares exact integers.
+    division at the end; the peak flag compares exact integers.  A
+    perfectly flat series has C_k ≡ 0 everywhere — the max>0 guard
+    keeps it (and the forced-zero C_N endpoint) from flagging every
+    day; genuine equal peaks intentionally all flag (ties are real
+    candidates, pick by day downstream if one is needed).
     Plan: hash agg to days, then two window passes over the
     downsampled per-type series — thousands of rows per year of data
     regardless of source scale.
@@ -416,9 +436,17 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cusum"
         ),
         (
-            F.abs(F.col("cusum_num"))
-            == F.max(F.abs(F.col("cusum_num"))).over(
-                Window.partitionBy("event_type")
+            (
+                F.abs(F.col("cusum_num"))
+                == F.max(F.abs(F.col("cusum_num"))).over(
+                    Window.partitionBy("event_type")
+                )
+            )
+            & (
+                F.max(F.abs(F.col("cusum_num"))).over(
+                    Window.partitionBy("event_type")
+                )
+                > 0
             )
         ).alias("is_changepoint"),
     )
@@ -513,7 +541,11 @@ def text_token_frequency_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J3/A5: directional association rules (confidence + lift)
 # ---------------------------------------------------------------------------
 
-_RULE_MIN_PAIR = 10  # same semantic constant as market_basket_brand_pairs
+# the same semantic threshold as the symmetric pair query — imported,
+# not re-declared, so tuning one keeps the two consistent
+from end_end_data_pipeline__spark.plans.queries_stats import (  # noqa: E402
+    _MIN_PAIR_SUPPORT as _RULE_MIN_PAIR,
+)
 
 
 @register(

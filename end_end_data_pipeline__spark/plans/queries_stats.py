@@ -824,6 +824,33 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _priority_cents_ranked(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared frame for the robust-statistics queries: order totals as
+    exact integer cents per priority (``cents``), plus the total-order
+    rank and group size (``ranked``).  One definition so the scaling
+    and tie-break can never diverge between the median/MAD and
+    trimmed-mean queries."""
+    orders = lake.load_table(spark, "orders", sf_dir)
+    cents = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+        .cast("bigint")
+        .alias("xc"),
+    )
+    w_rank = Window.partitionBy("pri").orderBy("xc", "o_orderkey")
+    w_all = Window.partitionBy("pri")
+    ranked = cents.select(
+        "pri",
+        "xc",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    return cents, ranked
+
+
 @register(
     "robust_median_mad_by_priority",
     oracle="""
@@ -885,22 +912,7 @@ def robust_median_mad_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     percentile agg needs; at 100 TB the scale path swaps in
     approx_percentile while this stays the exact-audit variant.
     """
-    orders = lake.load_table(spark, "orders", sf_dir)
-    cents = orders.select(
-        F.col("o_orderpriority").alias("pri"),
-        "o_orderkey",
-        (F.col("o_totalprice").cast("decimal(13,2)") * 100)
-        .cast("bigint")
-        .alias("xc"),
-    )
-    w_rank = Window.partitionBy("pri").orderBy("xc", "o_orderkey")
-    w_all = Window.partitionBy("pri")
-    ranked = cents.select(
-        "pri",
-        "xc",
-        F.row_number().over(w_rank).alias("r"),
-        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
-    )
+    cents, ranked = _priority_cents_ranked(spark, sf_dir)
     lo = F.expr("(n + 1) div 2")
     hi = F.expr("(n + 2) div 2")
     pick = F.when(F.col("r") == lo, 1).otherwise(0) + F.when(
@@ -1073,22 +1085,7 @@ def robust_trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFra
     division.  Plan: one per-group rank window then a conditional
     agg — no second pass, no percentile interpolation anywhere.
     """
-    orders = lake.load_table(spark, "orders", sf_dir)
-    cents = orders.select(
-        F.col("o_orderpriority").alias("pri"),
-        "o_orderkey",
-        (F.col("o_totalprice").cast("decimal(13,2)") * 100)
-        .cast("bigint")
-        .alias("xc"),
-    )
-    w_rank = Window.partitionBy("pri").orderBy("xc", "o_orderkey")
-    w_all = Window.partitionBy("pri")
-    ranked = cents.select(
-        "pri",
-        "xc",
-        F.row_number().over(w_rank).alias("r"),
-        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
-    )
+    _, ranked = _priority_cents_ranked(spark, sf_dir)
     k = F.expr(f"(n * {_TRIM_PCT}) div 100")
     keep = (F.col("r") > k) & (F.col("r") <= F.col("n") - k)
     xc_dec = F.col("xc").cast("decimal(38,0)")

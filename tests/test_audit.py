@@ -73,7 +73,10 @@ def test_cusum_endpoints_and_peak(spark):
         assert rs[-1]["cusum"] == 0.0, et
         peak = max(abs(r["cusum"]) for r in rs)
         for r in rs:
-            assert r["is_changepoint"] == (abs(r["cusum"]) == peak), et
+            # flat series (peak == 0) must flag nothing at all
+            assert r["is_changepoint"] == (
+                peak > 0 and abs(r["cusum"]) == peak
+            ), et
 
 
 def test_token_quality_ranges(spark):

@@ -237,17 +237,37 @@ def test_robust_median_mad_vs_python(spark):
 
 
 def test_gini_bounds_and_known_values(spark):
-    from pyspark.sql import functions as F  # noqa: F401
-
+    """Bounds AND a sequential-reference value check per nation (a
+    wrong rank convention or a dropped +1 stays inside the bounds —
+    only the reference catches it)."""
     from end_end_data_pipeline__spark.plans.catalog import load_all
+    from end_end_data_pipeline__spark.sources import lake
     from tests.conftest import SF_SMOKE
 
     rows = load_all()["inequality_gini_by_nation"].fn(spark, SF_SMOKE).collect()
     assert rows
+    orders = lake.load_table(spark, "orders", SF_SMOKE)
+    customer = lake.load_table(spark, "customer", SF_SMOKE)
+    nation = lake.load_table(spark, "nation", SF_SMOKE)
+    per_cust = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", "o_totalprice")
+        .collect()
+    )
+    rev: dict[str, dict[int, int]] = {}
+    for r in per_cust:
+        rev.setdefault(r["n_name"], {}).setdefault(r["c_custkey"], 0)
+        rev[r["n_name"]][r["c_custkey"]] += round(r["o_totalprice"] * 100)
     for r in rows:
+        xs = sorted(rev[r["nation"]].values())
+        n, sx = len(xs), sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        want = (2 * six - (n + 1) * sx) / (n * sx)
+        assert r["n_customers"] == n
+        assert r["gini"] == pytest.approx(want, abs=1e-12), r["nation"]
         assert 0.0 <= r["gini"] < 1.0, r
-        # max possible Gini for n customers is (n-1)/n
-        assert r["gini"] <= (r["n_customers"] - 1) / r["n_customers"] + 1e-12
+        assert r["gini"] <= (n - 1) / n + 1e-12
 
 
 def test_trimmed_mean_between_bounds(spark):
