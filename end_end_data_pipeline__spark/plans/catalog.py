@@ -157,6 +157,7 @@ _PRIORITY: tuple[str, ...] = (
     "robust_median_mad_by_priority",
     "inequality_gini_by_nation",
     "robust_trimmed_mean_order_value",
+    "robust_iqr_fence_outliers",
     # --- statistical / ML operators (queries_stats.py first wave) ---
     "stats_linear_trend_by_segment",
     "market_basket_brand_pairs",

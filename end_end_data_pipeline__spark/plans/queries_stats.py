@@ -1109,3 +1109,96 @@ def robust_trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFra
         "mean_value",
         "trimmed_mean_value",
     )
+
+# ---------------------------------------------------------------------------
+# A8/A5: IQR-fence outlier census (rank-picked quartiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "robust_iqr_fence_outliers",
+    oracle="""
+        WITH cents AS (
+            SELECT o_orderpriority AS pri, o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT)
+                       AS xc
+            FROM orders
+        ),
+        ranked AS (
+            SELECT pri, xc,
+                   row_number() OVER (PARTITION BY pri ORDER BY xc,
+                                      o_orderkey) AS r,
+                   CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+            FROM cents
+        ),
+        q AS (
+            SELECT pri, MAX(n) AS n,
+                   SUM(CASE WHEN r = (n + 3) // 4 THEN xc ELSE 0 END) AS q1,
+                   SUM(CASE WHEN r = (3 * n + 3) // 4 THEN xc ELSE 0 END)
+                       AS q3
+            FROM ranked GROUP BY pri
+        )
+        SELECT c.pri AS o_orderpriority,
+               MAX(q.n) AS n_orders,
+               CAST(MAX(q.q1) AS DOUBLE) / 100.0 AS q1_value,
+               CAST(MAX(q.q3) AS DOUBLE) / 100.0 AS q3_value,
+               CAST(MAX(2 * q.q3 + 3 * (q.q3 - q.q1)) AS DOUBLE) / 200.0
+                   AS upper_fence,
+               CAST(SUM(CASE WHEN 2 * c.xc > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(MAX(c.xc) AS DOUBLE) / 100.0 AS max_value
+        FROM cents c JOIN q ON c.pri = q.pri
+        GROUP BY c.pri
+    """,
+    survey_ids=("A8", "A5", "W2"),
+)
+def robust_iqr_fence_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier census per order priority: Q1/Q3 picked
+    as exact order statistics (rank ⌈n/4⌉ and ⌈3n/4⌉ — type-1
+    quantiles, no interpolation), upper fence Q3 + 1.5·IQR, and the
+    count of orders beyond it — the box-plot screen for anomalous
+    amounts, completing the robust family next to median/MAD and the
+    trimmed mean.
+
+    Determinism: the fence comparison is doubled through (2x > 2·Q3 +
+    3·(Q3−Q1)) so the 1.5 multiplier never leaves integer cents; one
+    double division per display column.  Plan: the shared rank window
+    (see :func:`_priority_cents_ranked`'s shape), a 5-row quartile
+    frame broadcast back onto the cents scan, one conditional agg.
+    """
+    cents, ranked = _priority_cents_ranked(spark, sf_dir)
+    q1_pick = F.when(F.col("r") == F.expr("(n + 3) div 4"), F.col("xc")).otherwise(
+        F.lit(0)
+    )
+    q3_pick = F.when(
+        F.col("r") == F.expr("(3 * n + 3) div 4"), F.col("xc")
+    ).otherwise(F.lit(0))
+    q = ranked.groupBy("pri").agg(
+        F.max("n").alias("n"),
+        F.sum(q1_pick).alias("q1"),
+        F.sum(q3_pick).alias("q3"),
+    )
+    fence2 = 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))
+    return (
+        cents.join(F.broadcast(q), "pri")
+        .groupBy("pri")
+        .agg(
+            F.max("n").alias("n_orders"),
+            (F.max("q1").cast("double") / F.lit(100.0)).alias("q1_value"),
+            (F.max("q3").cast("double") / F.lit(100.0)).alias("q3_value"),
+            (F.max(fence2).cast("double") / F.lit(200.0)).alias("upper_fence"),
+            F.sum(F.when(2 * F.col("xc") > fence2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            (F.max("xc").cast("double") / F.lit(100.0)).alias("max_value"),
+        )
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_orders",
+            "q1_value",
+            "q3_value",
+            "upper_fence",
+            "n_outliers",
+            "max_value",
+        )
+    )

@@ -284,3 +284,38 @@ def test_trimmed_mean_between_bounds(spark):
         # with symmetric trim counts it stays close to the plain mean
         assert r["trimmed_mean_value"] > 0
         assert abs(r["trimmed_mean_value"] - r["mean_value"]) < r["mean_value"]
+
+
+def test_iqr_fence_vs_python(spark):
+    """Rank-picked quartiles and the outlier census must equal the
+    sequential type-1-quantile definition."""
+    import math
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from end_end_data_pipeline__spark.sources import lake
+    from tests.conftest import SF_SMOKE
+
+    rows = load_all()["robust_iqr_fence_outliers"].fn(spark, SF_SMOKE).collect()
+    orders = (
+        lake.load_table(spark, "orders", SF_SMOKE)
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    by_pri: dict[str, list[int]] = {}
+    for r in orders:
+        by_pri.setdefault(r["o_orderpriority"], []).append(
+            round(r["o_totalprice"] * 100)
+        )
+    assert {r["o_orderpriority"] for r in rows} == set(by_pri)
+    for r in rows:
+        xs = sorted(by_pri[r["o_orderpriority"]])
+        n = len(xs)
+        q1 = xs[math.ceil(n / 4) - 1]
+        q3 = xs[math.ceil(3 * n / 4) - 1]
+        fence = q3 + 1.5 * (q3 - q1)
+        assert r["n_orders"] == n
+        assert r["q1_value"] == pytest.approx(q1 / 100.0, abs=1e-9)
+        assert r["q3_value"] == pytest.approx(q3 / 100.0, abs=1e-9)
+        assert r["upper_fence"] == pytest.approx(fence / 100.0, abs=1e-9)
+        assert r["n_outliers"] == sum(1 for x in xs if x > fence)
+        assert r["q1_value"] <= r["q3_value"] <= r["upper_fence"]
