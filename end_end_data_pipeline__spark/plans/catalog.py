@@ -158,6 +158,8 @@ _PRIORITY: tuple[str, ...] = (
     "inequality_gini_by_nation",
     "robust_trimmed_mean_order_value",
     "robust_iqr_fence_outliers",
+    "corpus_weighted_sample_priority",
+    "histogram_equidepth_order_value",
     # --- statistical / ML operators (queries_stats.py first wave) ---
     "stats_linear_trend_by_segment",
     "market_basket_brand_pairs",

@@ -627,3 +627,71 @@ def assoc_rules_brand_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A8/W2: equi-depth histogram (ntile buckets)
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_BUCKETS = 10
+
+
+@register(
+    "histogram_equidepth_order_value",
+    oracle=f"""
+        WITH cents AS (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT)
+                       AS xc
+            FROM orders
+        ),
+        tiled AS (
+            SELECT xc,
+                   ntile({_EQUIDEPTH_BUCKETS})
+                       OVER (ORDER BY xc, o_orderkey) AS bucket
+            FROM cents
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(xc) AS DOUBLE) / 100.0 AS lo_value,
+               CAST(MAX(xc) AS DOUBLE) / 100.0 AS hi_value,
+               CAST(SUM(CAST(xc AS HUGEINT)) AS DOUBLE) / 100.0
+                   AS bucket_value
+        FROM tiled GROUP BY bucket
+    """,
+    survey_ids=("A8", "W2"),
+)
+def histogram_equidepth_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order value in 10 ntile
+    buckets — the complement of the fixed-width
+    ``histogram_order_value``: bucket BOUNDARIES adapt to the data, so
+    each holds ~n/10 rows regardless of skew; the [lo, hi] per bucket
+    IS the decile boundary list a range-partitioner or a CBO histogram
+    would use.  ntile over a total order (value, key) is exact and
+    engine-identical (first n mod b buckets take one extra row).
+
+    Plan: one global-order window — acceptable because it IS the
+    product here (the boundaries); the scale path samples instead
+    (``repartitionByRange``'s sketch or approx_percentile), which the
+    sorted-export plan test already demonstrates.
+    """
+    orders = lake.load_table(spark, "orders", sf_dir)
+    cents = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+        .cast("bigint")
+        .alias("xc"),
+    )
+    w = Window.orderBy("xc", "o_orderkey")
+    tiled = cents.select(
+        "xc", F.ntile(_EQUIDEPTH_BUCKETS).over(w).alias("bucket")
+    )
+    return tiled.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.min("xc").cast("double") / F.lit(100.0)).alias("lo_value"),
+        (F.max("xc").cast("double") / F.lit(100.0)).alias("hi_value"),
+        (
+            F.sum(F.col("xc").cast("decimal(38,0)")).cast("double")
+            / F.lit(100.0)
+        ).alias("bucket_value"),
+    )

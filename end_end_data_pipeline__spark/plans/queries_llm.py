@@ -2007,3 +2007,66 @@ def multimodal_augment_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         augmented = aug if augmented is None else augmented.unionByName(aug)
     return multimodal.image_stats(augmented, "media", "doc_id")
+
+
+@register(
+    "corpus_weighted_sample_priority",
+    oracle="""
+        WITH pr AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                   CAST(n_chars AS DOUBLE) * 4294967296.0
+                       / CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8))::BIGINT + 1) AS DOUBLE)
+                       AS priority
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, weight, priority,
+                   row_number() OVER (ORDER BY priority DESC, doc_id)
+                       AS sample_rank
+            FROM pr
+        )
+        SELECT CAST(sample_rank AS INT) AS sample_rank, doc_id, weight,
+               priority
+        FROM ranked WHERE sample_rank <= 100
+    """,
+    survey_ids=("F9", "F4", "O2"),
+)
+def corpus_weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample of 100 documents via PRIORITY
+    sampling (Duffield-Lund-Thorup): each doc gets priority w/u with
+    u a unit uniform DERIVED FROM ITS ID (md5 bucket, the same
+    engine-stable recipe as ``corpus_train_val_split``), and the
+    top-k priorities are the sample — the reproducible
+    weight-by-length corpus subsampling step of a data-mixing
+    pipeline.  Hash-derived (not rng-derived) randomness means the
+    sample is a pure function of the ids: stable across runs,
+    engines, and cluster layouts, and incremental corpus growth
+    only ever displaces, never reshuffles.
+
+    Plan: scan-level projection (md5 + one double division), then
+    global top-k = TakeOrderedAndProject (per-partition k-heaps) —
+    no sort, no shuffle beyond k rows per partition.
+    """
+    from pyspark.sql import Window
+
+    docs = lake.load_table(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    priority = (
+        F.col("n_chars").cast("double")
+        * F.lit(4294967296.0)
+        / (h + 1).cast("double")
+    )
+    pr = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        priority.alias("priority"),
+    )
+    w = Window.orderBy(F.col("priority").desc(), "doc_id")
+    return (
+        pr.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= 100)
+        .select("sample_rank", "doc_id", "weight", "priority")
+    )

@@ -106,3 +106,32 @@ def test_assoc_rules_direction_pairing(spark):
         assert rev["n_pair"] == r["n_pair"]
         assert math.isclose(rev["lift"], r["lift"], rel_tol=1e-12)
         assert math.isclose(rev["support"], r["support"], rel_tol=1e-12)
+
+
+def test_equidepth_histogram_invariants(spark):
+    rows = sorted(
+        QUERIES["histogram_equidepth_order_value"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    counts = [r["n_orders"] for r in rows]
+    # equal depth up to the n mod b remainder
+    assert max(counts) - min(counts) <= 1
+    # ntile hands the remainder to the FIRST buckets
+    assert counts == sorted(counts, reverse=True)
+    for a, b in zip(rows, rows[1:]):
+        assert a["lo_value"] <= a["hi_value"] <= b["lo_value"]
+
+
+def test_priority_sample_is_weighted_and_stable(spark):
+    rows = (
+        QUERIES["corpus_weighted_sample_priority"].fn(spark, SF_SMOKE).collect()
+    )
+    assert sorted(r["sample_rank"] for r in rows) == list(range(1, 101))
+    for r in rows:
+        assert r["priority"] >= r["weight"] > 0  # u <= 1 implies w/u >= w
+    # pure function of ids: a second run returns the identical sample
+    again = (
+        QUERIES["corpus_weighted_sample_priority"].fn(spark, SF_SMOKE).collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
