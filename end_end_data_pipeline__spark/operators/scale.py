@@ -96,6 +96,109 @@ def salted_two_phase_agg(
     )
 
 
+def grouped_global_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    rank_name: str = "r",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact per-group ``row_number`` with parallelism DECOUPLED from
+    group cardinality — the scale path for rank-based statistics
+    (median/MAD, trimmed mean, IQR, ntile) over FEW groups.
+
+    A plain ``row_number() OVER (PARTITION BY group ORDER BY ...)``
+    sorts each group in one task: 5 groups ⇒ ≤5-way parallelism no
+    matter the cluster (measured 2.3-6.8× degradation at 10× data in
+    BASELINE.md's third-decade study).  This operator computes the
+    identical ranks in three fully-parallel steps:
+
+    1. range-partition on the composite (group, order) key into
+       ``n_parts`` splits — a big group SPANS partitions;
+    2. count rows per (partition, group) — a tiny
+       ``n_parts × groups`` frame collected to the driver — and
+       prefix-sum each group's counts into per-partition START
+       OFFSETS, shipped back as a literal in-plan map (no join, no
+       broadcast exchange, no tiny-DataFrame round trip);
+    3. rank locally within (partition, group) and add the offset.
+
+    The caller must pass a TOTAL order (include a unique tie-break in
+    ``order_cols``): equal composite keys could otherwise land in
+    different range splits, making local ranks overlap.  Output =
+    input columns + ``rank_name``; ranks are bit-identical to the
+    window form (asserted in tests/test_scale.py).
+
+    Crossover honesty (BASELINE.md third-decade study): at the 15M-row
+    derived sf1 a single task still sorts one group comfortably, so
+    the plain window WINS there (1.3 s vs 2.5 s — this operator pays a
+    range shuffle + checkpoint + second shuffle).  The operator is for
+    the regime where one group exceeds a single task's sort capacity
+    (per-group data ≫ executor memory / spill budget) — exactly where
+    the window form stops scaling AT ALL; the catalog's contract
+    queries keep the window form, which is optimal at their scale.
+    """
+    if not order_cols:
+        raise ValueError("grouped_global_rank: order_cols must be non-empty")
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    composite = [*group_cols, *order_cols]
+    # materialized once: the count pass and the rank pass must see the
+    # SAME partition ids, and the range shuffle is paid once
+    parted = (
+        df.repartitionByRange(n_parts, *composite)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # step 2: tiny (n_parts × groups) count frame → driver
+    counts = (
+        parted.groupBy("__pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    # group values may contain spaces; a NUL separator cannot collide
+    sep = "\x00"
+
+    def gkey(row) -> str:
+        return sep.join("" if row[g] is None else str(row[g]) for g in group_cols)
+
+    per_group: dict[str, list[tuple[int, int]]] = {}
+    for row in counts:
+        per_group.setdefault(gkey(row), []).append((row["__pid"], row["__n"]))
+    offsets: dict[tuple[int, str], int] = {}
+    for g, lst in per_group.items():
+        acc = 0
+        for pid, n in sorted(lst):
+            offsets[(pid, g)] = acc
+            acc += n
+    # step 3: offsets as an in-plan literal map keyed like concat_ws
+    # does — sep only BETWEEN parts, so the zero-group case is bare pid
+    map_args: list[Column] = []
+    for (pid, g), off in offsets.items():
+        key = sep.join([str(pid), g]) if group_cols else str(pid)
+        map_args.append(F.lit(key))
+        map_args.append(F.lit(off))
+    off_map = F.create_map(*map_args)
+    lookup = F.concat_ws(
+        sep,
+        F.col("__pid").cast("string"),
+        *[
+            F.coalesce(F.col(g).cast("string"), F.lit(""))
+            for g in group_cols
+        ],
+    )
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+    return (
+        parted.withColumn(
+            rank_name,
+            (off_map[lookup] + F.row_number().over(w_local)).cast("long"),
+        )
+        .drop("__pid")
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

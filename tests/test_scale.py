@@ -327,3 +327,69 @@ def test_parquet_merge_schema_union(spark, tmp_path):
     df = spark.read.option("mergeSchema", True).parquet(p + "/a", p + "/b")
     assert set(df.columns) == {"id", "extra"}
     assert df.filter(F.col("extra").isNull()).count() == 3
+
+
+def test_grouped_global_rank_equals_window(spark):
+    """The two-phase range/offset rank must be bit-identical to the
+    window row_number, grouped and global."""
+    from pyspark.sql import Window
+
+    from end_end_data_pipeline__spark.operators.scale import grouped_global_rank
+    from end_end_data_pipeline__spark.sources import lake
+    from tests.conftest import SF_SMOKE
+
+    orders = lake.load_table(spark, "orders", SF_SMOKE)
+    cents = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+        .cast("bigint")
+        .alias("xc"),
+    )
+    # grouped
+    w = Window.partitionBy("pri").orderBy("xc", "o_orderkey")
+    want = {
+        (r["pri"], r["o_orderkey"]): r["r"]
+        for r in cents.withColumn(
+            "r", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    got_df = grouped_global_rank(cents, ["pri"], ["xc", "o_orderkey"])
+    got = {(r["pri"], r["o_orderkey"]): r["r"] for r in got_df.collect()}
+    assert got == want
+    # the decoupling property itself: under the same range partitioning
+    # the operator uses, every group SPANS multiple partitions (a
+    # window partitionBy would pin each group to exactly one task)
+    spans = (
+        cents.repartitionByRange(8, "pri", "xc", "o_orderkey")
+        .withColumn("__pid", F.spark_partition_id())
+        .groupBy("pri")
+        .agg(F.countDistinct("__pid").alias("np"))
+        .collect()
+    )
+    assert all(r["np"] > 1 for r in spans), spans
+    # global (no groups): one total order, ranks 1..n
+    wg = Window.orderBy("xc", "o_orderkey")
+    want_g = {
+        r["o_orderkey"]: r["r"]
+        for r in cents.withColumn(
+            "r", F.row_number().over(wg).cast("long")
+        ).collect()
+    }
+    got_g = {
+        r["o_orderkey"]: r["r"]
+        for r in grouped_global_rank(cents, [], ["xc", "o_orderkey"]).collect()
+    }
+    assert got_g == want_g
+
+
+def test_grouped_global_rank_validates_order(spark):
+    import pytest
+
+    from end_end_data_pipeline__spark.operators.scale import grouped_global_rank
+    from end_end_data_pipeline__spark.sources import lake
+    from tests.conftest import SF_SMOKE
+
+    orders = lake.load_table(spark, "orders", SF_SMOKE)
+    with pytest.raises(ValueError, match="order_cols"):
+        grouped_global_rank(orders, ["o_orderpriority"], [])
