@@ -160,6 +160,8 @@ _PRIORITY: tuple[str, ...] = (
     "robust_iqr_fence_outliers",
     "corpus_weighted_sample_priority",
     "histogram_equidepth_order_value",
+    "integrity_sequence_gaps",
+    "fraud_duplicate_payments",
     # --- statistical / ML operators (queries_stats.py first wave) ---
     "stats_linear_trend_by_segment",
     "market_basket_brand_pairs",

@@ -695,3 +695,160 @@ def histogram_equidepth_order_value(spark: SparkSession, sf_dir: str) -> DataFra
             / F.lit(100.0)
         ).alias("bucket_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P7/W3: sequence-gap detection (missing ids) — two-level, no global sort
+# ---------------------------------------------------------------------------
+
+_GAP_BUCKET = 100_000  # ids per bucket; boundary gaps handled separately
+
+
+@register(
+    "integrity_sequence_gaps",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT o_orderkey AS id, o_orderkey // {_GAP_BUCKET} AS b
+            FROM orders
+        ),
+        intra AS (
+            SELECT id + 1 AS gap_start, nxt - 1 AS gap_end
+            FROM (
+                SELECT id, lead(id) OVER (PARTITION BY b ORDER BY id) AS nxt
+                FROM keyed
+            ) WHERE nxt > id + 1
+        ),
+        bounds AS (
+            SELECT b, MIN(id) AS mn, MAX(id) AS mx FROM keyed GROUP BY b
+        ),
+        inter AS (
+            SELECT mx + 1 AS gap_start, nxt_mn - 1 AS gap_end
+            FROM (
+                SELECT mx, lead(mn) OVER (ORDER BY b) AS nxt_mn
+                FROM bounds
+            ) WHERE nxt_mn > mx + 1
+        )
+        SELECT gap_start, gap_end,
+               CAST(gap_end - gap_start + 1 AS BIGINT) AS n_missing
+        FROM (SELECT * FROM intra UNION ALL SELECT * FROM inter)
+    """,
+    survey_ids=("P7", "W3", "U1"),
+)
+def integrity_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-id ranges in the order key sequence — the classic
+    completeness audit over an auto-increment key (a gap in invoice /
+    transaction numbers is a deletion or a loss; the reference's
+    SERIAL PKs, ``SCHEMA.sql:3,12,22``, imply exactly this check).
+
+    Two-level so there is NO global sort: lead() within id-range
+    BUCKETS finds intra-bucket gaps in parallel (id div 100k — ranges,
+    not hashes, so in-bucket adjacency is real adjacency), then a
+    tiny per-bucket (min, max) frame — one row per NON-EMPTY bucket —
+    is scanned once for cross-boundary gaps (consecutive present
+    buckets pair up even across empty buckets).  At 100 TB the global
+    window runs over the bucket SUMMARY, never the fact table.
+    """
+    orders = lake.load_table(spark, "orders", sf_dir)
+    keyed = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.expr(f"o_orderkey div {_GAP_BUCKET}").alias("b"),
+    )
+    w_intra = Window.partitionBy("b").orderBy("id")
+    intra = (
+        keyed.withColumn("nxt", F.lead("id").over(w_intra))
+        .filter(F.col("nxt") > F.col("id") + 1)
+        .select(
+            (F.col("id") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+        )
+    )
+    bounds = keyed.groupBy("b").agg(
+        F.min("id").alias("mn"), F.max("id").alias("mx")
+    )
+    w_inter = Window.orderBy("b")
+    inter = (
+        bounds.withColumn("nxt_mn", F.lead("mn").over(w_inter))
+        .filter(F.col("nxt_mn") > F.col("mx") + 1)
+        .select(
+            (F.col("mx") + 1).alias("gap_start"),
+            (F.col("nxt_mn") - 1).alias("gap_end"),
+        )
+    )
+    return intra.unionByName(inter).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1)
+        .cast("bigint")
+        .alias("n_missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7/W3: duplicate-payment screen (same payer, same amount, close dates)
+# ---------------------------------------------------------------------------
+
+_DUP_WINDOW_DAYS = 3
+
+
+@register(
+    "fraud_duplicate_payments",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT)
+                       AS xc,
+                   CAST(o_orderdate AS DATE) AS d
+            FROM orders
+        ),
+        lagged AS (
+            SELECT o_orderkey, o_custkey, xc, d,
+                   lag(d) OVER (PARTITION BY o_custkey, xc
+                                ORDER BY d, o_orderkey) AS prev_d
+            FROM keyed
+        )
+        SELECT o_orderkey, o_custkey,
+               CAST(xc AS DOUBLE) / 100.0 AS amount,
+               strftime(d, '%Y-%m-%d') AS order_date,
+               CAST(date_diff('day', prev_d, d) AS INT) AS days_since_prev
+        FROM lagged
+        WHERE prev_d IS NOT NULL
+          AND date_diff('day', prev_d, d) <= {_DUP_WINDOW_DAYS}
+    """,
+    survey_ids=("P7", "W3", "A3"),
+)
+def fraud_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential duplicate payments: a second order by the SAME
+    customer for the EXACT same amount within 3 days of the previous
+    one — the standard accounts-payable double-charge screen (exact
+    amount in integer cents, so float fuzz can't hide or invent a
+    match).
+
+    Plan: one lag() window partitioned by the (customer, amount-cents)
+    composite — high-cardinality, so the sort parallelizes across
+    thousands of tasks (the opposite regime from the robust-stats
+    windows); each partition is a handful of rows.  Everything integer
+    until the display division.
+    """
+    orders = lake.load_table(spark, "orders", sf_dir)
+    keyed = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+        .cast("bigint")
+        .alias("xc"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    w = Window.partitionBy("o_custkey", "xc").orderBy("d", "o_orderkey")
+    lagged = keyed.withColumn("prev_d", F.lag("d").over(w))
+    return lagged.filter(
+        F.col("prev_d").isNotNull()
+        & (F.datediff(F.col("d"), F.col("prev_d")) <= _DUP_WINDOW_DAYS)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("xc").cast("double") / F.lit(100.0)).alias("amount"),
+        F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+        F.datediff(F.col("d"), F.col("prev_d")).cast("int").alias(
+            "days_since_prev"
+        ),
+    )

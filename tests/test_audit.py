@@ -135,3 +135,54 @@ def test_priority_sample_is_weighted_and_stable(spark):
         QUERIES["corpus_weighted_sample_priority"].fn(spark, SF_SMOKE).collect()
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_sequence_gaps_reconstruct(spark):
+    """Present ids + reported gap ranges must tile [min, max] exactly."""
+    from end_end_data_pipeline__spark.sources import lake
+
+    ids = sorted(
+        r["o_orderkey"]
+        for r in lake.load_table(spark, "orders", SF_SMOKE)
+        .select("o_orderkey")
+        .collect()
+    )
+    gaps = QUERIES["integrity_sequence_gaps"].fn(spark, SF_SMOKE).collect()
+    want = []
+    for a, b in zip(ids, ids[1:]):
+        if b > a + 1:
+            want.append((a + 1, b - 1, b - a - 1))
+    got = sorted((r["gap_start"], r["gap_end"], r["n_missing"]) for r in gaps)
+    assert got == sorted(want)
+    assert sum(g[2] for g in got) == (ids[-1] - ids[0] + 1) - len(ids)
+
+
+def test_duplicate_payments_witnessed(spark):
+    """Every flagged order must have an earlier same-customer
+    same-amount order within the 3-day window."""
+    from end_end_data_pipeline__spark.sources import lake
+
+    orders = (
+        lake.load_table(spark, "orders", SF_SMOKE)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .collect()
+    )
+    by_key: dict[tuple, list] = {}
+    for r in orders:
+        k = (r["o_custkey"], round(r["o_totalprice"] * 100))
+        by_key.setdefault(k, []).append(
+            (r["o_orderdate"].date(), r["o_orderkey"])
+        )
+    flagged = QUERIES["fraud_duplicate_payments"].fn(spark, SF_SMOKE).collect()
+    for r in flagged:
+        k = (r["o_custkey"], round(r["amount"] * 100))
+        times = sorted(by_key[k])
+        import datetime
+
+        d = datetime.date.fromisoformat(r["order_date"])
+        prev = max(
+            (t for t in times if (t[0], t[1]) < (d, r["o_orderkey"])),
+            default=None,
+        )
+        assert prev is not None
+        assert (d - prev[0]).days == r["days_since_prev"] <= 3
