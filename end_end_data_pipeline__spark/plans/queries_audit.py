@@ -1,7 +1,9 @@
 """Audit / diagnostics catalog queries: Benford first-digit fraud
 screening, market-concentration (HHI) indices, seasonal decomposition
 and CUSUM changepoint detection over the daily event series, corpus
-token-frequency quality scoring, and directional association rules.
+token-frequency quality scoring, directional association rules, an
+equi-depth (ntile) histogram, sequence-gap (missing-id) detection,
+and the duplicate-payment screen.
 
 These are the controls/forensics layer a banking lakehouse runs over
 the same facts the marts serve (the reference's schema declares the
