@@ -118,15 +118,27 @@ def grouped_global_rank(
     2. count rows per (partition, group) — a tiny
        ``n_parts × groups`` frame collected to the driver — and
        prefix-sum each group's counts into per-partition START
-       OFFSETS, shipped back as a literal in-plan map (no join, no
-       broadcast exchange, no tiny-DataFrame round trip);
-    3. rank locally within (partition, group) and add the offset.
+       OFFSETS, shipped back as a 1-slice broadcast frame joined
+       NULL-SAFELY on the actual typed group columns (no string
+       encoding of keys: a rendered-string map would disagree with
+       Spark's cast-to-string for booleans/NaN/exponent doubles and
+       would merge NULL with empty string);
+    3. rank locally within (partition, group) and add the offset —
+       both sides widened to LONG first, so offsets past 2³¹ (the
+       huge-group regime this operator exists for) never wrap.
 
     The caller must pass a TOTAL order (include a unique tie-break in
     ``order_cols``): equal composite keys could otherwise land in
     different range splits, making local ranks overlap.  Output =
     input columns + ``rank_name``; ranks are bit-identical to the
     window form (asserted in tests/test_scale.py).
+
+    Storage note: the repartitioned input is ``localCheckpoint``-ed —
+    the count and rank passes MUST observe identical partition ids,
+    and lineage-truncated blocks (unlike ``persist``, which can evict
+    and recompute through a sampling-based range shuffle) guarantee
+    that.  The blocks are pinned while the RETURNED frame is
+    referenced and freed by the ContextCleaner when it is GC'd.
 
     Crossover honesty (BASELINE.md third-decade study): at the 15M-row
     derived sf1 a single task still sorts one group comfortably, so
@@ -137,11 +149,18 @@ def grouped_global_rank(
     the window form stops scaling AT ALL; the catalog's contract
     queries keep the window form, which is optimal at their scale.
     """
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
     if not order_cols:
         raise ValueError("grouped_global_rank: order_cols must be non-empty")
     spark = df.sparkSession
     if n_parts is None:
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        conf_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            n_parts = int(conf_parts)
+        except ValueError:  # e.g. "auto" on AQE-managed deployments
+            n_parts = spark.sparkContext.defaultParallelism
     composite = [*group_cols, *order_cols]
     # materialized once: the count pass and the rank pass must see the
     # SAME partition ids, and the range shuffle is paid once
@@ -156,46 +175,43 @@ def grouped_global_rank(
         .agg(F.count(F.lit(1)).alias("__n"))
         .collect()
     )
-    # group values may contain spaces; a NUL separator cannot collide
-    sep = "\x00"
-
-    def gkey(row) -> str:
-        return sep.join("" if row[g] is None else str(row[g]) for g in group_cols)
-
-    per_group: dict[str, list[tuple[int, int]]] = {}
+    per_group: dict[tuple, list[tuple[int, int]]] = {}
     for row in counts:
-        per_group.setdefault(gkey(row), []).append((row["__pid"], row["__n"]))
-    offsets: dict[tuple[int, str], int] = {}
-    for g, lst in per_group.items():
+        gval = tuple(row[g] for g in group_cols)
+        per_group.setdefault(gval, []).append((row["__pid"], row["__n"]))
+    off_rows: list[tuple] = []
+    for gval, lst in per_group.items():
         acc = 0
         for pid, n in sorted(lst):
-            offsets[(pid, g)] = acc
+            off_rows.append((*gval, pid, acc))
             acc += n
-    # step 3: offsets as an in-plan literal map keyed like concat_ws
-    # does — sep only BETWEEN parts, so the zero-group case is bare pid
-    map_args: list[Column] = []
-    for (pid, g), off in offsets.items():
-        key = sep.join([str(pid), g]) if group_cols else str(pid)
-        map_args.append(F.lit(key))
-        map_args.append(F.lit(off))
-    off_map = F.create_map(*map_args)
-    lookup = F.concat_ws(
-        sep,
-        F.col("__pid").cast("string"),
-        *[
-            F.coalesce(F.col(g).cast("string"), F.lit(""))
-            for g in group_cols
-        ],
+    # typed offset frame: real group values, never rendered strings;
+    # 1-slice parallelize avoids the many-core tiny-frame round-trip tax
+    off_schema = StructType(
+        [parted.schema[g] for g in group_cols]
+        + [
+            StructField("__pid", parted.schema["__pid"].dataType, False),
+            StructField("__off", LongType(), False),
+        ]
     )
-    from pyspark.sql import Window
-
+    off_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(off_rows, 1), off_schema
+    )
+    # null-safe equi-join so NULL group values match their own offset
+    # row (plain equality would drop them); broadcast → no extra shuffle
+    cond = parted["__pid"] == off_df["__pid"]
+    for g in group_cols:
+        cond = cond & parted[g].eqNullSafe(off_df[g])
+    joined = parted.join(F.broadcast(off_df), cond).select(
+        *[parted[c] for c in parted.columns], off_df["__off"]
+    )
     w_local = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
     return (
-        parted.withColumn(
+        joined.withColumn(
             rank_name,
-            (off_map[lookup] + F.row_number().over(w_local)).cast("long"),
+            F.col("__off") + F.row_number().over(w_local).cast("long"),
         )
-        .drop("__pid")
+        .drop("__pid", "__off")
     )
 
 

@@ -28,6 +28,17 @@ from end_end_data_pipeline__spark.sources import lake
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 
 
+def _md5_u32(col):
+    """First 32 bits of md5(col-as-string) as a LONG in [0, 2³²) — the
+    engine-stable uniform every hash-derived decision (train/val
+    split, priority sampling) keys off.  ONE definition so the family
+    can never desynchronize; DuckDB replica:
+    ``('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
 def _sql_stop_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
     return (
@@ -969,10 +980,7 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     and incremental corpus growth (new docs never reshuffle old
     assignments).  No shuffle at all — a scan-level projection."""
     docs = lake.load_table(spark, "documents", sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = _md5_u32(F.col("doc_id")) % 100
     return docs.select(
         "doc_id",
         F.when(bucket < 95, "train")
@@ -2051,9 +2059,7 @@ def corpus_weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFra
     from pyspark.sql import Window
 
     docs = lake.load_table(spark, "documents", sf_dir)
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    h = _md5_u32(F.col("doc_id"))
     priority = (
         F.col("n_chars").cast("double")
         * F.lit(4294967296.0)

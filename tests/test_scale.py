@@ -393,3 +393,46 @@ def test_grouped_global_rank_validates_order(spark):
     orders = lake.load_table(spark, "orders", SF_SMOKE)
     with pytest.raises(ValueError, match="order_cols"):
         grouped_global_rank(orders, ["o_orderpriority"], [])
+
+
+def test_grouped_global_rank_null_and_typed_groups(spark):
+    """NULL and '' are distinct groups; boolean group values match
+    their offsets (the failure modes of a rendered-string key map)."""
+    from pyspark.sql import Row, Window
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from end_end_data_pipeline__spark.operators.scale import grouped_global_rank
+
+    rows = []
+    i = 0
+    for g in [None, "", "a", "b"]:
+        for flag in [True, False]:
+            for _ in range(6):
+                i += 1
+                rows.append(Row(g=g, flag=flag, v=(i * 37) % 23, id=i))
+    schema = StructType(
+        [
+            StructField("g", StringType(), True),
+            StructField("flag", BooleanType(), False),
+            StructField("v", LongType(), False),
+            StructField("id", LongType(), False),
+        ]
+    )
+    df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    w = Window.partitionBy("g", "flag").orderBy("v", "id")
+    want = {
+        r["id"]: r["r"]
+        for r in df.withColumn("r", F.row_number().over(w).cast("long")).collect()
+    }
+    got_rows = grouped_global_rank(
+        df, ["g", "flag"], ["v", "id"], n_parts=4
+    ).collect()
+    got = {r["id"]: r["r"] for r in got_rows}
+    assert got == want
+    assert None not in {r["r"] for r in got_rows}
