@@ -162,6 +162,7 @@ _PRIORITY: tuple[str, ...] = (
     "histogram_equidepth_order_value",
     "integrity_sequence_gaps",
     "fraud_duplicate_payments",
+    "fraud_round_number_bias",
     # --- statistical / ML operators (queries_stats.py first wave) ---
     "stats_linear_trend_by_segment",
     "market_basket_brand_pairs",

@@ -854,3 +854,65 @@ def fraud_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_prev"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# P7/A5: round-number amount bias (psychological-pricing / fabrication)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fraud_round_number_bias",
+    oracle="""
+        WITH cents AS (
+            SELECT o_orderpriority AS pri,
+                   CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT)
+                       AS xc
+            FROM orders
+        )
+        SELECT pri AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN xc % 100 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_whole_dollar,
+               CAST(SUM(CASE WHEN xc % 10000 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_whole_hundred,
+               CAST(SUM(CASE WHEN xc % 100 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS whole_dollar_share,
+               CAST(SUM(CASE WHEN xc % 100 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 0.01) AS whole_dollar_lift
+        FROM cents GROUP BY pri
+    """,
+    survey_ids=("P7", "A5", "A1"),
+)
+def fraud_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-number bias screen per priority: how many order totals
+    land on whole dollars / whole hundreds, and the lift of the
+    whole-dollar rate over the 1% a uniform cents distribution
+    predicts — invented amounts cluster on round numbers (the
+    companion screen to Benford: Benford tests the LEADING digit,
+    this tests the TRAILING ones).  Exact integer-cent modulo tests;
+    one conditional hash agg, map-side combinable, two display
+    divisions.
+    """
+    orders = lake.load_table(spark, "orders", sf_dir)
+    cents = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+        .cast("bigint")
+        .alias("xc"),
+    )
+    whole = F.sum(F.when(F.col("xc") % 100 == 0, 1).otherwise(0))
+    return cents.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        whole.cast("bigint").alias("n_whole_dollar"),
+        F.sum(F.when(F.col("xc") % 10000 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_whole_hundred"),
+        (whole.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "whole_dollar_share"
+        ),
+        (
+            whole.cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(0.01))
+        ).alias("whole_dollar_lift"),
+    )
