@@ -277,3 +277,62 @@ def test_grid_radius_pairs_fuzz(spark, pts, radius):
         if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= radius * radius
     )
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# grouped_global_rank vs the window row_number on adversarial frames
+# --------------------------------------------------------------------------
+
+rank_frame_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["", "a", "b", "a b"])),  # group
+        st.booleans(),                                                  # flag
+        st.integers(min_value=-50, max_value=50),                       # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@PROP
+@given(rows=rank_frame_strategy, n_parts=st.integers(min_value=1, max_value=5))
+def test_grouped_global_rank_property(spark, rows, n_parts):
+    """For ANY frame — NULL/empty/space-bearing string groups, boolean
+    group columns, duplicate values, any partition count — the
+    two-phase rank equals the window row_number exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from end_end_data_pipeline__spark.operators.scale import grouped_global_rank
+
+    data = [(g, f, v, i) for i, (g, f, v) in enumerate(rows)]
+    schema = StructType(
+        [
+            StructField("g", StringType(), True),
+            StructField("flag", BooleanType(), False),
+            StructField("v", IntegerType(), False),
+            StructField("id", LongType(), False),
+        ]
+    )
+    df = spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+    w = Window.partitionBy("g", "flag").orderBy("v", "id")
+    want = {
+        r["id"]: r["r"]
+        for r in df.withColumn(
+            "r", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["r"]
+        for r in grouped_global_rank(
+            df, ["g", "flag"], ["v", "id"], n_parts=n_parts
+        ).collect()
+    }
+    assert got == want
