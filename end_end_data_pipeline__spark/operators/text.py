@@ -511,6 +511,7 @@ def learn_bpe_merges(
     docs,
     n_merges: int = 3,
     text_col: str = "text",
+    _return_vocab: bool = False,
 ):
     """Learn the first ``n_merges`` byte-pair-encoding merges from the
     corpus — the tokenizer-training step of an LLM data pipeline.
@@ -595,8 +596,55 @@ def learn_bpe_merges(
             "n",
         ).localCheckpoint(eager=True)
     spark = docs.sparkSession
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         spark.sparkContext.parallelize(merges, 1),
         "merge_rank int, left_sym string, right_sym string,"
         " merged string, pair_count bigint",
+    )
+    return merges_df if not _return_vocab else (merges_df, vocab)
+
+
+def bpe_token_stats(
+    docs,
+    n_merges: int = 3,
+    text_col: str = "text",
+):
+    """Tokenizer APPLICATION — the other half of
+    :func:`learn_bpe_merges`: learn ``n_merges`` merges from the
+    corpus, then tokenize the corpus WITH them and report per-document
+    BPE token counts and the chars-per-token compression ratio (the
+    number every training-cost estimate and packing plan keys off).
+
+    The trained tokenizer lives entirely in the rewritten VOCABULARY
+    (word → post-merge symbol count) — applying it to the corpus is a
+    hash join of corpus tokens against that map, never a per-document
+    merge scan.  Only ``^[a-z]+$`` word forms participate (the learn
+    contract); out-of-scope words are counted separately.
+
+    Determinism: symbol counts are exact integers off the identical
+    rewrite the learn step performed; chars_per_token is one double
+    division.
+    """
+    _, vocab = learn_bpe_merges(
+        docs, n_merges=n_merges, text_col=text_col, _return_vocab=True
+    )
+    wmap = vocab.select(
+        F.translate(F.trim("sym"), " ", "").alias("w"),
+        F.size(F.split(F.trim("sym"), " ")).cast("bigint").alias("n_sym"),
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("raw")
+    ).select("doc_id", F.lower("raw").alias("w"))
+    scoped = tok.filter(F.col("w").rlike("^[a-z]+$"))
+    return (
+        scoped.join(wmap, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            (
+                F.sum(F.length("w").cast("bigint")).cast("double")
+                / F.sum("n_sym").cast("double")
+            ).alias("chars_per_token"),
+        )
     )

@@ -163,6 +163,7 @@ _PRIORITY: tuple[str, ...] = (
     "integrity_sequence_gaps",
     "fraud_duplicate_payments",
     "fraud_round_number_bias",
+    "text_bpe_tokenize_stats",
     # --- statistical / ML operators (queries_stats.py first wave) ---
     "stats_linear_trend_by_segment",
     "market_basket_brand_pairs",

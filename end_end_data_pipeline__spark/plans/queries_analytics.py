@@ -1635,3 +1635,74 @@ def quality_event_disorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(late).cast("double") / F.count(F.lit(1))).alias("disorder_rate"),
         F.max(lateness).alias("max_lateness_us"),
     )
+
+
+_BPE_APPLY_PREFIX = (
+    """
+        WITH vocab0 AS (
+            SELECT ' ' || array_to_string(string_split(w, ''), ' ')
+                       || ' ' AS sym,
+                   n
+            FROM (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+                FROM (
+                    SELECT lower(unnest(string_split(trim(text), ' '))) AS w
+                    FROM documents
+                )
+                WHERE regexp_matches(w, '^[a-z]+$')
+                GROUP BY w
+            )
+        ),"""
+    + _BPE_ROUND.format(k=1, j=0)
+    + ","
+    + _BPE_ROUND.format(k=2, j=1)
+    + ","
+    + _BPE_ROUND.format(k=3, j=2)
+)
+
+
+@register(
+    "text_bpe_tokenize_stats",
+    oracle=_BPE_APPLY_PREFIX
+    + """,
+        wmap AS (
+            SELECT replace(trim(sym), ' ', '') AS w,
+                   CAST(len(string_split(trim(sym), ' ')) AS BIGINT)
+                       AS n_sym
+            FROM vocab3
+        ),
+        scoped AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       lower(unnest(string_split(trim(text), ' '))) AS w
+                FROM documents
+            ) WHERE regexp_matches(w, '^[a-z]+$')
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(m.n_sym) AS BIGINT) AS n_bpe_tokens,
+               CAST(SUM(CAST(length(s.w) AS BIGINT)) AS DOUBLE)
+                   / CAST(SUM(m.n_sym) AS DOUBLE) AS chars_per_token
+        FROM scoped s JOIN wmap m ON s.w = m.w
+        GROUP BY s.doc_id
+    """,
+    survey_ids=("UD5", "F3", "F4"),
+)
+def text_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the second half of
+    ``text_bpe_learn_merges``: learn 3 merges from the corpus, then
+    tokenize the corpus with them and report per-document BPE token
+    counts and chars-per-token (the compression ratio every
+    training-cost estimate and sequence-packing plan keys off).
+
+    The trained tokenizer IS the rewritten vocabulary (word →
+    post-merge symbol count), so application is a hash join of corpus
+    tokens against that map — per-word merge work happens once per
+    DISTINCT word form, never per occurrence (see
+    :func:`operators.text.bpe_token_stats`).  The oracle replays the
+    identical three unrolled rounds and the same join.
+    """
+    from end_end_data_pipeline__spark.operators.text import bpe_token_stats
+
+    docs = lake.load_table(spark, "documents", sf_dir)
+    return bpe_token_stats(docs, n_merges=3)

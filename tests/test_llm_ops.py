@@ -617,3 +617,26 @@ def test_kmeans_rejects_duplicate_or_missing_seed_ids(spark):
     )
     with pytest.raises(ValueError, match="no duplicates"):
         kmeans_fixed_point(emb, k=2, iterations=1)
+
+
+def test_bpe_token_stats_semantics(spark):
+    """Tokenizer application on the controlled corpus: counts follow
+    the learned merges under the documented rewrite variant."""
+    from end_end_data_pipeline__spark.operators.text import bpe_token_stats
+
+    # same corpus as the learn test: merges are (a,a)->aa then (a,b)->ab.
+    # "aaab": round 1 ' a a a b ' -> ' aa a b ', round 2's ' a b '
+    # pattern merges the tail -> ' aa ab ' = 2 symbols; "ab" -> 1.
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab"), (2, "ab aaab")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bpe_token_stats(docs, n_merges=2).collect()}
+    # doc 1: 3 x aaab (2 syms each) + 2 x ab (1 sym) = 8 tokens, 5 words
+    assert rows[1]["n_words"] == 5
+    assert rows[1]["n_bpe_tokens"] == 3 * 2 + 2 * 1
+    # chars: 3*4 + 2*2 = 16 over 8 tokens
+    assert rows[1]["chars_per_token"] == 16 / 8
+    # doc 2: ab (1) + aaab (2) = 3 tokens, 2 words
+    assert rows[2]["n_words"] == 2
+    assert rows[2]["n_bpe_tokens"] == 3
