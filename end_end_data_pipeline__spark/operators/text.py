@@ -507,6 +507,36 @@ def bm25_topk(
     )
 
 
+def _scoped_word_tokens(docs, text_col: str):
+    """(doc_id?, w): lowercased whitespace tokens restricted to the
+    BPE scope ``^[a-z]+$`` — ONE definition shared by the learn and
+    apply paths so their tokenizations can never diverge."""
+    cols = ["doc_id"] if "doc_id" in docs.columns else []
+    return (
+        docs.select(*cols, F.explode(tokens(text_col)).alias("raw"))
+        .select(*cols, F.lower("raw").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+    )
+
+
+def _bpe_vocab(scoped_words):
+    """Distinct word forms with corpus frequency, as padded
+    space-delimited symbol strings (' h e l l o ')."""
+    return (
+        scoped_words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.col("w"), ""), " "),
+                F.lit(" "),
+            ).alias("sym"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def learn_bpe_merges(
     docs,
     n_merges: int = 3,
@@ -548,24 +578,22 @@ def learn_bpe_merges(
     scale, a frame per merge round, one narrow agg + a literal
     rewrite each; the only driver data is one argmax row per round.
     """
-    # vocabulary: distinct lowercase word forms with corpus frequency
-    vocab = (
-        docs.select(F.explode(tokens(text_col)).alias("w"))
-        .select(F.lower("w").alias("w"))
-        .filter(F.col("w").rlike("^[a-z]+$"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        # " h e l l o " — padded, space-delimited symbol string
-        .select(
-            F.concat(
-                F.lit(" "),
-                F.array_join(F.split(F.col("w"), ""), " "),
-                F.lit(" "),
-            ).alias("sym"),
-            "n",
-        )
-        .localCheckpoint(eager=True)
+    scoped = _scoped_word_tokens(docs, text_col).select("w")
+    vocab = _bpe_vocab(scoped)
+    merges, vocab = _bpe_merge_rounds(vocab, n_merges)
+    spark = docs.sparkSession
+    merges_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(merges, 1),
+        "merge_rank int, left_sym string, right_sym string,"
+        " merged string, pair_count bigint",
     )
+    return merges_df if not _return_vocab else (merges_df, vocab)
+
+
+def _bpe_merge_rounds(vocab, n_merges: int):
+    """Run the merge rounds on a symbol vocabulary; returns the merge
+    tuples learned (fewer than ``n_merges`` if pairs run out) and the
+    rewritten vocabulary."""
     merges = []
     for rank in range(1, n_merges + 1):
         pairs = (
@@ -595,13 +623,7 @@ def learn_bpe_merges(
             ).alias("sym"),
             "n",
         ).localCheckpoint(eager=True)
-    spark = docs.sparkSession
-    merges_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(merges, 1),
-        "merge_rank int, left_sym string, right_sym string,"
-        " merged string, pair_count bigint",
-    )
-    return merges_df if not _return_vocab else (merges_df, vocab)
+    return merges, vocab
 
 
 def bpe_token_stats(
@@ -619,23 +641,33 @@ def bpe_token_stats(
     (word → post-merge symbol count) — applying it to the corpus is a
     hash join of corpus tokens against that map, never a per-document
     merge scan.  Only ``^[a-z]+$`` word forms participate (the learn
-    contract); out-of-scope words are counted separately.
+    contract): out-of-scope occurrences are EXCLUDED from all counts,
+    and a document with no in-scope words is absent from the output.
+    The corpus is tokenized ONCE — the same checkpointed (doc_id,
+    word) frame feeds the vocabulary build and the per-document join.
+
+    Raises ``ValueError`` on a corpus that yields fewer than
+    ``n_merges`` learnable merges: the partially-merged vocabulary
+    would silently tokenize with a different tokenizer than asked for
+    (``learn_bpe_merges`` itself just returns the shorter merge list —
+    its output states its own length; a token COUNT cannot).
 
     Determinism: symbol counts are exact integers off the identical
     rewrite the learn step performed; chars_per_token is one double
     division.
     """
-    _, vocab = learn_bpe_merges(
-        docs, n_merges=n_merges, text_col=text_col, _return_vocab=True
-    )
+    scoped = _scoped_word_tokens(docs, text_col).localCheckpoint(eager=True)
+    merges, vocab = _bpe_merge_rounds(_bpe_vocab(scoped), n_merges)
+    if len(merges) < n_merges:
+        raise ValueError(
+            f"bpe_token_stats: corpus yields only {len(merges)} of the "
+            f"{n_merges} requested merges — token counts would come from "
+            "a different tokenizer than asked for"
+        )
     wmap = vocab.select(
         F.translate(F.trim("sym"), " ", "").alias("w"),
         F.size(F.split(F.trim("sym"), " ")).cast("bigint").alias("n_sym"),
     )
-    tok = docs.select(
-        "doc_id", F.explode(tokens(text_col)).alias("raw")
-    ).select("doc_id", F.lower("raw").alias("w"))
-    scoped = tok.filter(F.col("w").rlike("^[a-z]+$"))
     return (
         scoped.join(wmap, "w")
         .groupBy("doc_id")

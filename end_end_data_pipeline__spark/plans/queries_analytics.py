@@ -965,11 +965,11 @@ _BPE_ROUND = """
             FROM vocab{j} v, top{k} t
         )"""
 
-
-@register(
-    "text_bpe_learn_merges",
-    oracle=(
-        """
+# The WITH prefix shared by the learn and tokenize-stats oracles: ONE
+# definition of vocab0 + the three unrolled rounds, so the two
+# contracts can never validate against different tokenizers.
+_BPE_SQL_PREFIX = (
+    """
         WITH vocab0 AS (
             SELECT ' ' || array_to_string(string_split(w, ''), ' ')
                        || ' ' AS sym,
@@ -984,11 +984,18 @@ _BPE_ROUND = """
                 GROUP BY w
             )
         ),"""
-        + _BPE_ROUND.format(k=1, j=0)
-        + ","
-        + _BPE_ROUND.format(k=2, j=1)
-        + ","
-        + _BPE_ROUND.format(k=3, j=2)
+    + _BPE_ROUND.format(k=1, j=0)
+    + ","
+    + _BPE_ROUND.format(k=2, j=1)
+    + ","
+    + _BPE_ROUND.format(k=3, j=2)
+)
+
+
+@register(
+    "text_bpe_learn_merges",
+    oracle=(
+        _BPE_SQL_PREFIX
         + """
         SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym,
                a || b AS merged, CAST(c AS BIGINT) AS pair_count
@@ -1637,33 +1644,9 @@ def quality_event_disorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_APPLY_PREFIX = (
-    """
-        WITH vocab0 AS (
-            SELECT ' ' || array_to_string(string_split(w, ''), ' ')
-                       || ' ' AS sym,
-                   n
-            FROM (
-                SELECT w, CAST(COUNT(*) AS BIGINT) AS n
-                FROM (
-                    SELECT lower(unnest(string_split(trim(text), ' '))) AS w
-                    FROM documents
-                )
-                WHERE regexp_matches(w, '^[a-z]+$')
-                GROUP BY w
-            )
-        ),"""
-    + _BPE_ROUND.format(k=1, j=0)
-    + ","
-    + _BPE_ROUND.format(k=2, j=1)
-    + ","
-    + _BPE_ROUND.format(k=3, j=2)
-)
-
-
 @register(
     "text_bpe_tokenize_stats",
-    oracle=_BPE_APPLY_PREFIX
+    oracle=_BPE_SQL_PREFIX
     + """,
         wmap AS (
             SELECT replace(trim(sym), ' ', '') AS w,

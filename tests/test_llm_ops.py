@@ -640,3 +640,16 @@ def test_bpe_token_stats_semantics(spark):
     # doc 2: ab (1) + aaab (2) = 3 tokens, 2 words
     assert rows[2]["n_words"] == 2
     assert rows[2]["n_bpe_tokens"] == 3
+
+
+def test_bpe_token_stats_degenerate_corpus_raises(spark):
+    """A corpus with fewer learnable merges than requested must raise
+    (the oracle is only defined on fully-learnable corpora; a silent
+    partial tokenizer would mislabel the counts)."""
+    from end_end_data_pipeline__spark.operators.text import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="merges"):
+        bpe_token_stats(docs, n_merges=3)
