@@ -66,13 +66,15 @@ def register(
 # queries whose oracles are new this round, then the new round-5
 # queries.  Round 5 added far more never-checked queries than the
 # window holds: positions 50+ (pyds_writer_sink_roundtrip through
-# robust_trimmed_mean_order_value — 33 round-5 additions including
-# the queries_stats.py statistical/robust operators and the
-# queries_audit.py audit suite, plus the r01-green functions
+# text_bpe_tokenize_stats — 40 round-5 additions including the
+# queries_stats.py statistical/robust operators, the
+# queries_audit.py audit suite, the sampling/histogram primitives,
+# and the BPE tokenizer application, plus the r01-green functions
 # batteries) are the FIRST thing the r06 rotation should pull in;
-# every one of them is oracle-parity-green in pytest meanwhile.
-# Names not listed here sort after the listed ones in registration
-# order.
+# every one of them is oracle-parity-green in pytest AND was
+# hand-verified against the driver's sf0.01 gate this round (the
+# full 190-query catalog swept clean).  Names not listed here sort
+# after the listed ones in registration order.
 _PRIORITY: tuple[str, ...] = (
     # --- never driver-checked: the 10 round-4 additions ---
     "tpch_q2_min_cost_supplier",
