@@ -166,6 +166,8 @@ _PRIORITY: tuple[str, ...] = (
     "fraud_duplicate_payments",
     "fraud_round_number_bias",
     "text_bpe_tokenize_stats",
+    "supplier_lead_time_stats",
+    "clv_by_segment",
     # --- statistical / ML operators (queries_stats.py first wave) ---
     "stats_linear_trend_by_segment",
     "market_basket_brand_pairs",

@@ -1689,3 +1689,161 @@ def text_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = lake.load_table(spark, "documents", sf_dir)
     return bpe_token_stats(docs, n_merges=3)
+
+
+@register(
+    "supplier_lead_time_stats",
+    oracle="""
+        WITH lt AS (
+            SELECT l_suppkey,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                  CAST(l_shipdate AS DATE)) AS BIGINT) AS d
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        m AS (
+            SELECT l_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(d AS HUGEINT)) AS s,
+                   SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS s2,
+                   MIN(d) AS min_days, MAX(d) AS max_days
+            FROM lt GROUP BY l_suppkey
+        )
+        SELECT m.l_suppkey AS suppkey, s_name AS supplier, n AS n_shipments,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_days,
+               sqrt(CAST(n * s2 - s * s AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_days,
+               CAST(min_days AS INT) AS min_days,
+               CAST(max_days AS INT) AS max_days
+        FROM m JOIN supplier ON m.l_suppkey = s_suppkey
+    """,
+    survey_ids=("A2", "F6", "J5"),
+)
+def supplier_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per supplier (count, mean, population
+    std, min, max in days) — the supplier-performance mart a
+    procurement dashboard ranks on, and the variance input to any
+    safety-stock formula.
+
+    Exact integer day-count moments (n, Σd, Σd²) per supplier —
+    map-side combinable, order-independent — with the mean/std combine
+    as one double tree (sqrt is IEEE correctly-rounded); the supplier
+    dimension joins broadcast.  At 100 TB the shuffle carries three
+    numbers per supplier.
+    """
+    lineitem = lake.load_table(spark, "lineitem", sf_dir)
+    orders = lake.load_table(spark, "orders", sf_dir)
+    supplier = lake.load_table(spark, "supplier", sf_dir)
+    d = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).cast(
+        "bigint"
+    )
+    lt = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey", d.alias("d")
+    )
+    d_dec = F.col("d").cast("decimal(38,0)")
+    m = lt.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d_dec).alias("s"),
+        F.sum(d_dec * d_dec).alias("s2"),
+        F.min("d").alias("min_days"),
+        F.max("d").alias("max_days"),
+    )
+    n_dec = F.col("n").cast("decimal(38,0)")
+    nd = F.col("n").cast("double")
+    return (
+        m.join(F.broadcast(supplier), m.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            F.col("n").alias("n_shipments"),
+            (F.col("s").cast("double") / nd).alias("mean_days"),
+            F.sqrt(
+                (n_dec * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+                / (nd * nd)
+            ).alias("std_days"),
+            F.col("min_days").cast("int").alias("min_days"),
+            F.col("max_days").cast("int").alias("max_days"),
+        )
+    )
+
+
+@register(
+    "clv_by_segment",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c_mktsegment AS segment, o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100
+                            AS BIGINT)) AS cents,
+                   CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                                  MAX(CAST(o_orderdate AS DATE)))
+                        AS BIGINT) AS lifespan_days
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+               CAST(SUM(n_orders) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS orders_per_customer,
+               CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+                   / (CAST(SUM(n_orders) AS DOUBLE) * 100.0)
+                   AS mean_order_value,
+               CAST(SUM(lifespan_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS mean_lifespan_days,
+               CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 100.0)
+                   AS clv_historic
+        FROM per_cust GROUP BY segment
+    """,
+    survey_ids=("A2", "A3", "F6"),
+)
+def clv_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historic customer-lifetime-value mart per market segment:
+    customers, order frequency, mean order value, mean active lifespan
+    (first→last order), and realized CLV (revenue per customer) — the
+    finance readout the RFM segmentation feeds.
+
+    Two hash aggs: fact → per-customer exact integers (cents, counts,
+    min/max dates), then per-segment sums; every displayed ratio is
+    one double division over exact sums.  Same shape as the Gini
+    query: the fact-sized shuffle ends at the customer collapse.
+    """
+    orders = lake.load_table(spark, "orders", sf_dir)
+    customer = lake.load_table(spark, "customer", sf_dir)
+    per_cust = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(13,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+            F.datediff(
+                F.max(F.to_date("o_orderdate")), F.min(F.to_date("o_orderdate"))
+            )
+            .cast("bigint")
+            .alias("lifespan_days"),
+        )
+    )
+    n_cust = F.count(F.lit(1)).cast("bigint")
+    sum_orders = F.sum("n_orders").cast("decimal(38,0)")
+    sum_cents = F.sum(F.col("cents").cast("decimal(38,0)"))
+    return per_cust.groupBy("segment").agg(
+        n_cust.alias("n_customers"),
+        sum_orders.cast("bigint").alias("n_orders"),
+        (sum_orders.cast("double") / n_cust.cast("double")).alias(
+            "orders_per_customer"
+        ),
+        (
+            sum_cents.cast("double")
+            / (sum_orders.cast("double") * F.lit(100.0))
+        ).alias("mean_order_value"),
+        (
+            F.sum("lifespan_days").cast("double") / n_cust.cast("double")
+        ).alias("mean_lifespan_days"),
+        (
+            sum_cents.cast("double") / (n_cust.cast("double") * F.lit(100.0))
+        ).alias("clv_historic"),
+    )
