@@ -168,6 +168,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_tokenize_stats",
     "supplier_lead_time_stats",
     "clv_by_segment",
+    "attribution_linear_credit",
+    "supplier_return_rate",
     # --- statistical / ML operators (queries_stats.py first wave) ---
     "stats_linear_trend_by_segment",
     "market_basket_brand_pairs",

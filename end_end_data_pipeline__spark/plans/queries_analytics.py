@@ -1847,3 +1847,136 @@ def clv_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_cents.cast("double") / (n_cust.cast("double") * F.lit(100.0))
         ).alias("clv_historic"),
     )
+
+
+_ATTR_WINDOW_MIN = 120  # attribution lookback, minutes
+
+
+@register(
+    "attribution_linear_credit",
+    oracle=f"""
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+                   CAST(value AS DOUBLE) AS value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touches AS (
+            SELECT p.purchase_id, p.value, c.click_id,
+                   CAST(COUNT(*) OVER (PARTITION BY p.purchase_id)
+                        AS BIGINT) AS n_touches
+            FROM purchases p JOIN clicks c
+              ON p.user_id = c.user_id
+             AND c.click_ts < p.purchase_ts
+             AND c.click_ts >= p.purchase_ts
+                              - INTERVAL {_ATTR_WINDOW_MIN} MINUTE
+        )
+        SELECT purchase_id, click_id, n_touches,
+               value / CAST(n_touches AS DOUBLE) AS credit
+        FROM touches
+    """,
+    survey_ids=("J7", "W1", "A5"),
+)
+def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the 2 hours
+    before a purchase by the same user gets an equal share of the
+    purchase value — the marketing-credit allocation one level up from
+    last-touch (which ``asof_click_before_purchase`` already covers).
+
+    Emitted at the (purchase, click) PAIR grain on purpose: each
+    credit is one double division of exact inputs (deterministic
+    row-wise), while aggregating credits here would sum doubles across
+    rows — partition-order dependent, so that roll-up belongs in a
+    decimal-quantized mart downstream.  Plan: user-keyed equi-join
+    with the time band in the join condition (fan-out bounded by
+    clicks-per-user-per-2h), then a per-purchase count window over the
+    pair frame.
+    """
+    events = lake.load_table(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    touches = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (clicks.click_ts < purchases.purchase_ts)
+        & (
+            clicks.click_ts
+            >= purchases.purchase_ts
+            - F.expr(f"INTERVAL {_ATTR_WINDOW_MIN} MINUTE")
+        ),
+    ).select("purchase_id", "value", "click_id")
+    w = Window.partitionBy("purchase_id")
+    return touches.select(
+        "purchase_id",
+        "click_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_touches"),
+        (
+            F.col("value")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("credit"),
+    )
+
+
+@register(
+    "supplier_return_rate",
+    oracle="""
+        SELECT l_suppkey AS suppkey, s_name AS supplier,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS return_rate,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                             THEN CAST(CAST(l_extendedprice AS DECIMAL(13,2))
+                                       * 100 AS BIGINT) ELSE 0 END)
+                    AS DOUBLE) / 100.0 AS returned_value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+    """,
+    survey_ids=("A5", "A2", "J5"),
+)
+def supplier_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate and returned value per supplier — the
+    supplier-quality mart next to the lead-time stats: share of line
+    items flagged returned and the money they carried.  One
+    conditional hash agg over the broadcast-joined fact; exact
+    integer counts and cents, two display divisions.
+    """
+    lineitem = lake.load_table(spark, "lineitem", sf_dir)
+    supplier = lake.load_table(spark, "supplier", sf_dir)
+    returned = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    ret_cents = F.when(
+        F.col("l_returnflag") == "R",
+        (F.col("l_extendedprice").cast("decimal(13,2)") * 100).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        lineitem.join(
+            F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
+        )
+        .groupBy(
+            F.col("l_suppkey").alias("suppkey"), F.col("s_name").alias("supplier")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(returned).cast("bigint").alias("n_returned"),
+            (
+                F.sum(returned).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("return_rate"),
+            (F.sum(ret_cents).cast("double") / F.lit(100.0)).alias(
+                "returned_value"
+            ),
+        )
+    )
