@@ -45,6 +45,29 @@ def dec_avg(col: Column | str, alias: str, scale: int = 6) -> Column:
     ).alias(alias)
 
 
+def exact_mean_std(
+    n: Column, s: Column, s2: Column, unit: float = 1.0
+) -> tuple[Column, Column]:
+    """Mean and population std from EXACT integer/decimal moments
+    (n, Σx, Σx²), as the one double expression tree every
+    moments-based query must share for bit-parity with its oracle:
+    ``mean = s / (n·unit)``, ``std = sqrt((n·s2 − s²) / (n²·unit²))``.
+    ``unit`` rescales quantized moments (e.g. a 10⁴ quantization
+    grid); the extra ×unit multiplications are exact for the powers
+    of ten used here.  ``s``/``s2`` must be decimal(38,0)-accumulated
+    so the subtraction happens exactly before the single double cast.
+    Mirror SQL: spell the identical tree in the oracle.
+    """
+    n_dec = n.cast("decimal(38,0)")
+    nd = n.cast("double")
+    mean = s.cast("double") / (nd * F.lit(float(unit)))
+    std = F.sqrt(
+        (n_dec * s2 - s * s).cast("double")
+        / (nd * nd * F.lit(float(unit) * float(unit)))
+    )
+    return mean, std
+
+
 def to_money(col: Column | str) -> Column:
     """CDC double -> DECIMAL(18,2) at the silver layer."""
     c = F.col(col) if isinstance(col, str) else col

