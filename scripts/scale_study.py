@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Reproduce the BASELINE.md scale-trend studies: run a set of catalog
+queries at two scale dirs (best-of-N noop-sink wall clock per cell)
+and print the markdown table rows.
+
+    python scripts/scale_study.py [--queries q1,q2,...] \
+        [--base /root/testdata/sf0.1] [--big /tmp/sf1-derived] [--runs 2]
+
+Defaults reproduce the round-5 third-wave study (audit / robust-stats
+/ sampling queries; derive the big set first with
+``python scripts/make_sf1_derived.py``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+THIRD_WAVE = [
+    "fraud_benford_digit_audit",
+    "market_hhi_concentration",
+    "timeseries_seasonal_decompose",
+    "timeseries_cusum_changepoint",
+    "text_token_frequency_quality",
+    "assoc_rules_brand_confidence",
+    "robust_median_mad_by_priority",
+    "inequality_gini_by_nation",
+    "robust_trimmed_mean_order_value",
+    "robust_iqr_fence_outliers",
+    "corpus_weighted_sample_priority",
+    "histogram_equidepth_order_value",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=",".join(THIRD_WAVE))
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default="/tmp/sf1-derived")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from end_end_data_pipeline__spark.session import get_spark
+
+    spark = get_spark("scale_study")
+    queries = load_all()
+    names = [n.strip() for n in args.queries.split(",") if n.strip()]
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
+    def best_of(name: str, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(args.runs):
+            t = time.time()
+            queries[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t)
+        return best
+
+    # warm the session on the first query so JVM/codegen startup isn't
+    # attributed to it
+    best_of(names[0], args.base)
+    print("| query | base (s) | big (s) | ratio |")
+    print("|---|---|---|---|")
+    for n in names:
+        a = best_of(n, args.base)
+        b = best_of(n, args.big)
+        print(f"| {n} | {a:.2f} | {b:.2f} | {b / a:.1f}× |", flush=True)
+
+
+if __name__ == "__main__":
+    main()
