@@ -1,0 +1,58 @@
+"""Plan-regression lock: every catalog query's physical-plan digest
+(shuffle exchanges, join strategies, generators, top-k operators) must
+match the committed PLANS_LOCK.json — so an accidental plan change (a
+broadcast silently flipping to a sort-merge join, a new shuffle from a
+refactor) fails CI instead of shipping as a 100 TB regression.
+
+Intentional plan changes and new queries are a one-command refresh:
+
+    python scripts/plan_lock.py
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from scripts.plan_lock import LOCK_PATH, SKIP, digest
+from end_end_data_pipeline__spark.plans.catalog import load_all
+from tests.conftest import SF_SMOKE
+
+LOCK = json.loads(Path(LOCK_PATH).read_text())
+NAMES = [n for n in load_all() if n not in SKIP]
+
+
+@pytest.fixture(autouse=True)
+def _uncached_plans(spark):
+    """Other modules cache fixture tables (module-scoped .cache()
+    fixtures); Spark substitutes InMemoryRelation into any matching
+    plan, which would change scan digests — the lock is defined over
+    UNCACHED plans."""
+    spark.catalog.clearCache()
+    yield
+
+
+def test_lock_covers_catalog():
+    """Every dry-plannable query has a locked digest and vice versa —
+    a new query without a lock entry (or a renamed one leaving a stale
+    entry) fails here with the regeneration command in the message."""
+    missing = sorted(set(NAMES) - set(LOCK))
+    stale = sorted(set(LOCK) - set(NAMES))
+    assert not missing and not stale, (
+        f"plan lock out of date (missing={missing}, stale={stale}) — "
+        "run: python scripts/plan_lock.py"
+    )
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_plan_matches_lock(spark, name):
+    q = load_all()[name]
+    df = q.fn(spark, SF_SMOKE)
+    got = digest(df._jdf.queryExecution().executedPlan().toString())
+    assert got == LOCK.get(name), (
+        f"{name}: plan digest drifted from PLANS_LOCK.json "
+        f"(got {got}, locked {LOCK.get(name)}) — if intentional, "
+        "run: python scripts/plan_lock.py"
+    )
