@@ -57,6 +57,20 @@ def digest(plan: str) -> dict[str, int]:
     }
 
 
+def fixture_fingerprint() -> dict[str, int]:
+    """Byte sizes of the sf0.001 fixture files.  The driver REGENERATES
+    fixtures between rounds (r04 precedent: the events timestamp unit
+    changed and broke 16 queries on byte-identical code); regenerated
+    files change sizes, size-based join planning can flip, and the
+    lock would then fail en masse through no code fault — so the test
+    SKIPS (with a refresh instruction) when this fingerprint drifts
+    instead of failing."""
+    return {
+        p.name: p.stat().st_size
+        for p in sorted(Path(SF_DIR).glob("*.parquet"))
+    }
+
+
 def collect() -> dict[str, dict[str, int]]:
     from end_end_data_pipeline__spark.plans.catalog import load_all
     from end_end_data_pipeline__spark.session import get_spark
@@ -74,6 +88,6 @@ def collect() -> dict[str, dict[str, int]]:
 
 
 if __name__ == "__main__":
-    lock = collect()
+    lock = {"__fixtures__": fixture_fingerprint(), **collect()}
     LOCK_PATH.write_text(json.dumps(lock, indent=1, sort_keys=True) + "\n")
-    print(f"wrote {LOCK_PATH} ({len(lock)} queries)")
+    print(f"wrote {LOCK_PATH} ({len(lock) - 1} queries)")
