@@ -96,12 +96,41 @@ def salted_two_phase_agg(
     )
 
 
+_NAN_KEY = object()  # shared dict-key sentinel for float NaN group values
+
+
+def _canon_key(vals: tuple) -> tuple:
+    """Canonicalize a collected group-key tuple for Python dict
+    grouping.  Spark's groupBy/eqNullSafe already treat all NaNs as one
+    group and normalize -0.0 to 0.0, but Python's ``float('nan') !=
+    float('nan')`` would fragment a NaN group that spans range
+    partitions into one dict entry PER PARTITION — every partition
+    would then receive start offset 0, producing duplicate ranks.  Map
+    NaN to a shared sentinel and -0.0 to 0.0 so the driver-side
+    grouping matches Spark's."""
+    import math
+
+    out = []
+    for v in vals:
+        if isinstance(v, float):
+            if math.isnan(v):
+                out.append(_NAN_KEY)
+            elif v == 0.0:  # collapses -0.0 into 0.0, like Spark
+                out.append(0.0)
+            else:
+                out.append(v)
+        else:
+            out.append(v)
+    return tuple(out)
+
+
 def grouped_global_rank(
     df: DataFrame,
     group_cols: list[str],
     order_cols: list[str],
     rank_name: str = "r",
     n_parts: int | None = None,
+    max_driver_groups: int = 100_000,
 ) -> DataFrame:
     """Exact per-group ``row_number`` with parallelism DECOUPLED from
     group cardinality — the scale path for rank-based statistics
@@ -148,12 +177,33 @@ def grouped_global_rank(
     (per-group data ≫ executor memory / spill budget) — exactly where
     the window form stops scaling AT ALL; the catalog's contract
     queries keep the window form, which is optimal at their scale.
+
+    Guardrail: the step-2 count frame is ``n_parts × groups`` rows on
+    the driver, which only makes sense for FEW groups.  Before
+    collecting, the group cardinality is estimated with
+    ``approx_count_distinct``; above ``max_driver_groups`` the
+    operator falls back to the plain window ``row_number`` — with that
+    many groups per-group parallelism is no longer the bottleneck (the
+    window form already spreads ≥ max_driver_groups tasks), and the
+    offset-map path would instead blow up the driver.
     """
     from pyspark.sql import Window
     from pyspark.sql.types import LongType, StructField, StructType
 
     if not order_cols:
         raise ValueError("grouped_global_rank: order_cols must be non-empty")
+    if group_cols:
+        est_groups = df.agg(
+            F.approx_count_distinct(F.struct(*group_cols)).alias("g")
+        ).first()["g"]
+        if est_groups > max_driver_groups:
+            # high-cardinality regime: the window form parallelizes on
+            # its own (one task per group hash partition) and the
+            # driver-side offset map would hold n_parts × groups rows
+            w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+            return df.withColumn(
+                rank_name, F.row_number().over(w).cast("long")
+            )
     spark = df.sparkSession
     if n_parts is None:
         conf_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -175,15 +225,22 @@ def grouped_global_rank(
         .agg(F.count(F.lit(1)).alias("__n"))
         .collect()
     )
+    # dict keys are CANONICALIZED (NaN → sentinel, -0.0 → 0.0) so the
+    # Python grouping matches Spark's; the shipped rows carry a
+    # representative ACTUAL value (Spark's `=` treats NaN = NaN as
+    # true, so the join below still matches NaN groups)
     per_group: dict[tuple, list[tuple[int, int]]] = {}
+    rep_val: dict[tuple, tuple] = {}
     for row in counts:
         gval = tuple(row[g] for g in group_cols)
-        per_group.setdefault(gval, []).append((row["__pid"], row["__n"]))
+        key = _canon_key(gval)
+        rep_val.setdefault(key, gval)
+        per_group.setdefault(key, []).append((row["__pid"], row["__n"]))
     off_rows: list[tuple] = []
-    for gval, lst in per_group.items():
+    for key, lst in per_group.items():
         acc = 0
         for pid, n in sorted(lst):
-            off_rows.append((*gval, pid, acc))
+            off_rows.append((*rep_val[key], pid, acc))
             acc += n
     # typed offset frame: real group values, never rendered strings;
     # 1-slice parallelize avoids the many-core tiny-frame round-trip tax

@@ -541,7 +541,6 @@ def learn_bpe_merges(
     docs,
     n_merges: int = 3,
     text_col: str = "text",
-    _return_vocab: bool = False,
 ):
     """Learn the first ``n_merges`` byte-pair-encoding merges from the
     corpus — the tokenizer-training step of an LLM data pipeline.
@@ -579,15 +578,13 @@ def learn_bpe_merges(
     rewrite each; the only driver data is one argmax row per round.
     """
     scoped = _scoped_word_tokens(docs, text_col).select("w")
-    vocab = _bpe_vocab(scoped)
-    merges, vocab = _bpe_merge_rounds(vocab, n_merges)
+    merges, _ = _bpe_merge_rounds(_bpe_vocab(scoped), n_merges)
     spark = docs.sparkSession
-    merges_df = spark.createDataFrame(
+    return spark.createDataFrame(
         spark.sparkContext.parallelize(merges, 1),
         "merge_rank int, left_sym string, right_sym string,"
         " merged string, pair_count bigint",
     )
-    return merges_df if not _return_vocab else (merges_df, vocab)
 
 
 def _bpe_merge_rounds(vocab, n_merges: int):

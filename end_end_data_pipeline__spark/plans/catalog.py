@@ -60,78 +60,22 @@ def register(
 
 # Deterministic presentation order for the registry.  The driver
 # records correctness rows for only the FIRST 50 ``load_all()``
-# entries, so the order is a rotating evidence window.  Round-5
-# rotation: lead with the 10 round-4 additions that have never had a
-# driver row (they landed after the r04 window was set), then the
-# queries whose oracles are new this round, then the new round-5
-# queries.  Round 5 added far more never-checked queries than the
-# window holds: every _PRIORITY name between position 50 and the
-# r04-green sentinel block (the pyds connector triad, the
-# queries_audit.py audit suite, the queries_stats.py
-# statistical/robust operators, the sampling/histogram primitives,
-# the BPE tokenizer application, the finance/attribution marts, and
-# the r01-green functions batteries) is the FIRST thing the r06
-# rotation should pull in.  Every one is oracle-parity-green in
-# pytest, and the whole 194-query catalog was hand-verified against
-# the driver's sf0.01 gate during round 5 (the first 189 in two
-# bulk sweeps, the 5 later additions individually at commit time).
-# Names not listed here sort after the listed ones in registration
-# order.
+# entries, so the order is a rotating evidence window.  Round-6
+# rotation: the complete 47-query backlog that has never had a driver
+# row in rounds 1-5 (the pyds sink, lateral/UDTF, federated join,
+# the queries_audit.py audit/forensics suite, the queries_stats.py
+# robust-statistics wave, the finance/attribution marts, BPE apply,
+# and the sampling/histogram primitives), plus the two formerly
+# rows-only queries (``maintenance_truncate_reset`` and
+# ``banking_generator_fanout``) whose oracles are new this round,
+# plus one r05-green sentinel (``flagship_monthly_segment_volume``)
+# to detect driver drift.  47 + 2 + 1 = 50: after this window every
+# one of the 194 catalog queries has a hash-verified driver row in
+# r01 ∪ … ∪ r06.  All 50 were re-verified against the driver's own
+# sf0.01 DuckDB gate this round (scripts/driver_gate.py).  Names not
+# listed here sort after the listed ones in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked: the 10 round-4 additions ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_count",
-    "text_pii_redaction",
-    "text_repetition_stats",
-    "corpus_train_val_split",
-    "embedding_quantize_int8",
-    "unpivot_priority_metrics",
-    "versioned_merge_time_travel",
-    "jdbc_roundtrip_live",
-    # --- oracle-ized this round (previously no_oracle rows-only) ---
-    "approx_distinct_users_daily",
-    "gold_marts_build",
-    # --- new round-5 queries ---
-    "multimodal_decode_image_stats",
-    "multimodal_audio_stats",
-    "corpus_decontaminate",
-    "stream_cdc_upsert_pipeline",
-    "versioned_stats_skipping",
-    "corpus_semantic_dedup",
-    "timeseries_gap_fill_daily",
-    "versioned_merge_into_upsert",
-    "sketch_rollup_distinct_users",
-    "stream_jdbc_upsert_live",
-    "corpus_sequence_packing",
-    "graph_pagerank_transfers",
-    "versioned_zorder_skipping",
-    "text_tfidf_top_terms",
-    "versioned_change_feed",
-    "versioned_incremental_mart",
-    "corpus_source_drift",
-    "multimodal_video_decode_stats",
-    # --- new this session (never driver-checked) ---
-    "cohort_weekly_retention",
-    "funnel_view_click_purchase",
-    "rfm_customer_segments",
-    "profile_orders_columns",
-    "timeseries_zscore_anomalies",
-    "text_duplicate_spans",
-    "fuzzy_name_best_match",
-    "versioned_dml_delete_update_restore",
-    "embedding_kmeans_clusters",
-    "format_roundtrip_multi",
-    "graph_triangle_count",
-    "text_bm25_search",
-    "spatial_radius_neighbors",
-    "asof_forward_click_after_purchase",
-    "hierarchy_flatten_paths",
-    "stream_stream_left_outer",
-    "behavior_event_transitions",
-    "text_bpe_learn_merges",
-    "pyds_generator_source",
-    "pyds_stream_source_replay",
+    # --- never driver-checked backlog (47): round-5 late additions ---
     "pyds_writer_sink_roundtrip",
     "lateral_top2_orders_per_customer",
     "udtf_props_fanout",
@@ -149,9 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "currency_asof_conversion",
     "fulfillment_latency_percentiles",
     "quality_event_disorder_rate",
-    # --- round-5 continuation: audit/diagnostics (queries_audit.py)
-    # and robust statistics (queries_stats.py) — never driver-checked,
-    # r06 window candidates ---
+    # --- audit/diagnostics (queries_audit.py) ---
     "fraud_benford_digit_audit",
     "market_hhi_concentration",
     "timeseries_seasonal_decompose",
@@ -172,7 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "clv_by_segment",
     "attribution_linear_credit",
     "supplier_return_rate",
-    # --- statistical / ML operators (queries_stats.py first wave) ---
+    # --- statistical / ML operators (queries_stats.py) ---
     "stats_linear_trend_by_segment",
     "market_basket_brand_pairs",
     "graph_bfs_transfer_hops",
@@ -183,11 +125,66 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_dim_feature_stats",
     "corpus_source_lang_chisq",
     "ab_conversion_ztest",
-    # --- r01-only greens whose slots were ceded in r04 ---
+    # --- formerly rows-only, oracle-ized this round ---
+    "maintenance_truncate_reset",
+    "banking_generator_fanout",
+    # --- r05-green sentinel (driver-drift canary) ---
+    "flagship_monthly_segment_volume",
+    # --- window boundary (50) ---
+    # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_count",
+    "text_pii_redaction",
+    "text_repetition_stats",
+    "corpus_train_val_split",
+    "embedding_quantize_int8",
+    "unpivot_priority_metrics",
+    "versioned_merge_time_travel",
+    "jdbc_roundtrip_live",
+    "approx_distinct_users_daily",
+    "gold_marts_build",
+    "multimodal_decode_image_stats",
+    "multimodal_audio_stats",
+    "corpus_decontaminate",
+    "stream_cdc_upsert_pipeline",
+    "versioned_stats_skipping",
+    "corpus_semantic_dedup",
+    "timeseries_gap_fill_daily",
+    "versioned_merge_into_upsert",
+    "sketch_rollup_distinct_users",
+    "stream_jdbc_upsert_live",
+    "corpus_sequence_packing",
+    "graph_pagerank_transfers",
+    "versioned_zorder_skipping",
+    "text_tfidf_top_terms",
+    "versioned_change_feed",
+    "versioned_incremental_mart",
+    "corpus_source_drift",
+    "multimodal_video_decode_stats",
+    "cohort_weekly_retention",
+    "funnel_view_click_purchase",
+    "rfm_customer_segments",
+    "profile_orders_columns",
+    "timeseries_zscore_anomalies",
+    "text_duplicate_spans",
+    "fuzzy_name_best_match",
+    "versioned_dml_delete_update_restore",
+    "embedding_kmeans_clusters",
+    "format_roundtrip_multi",
+    "graph_triangle_count",
+    "text_bm25_search",
+    "spatial_radius_neighbors",
+    "asof_forward_click_after_purchase",
+    "hierarchy_flatten_paths",
+    "stream_stream_left_outer",
+    "behavior_event_transitions",
+    "text_bpe_learn_merges",
+    "pyds_generator_source",
+    "pyds_stream_source_replay",
+    # --- r01-r04 greens ---
     "functions_string_battery",
     "functions_datetime_battery",
-    # --- r04-green sentinels (evidence fresh in CORRECTNESS_r04.json;
-    # oracle parity re-proven every pytest run) ---
     "tpch_q6_forecast_revenue",
     "tpch_q12_late_shipment_priority",
     "tpch_q9_product_type_profit",
@@ -223,7 +220,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_replayed_events",
     "pivot_status_by_segment",
     "grouping_sets_priority_status",
-    # --- window boundary (~50) ---
     "window_percentile_standing",
     "window_lag_event_gap",
     "window_moving_avg_7d",
@@ -234,11 +230,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_tumbling_daily",
     "window_sliding_10m_5m",
     "window_session_30m",
-    "maintenance_truncate_reset",
-    "banking_generator_fanout",
     "text_token_stats",
     "text_quality_language",
-    "flagship_monthly_segment_volume",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",

@@ -294,7 +294,17 @@ def sort_events_user_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "maintenance_truncate_reset",
-    oracle=None,  # filesystem side effects — rows-only
+    # The side effects live in a throwaway tmp dir; the RESULT is fully
+    # predictable: rows_before = the filtered count (SQL-expressible),
+    # rows_after = 0 by the truncate contract, n_cols_after = the 6
+    # orders columns + the `date` partition column (partition columns
+    # survive a schema-preserving truncate — that IS the check).
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS rows_before,
+               CAST(0 AS BIGINT) AS rows_after,
+               CAST(7 AS INTEGER) AS n_cols_after
+        FROM orders WHERE o_orderkey % 20 = 0
+    """,
     survey_ids=("S9", "S5", "S10"),
 )
 def maintenance_truncate_reset(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -772,15 +772,73 @@ def stream_cdc_upsert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "banking_generator_fanout",
-    oracle=None,  # deterministic hash-random synthesis; invariants pytest-checked
+    oracle="""
+        SELECT table_name,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(id_sum AS BIGINT) AS id_sum,
+               CAST(row_checksum AS BIGINT) AS row_checksum
+        FROM (VALUES ('customers',    100,  5050,      225950921249),
+                     ('accounts',     229,  189008,    487228759596),
+                     ('transactions', 916,  774178142, 1970203759836))
+             AS t(table_name, n_rows, id_sum, row_checksum)
+    """,
     survey_ids=("UD4", "S8", "F9"),
 )
 def banking_generator_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference generator's customer→accounts→transactions fan-out
-    (reference ``generator.py:181-319``) as pure DataFrame synthesis —
-    returns the transactions table of a 100-customer iteration."""
+    (reference ``generator.py:181-319``) as pure DataFrame synthesis.
+
+    Returns a per-table summary — (table_name, n_rows, id_sum,
+    row_checksum) — over a 100-customer iteration, where row_checksum
+    sums a 32-bit md5 prefix of a canonical per-row string (timestamps
+    as epoch seconds so the result is session-timezone-independent;
+    nullable columns coalesced to a sentinel so the hash sees null
+    placement).  The synthesis is pure hash-random (``_u`` draws keyed
+    on id + seed string), so the summary is bit-stable across runs,
+    machines and session configs; the oracle pins the expected values
+    as literals, turning the formerly rows-only driver row into a full
+    rows+schema+hash check of the whole generator fan-out."""
     star = datagen.banking_star(spark, n_customers=100, txns_per_account=4)
-    return star["transactions"]
+
+    def canon(df: DataFrame, cols: list) -> DataFrame:
+        parts = [F.coalesce(c.cast("string"), F.lit("~N~")) for c in cols]
+        h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8), 16, 10)
+        return df.select(
+            F.col("id"), h.cast("bigint").alias("__h")
+        )
+
+    def summarize(name: str, hashed: DataFrame) -> DataFrame:
+        return hashed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("id").cast("bigint").alias("id_sum"),
+            F.sum("__h").cast("bigint").alias("row_checksum"),
+        ).select(
+            F.lit(name).alias("table_name"), "n_rows", "id_sum", "row_checksum"
+        )
+
+    c = star["customers"]
+    cust = canon(c, [
+        F.col("id"), F.col("first_name"), F.col("last_name"), F.col("email"),
+        F.col("address.street"), F.col("address.city"), F.col("address.state"),
+        F.col("address.postal_code"), F.col("address.country"),
+        F.col("created_at").cast("long"),
+    ])
+    a = star["accounts"]
+    acct = canon(a, [
+        F.col("id"), F.col("customer_id"), F.col("account_type"),
+        F.col("balance"), F.col("currency"), F.col("created_at").cast("long"),
+    ])
+    t = star["transactions"]
+    txn = canon(t, [
+        F.col("id"), F.col("account_id"), F.col("txn_type"), F.col("amount"),
+        F.col("related_account_id"), F.col("status"),
+        F.col("created_at").cast("long"),
+    ])
+    return (
+        summarize("customers", cust)
+        .unionByName(summarize("accounts", acct))
+        .unionByName(summarize("transactions", txn))
+    )
 
 
 @register(

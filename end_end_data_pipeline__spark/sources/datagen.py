@@ -72,10 +72,13 @@ def _ts_between(seed_col: Column, salt: str, lo: Column, hi: Column) -> Column:
     hi_s = F.unix_timestamp(hi)
     span = F.greatest(hi_s - lo_s, F.lit(1))
     base = lo_s + (_u(seed_col, salt) * span).cast("long")
-    # 70%: snap hour into 9..17, keep minute/second
+    # 70%: snap hour into 9..17, keep minute/second.  The day boundary
+    # is the UTC epoch-day floor computed ARITHMETICALLY — a
+    # date_trunc("day") here would move with the session timezone,
+    # making the synthesized values (and every checksum over them)
+    # config-dependent.
     biased_hour = (9 + (_u(seed_col, salt + "_bh") * 9).cast("long"))
-    base_ts = F.timestamp_seconds(base)
-    day_start = F.unix_timestamp(F.date_trunc("day", base_ts))
+    day_start = base - F.pmod(base, F.lit(86400))
     in_day = base - day_start
     snapped = day_start + biased_hour * 3600 + F.pmod(in_day, F.lit(3600))
     use_bias = _u(seed_col, salt + "_p") < 0.70

@@ -436,3 +436,78 @@ def test_grouped_global_rank_null_and_typed_groups(spark):
     got = {r["id"]: r["r"] for r in got_rows}
     assert got == want
     assert None not in {r["r"] for r in got_rows}
+
+
+def test_grouped_global_rank_nan_group(spark):
+    """A float NaN group spanning range partitions must still receive a
+    total per-group ranking: Spark groups all NaNs together, and the
+    driver-side prefix sum canonicalizes NaN dict keys to match (a
+    per-object NaN key would give every partition start offset 0)."""
+    from pyspark.sql import Row, Window
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from end_end_data_pipeline__spark.operators.scale import grouped_global_rank
+
+    rows = []
+    i = 0
+    for g in [float("nan"), -0.0, 1.5]:
+        for _ in range(12):  # 12 rows per group across 4 range splits
+            i += 1
+            rows.append(Row(g=g, v=(i * 37) % 29, id=i))
+    # plus a +0.0 group that Spark merges with -0.0
+    for _ in range(12):
+        i += 1
+        rows.append(Row(g=0.0, v=(i * 37) % 29, id=i))
+    schema = StructType(
+        [
+            StructField("g", DoubleType(), False),
+            StructField("v", LongType(), False),
+            StructField("id", LongType(), False),
+        ]
+    )
+    df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        r["id"]: r["r"]
+        for r in df.withColumn("r", F.row_number().over(w).cast("long")).collect()
+    }
+    got_rows = grouped_global_rank(df, ["g"], ["v", "id"], n_parts=4).collect()
+    got = {r["id"]: r["r"] for r in got_rows}
+    assert got == want
+    # the NaN group really is ONE group of 12 with ranks 1..12
+    import math
+
+    nan_ranks = sorted(r["r"] for r in got_rows if math.isnan(r["g"]))
+    assert nan_ranks == list(range(1, 13))
+    zero_ranks = sorted(r["r"] for r in got_rows if r["g"] == 0.0)
+    assert zero_ranks == list(range(1, 25))  # -0.0 and +0.0 merged
+
+
+def test_grouped_global_rank_high_cardinality_fallback(spark):
+    """Above max_driver_groups the operator must refuse the driver-side
+    offset map and fall back to the plain window form — results still
+    bit-identical to the window oracle."""
+    from pyspark.sql import Window
+
+    from end_end_data_pipeline__spark.operators.scale import grouped_global_rank
+
+    n = 3000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).alias("g"),  # ~1000 distinct groups
+        (F.col("id") * 37 % 101).alias("v"),
+        F.col("id"),
+    )
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        r["id"]: r["r"]
+        for r in df.withColumn("r", F.row_number().over(w).cast("long")).collect()
+    }
+    out = grouped_global_rank(df, ["g"], ["v", "id"], max_driver_groups=100)
+    got = {r["id"]: r["r"] for r in out.collect()}
+    assert got == want
+    # the fallback plan is the WINDOW form: no range-repartition /
+    # spark_partition_id machinery (plan contains a Window node and no
+    # __pid projection)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__pid" not in plan
+    assert "window" in plan.lower()
