@@ -58,19 +58,43 @@ def main() -> None:
     pinned = [n for n in ordered if n in rank]
     extras = [n for n in ordered if n not in rank]
 
+    # Bench-only extras measured OUTSIDE the catalog: the engine-default
+    # xxhash64 MinHash-LSH path.  The catalog/headline query runs the
+    # md5 hash family so DuckDB can bit-replicate the whole pipeline
+    # (the verifiability contract); users run the xxhash64 default, so
+    # the bench reports that path too.  It is not a catalog query —
+    # xxhash64 has no DuckDB twin, and a rows-only catalog entry would
+    # weaken the 194/194 oracle-backed surface for a measurement we can
+    # take directly.
+    def _minhash_engine_default(spark, sfd):
+        from end_end_data_pipeline__spark.operators import dedup
+        from end_end_data_pipeline__spark.sources import lake
+
+        docs = lake.load_table(spark, "documents", sfd)
+        return dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, num_hashes=32, bands=8,
+            verify_threshold=0.5, hash_family="xxhash64",
+        )
+
+    extra_fns = {"dedup_minhash_lsh_engine": _minhash_engine_default}
+    extras = [*extras, *extra_fns]
+
+    def run_query(name: str, sfd: str):
+        fn = extra_fns.get(name) or queries[name].fn
+        return fn(spark, sfd)
+
     # JVM/codegen warmup on the smallest fixture (not timed): run every
     # bench query once so codegen/broadcast warmup cost lands here, not
     # in whichever query happens to run first.
-    for name in ordered:
-        queries[name].fn(spark, "/root/testdata/sf0.001").write.format(
+    for name in [*ordered, *extra_fns]:
+        run_query(name, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in ordered:
-        q = queries[name]
+    for name in [*ordered, *extra_fns]:
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        run_query(name, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     out = {
