@@ -247,3 +247,63 @@ def blocked_fuzzy_best_match(
             "n_candidates",
         )
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    minimize_x: bool = False,
+    minimize_y: bool = False,
+) -> DataFrame:
+    """2-D skyline / Pareto frontier (O-family): the distinct (x, y)
+    points not DOMINATED by any other point, where p dominates q iff p
+    is at-least-as-good on both dimensions and strictly better on one
+    ("good" = larger, or smaller for a ``minimize_*`` dimension).
+
+    The classic sort-scan formulation: after deduplicating (x, y) and
+    sorting by (x best-first, y best-first), a point survives iff its y
+    strictly beats the running best-y of all PRECEDING rows — every
+    preceding row has x at-least-as-good, and with exact duplicates
+    removed, a preceding row with equal y must have strictly better x,
+    so ``y <= running_best`` ⇔ dominated.
+
+    Scale: a single global sort-scan would serialize on one task, so
+    this runs the textbook TWO-PHASE distributed skyline: the same
+    sort-scan WITHIN each input partition first (a local skyline is a
+    superset of the global one — dominance within a partition implies
+    dominance globally), which prunes all but ~|skyline| points per
+    partition, then the global pass runs over that tiny survivor set.
+    The final window is single-task by construction but its input is
+    O(n_parts × |skyline|), not O(n).
+
+    Nulls in x/y are dropped (dominance is undefined on them).
+    """
+    bx = F.col("__x").asc() if minimize_x else F.col("__x").desc()
+    # y normalized to maximize internally (__yn); output keeps originals
+    by = F.col("__yn").desc()
+
+    pts = (
+        df.select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .distinct()
+        .withColumn("__yn", F.col("__y") * F.lit(-1 if minimize_y else 1))
+    )
+
+    def scan(frame: DataFrame, *partition_cols: str) -> DataFrame:
+        w = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(bx, by)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        run_best = F.max("__yn").over(w)
+        return frame.withColumn("__rb", run_best).filter(
+            F.col("__rb").isNull() | (F.col("__yn") > F.col("__rb"))
+        ).drop("__rb")
+
+    local = scan(pts.withColumn("__pid", F.spark_partition_id()), "__pid").drop(
+        "__pid"
+    )
+    return scan(local).select(
+        F.col("__x").alias(x_col), F.col("__y").alias(y_col)
+    )

@@ -131,6 +131,11 @@ _PRIORITY: tuple[str, ...] = (
     # --- r05-green sentinel (driver-drift canary) ---
     "flagship_monthly_segment_volume",
     # --- window boundary (50) ---
+    # --- new in r06 (post-window; swept via scripts/driver_gate.py;
+    # r07 window candidates) ---
+    "skyline_part_price_size",
+    "sketch_countmin_user_counts",
+    "embedding_pq_adc_topk",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

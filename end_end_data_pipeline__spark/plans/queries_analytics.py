@@ -1980,3 +1980,113 @@ def supplier_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ADC search (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _pq_oracle(m: int = 4, k: int = 4, dim: int = 64, scale: int = 1_000_000) -> str:
+    """DuckDB replay of ``similarity.pq_encode`` (m independent
+    2-iteration fixed-point k-means codebooks over contiguous
+    subspaces) + ``pq_adc_topk`` for the query vector vec_id = 0.
+    Generated per subspace from the proven kmeans-oracle template —
+    same quantization, same argmin tie-break (d, cid), same
+    offset-normalized floor division for centroid means."""
+    w = dim // m
+    parts = [f"""
+        q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {scale})
+                                 AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        qv AS (SELECT q FROM q WHERE vec_id = 0)"""]
+    for s in range(m):
+        lo, hi = s * w + 1, s * w + w + 1  # 1-based [lo, hi) slice
+        parts.append(f"""
+        c0_{s} AS (SELECT vec_id AS cid, q FROM q WHERE vec_id < {k}),
+        d1_{s} AS (
+            SELECT v.vec_id, c.cid,
+                   SUM((v.q[i] - c.q[i]) * (v.q[i] - c.q[i])) AS d
+            FROM q v CROSS JOIN c0_{s} c,
+                 unnest(range({lo}, {hi})) AS t(i)
+            GROUP BY 1, 2
+        ),
+        a1_{s} AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cid) AS rn
+                FROM d1_{s}) WHERE rn = 1
+        ),
+        cm_{s} AS (
+            SELECT a.cid, t.i,
+                   CAST((SUM(v.q[t.i]) + COUNT(*) * {scale}) // COUNT(*)
+                        AS BIGINT) - {scale} AS cval
+            FROM a1_{s} a JOIN q v USING (vec_id),
+                 unnest(range({lo}, {hi})) AS t(i)
+            GROUP BY 1, 2
+        ),
+        d2_{s} AS (
+            SELECT v.vec_id, c.cid,
+                   SUM((v.q[c.i] - c.cval) * (v.q[c.i] - c.cval)) AS d
+            FROM q v CROSS JOIN cm_{s} c
+            GROUP BY 1, 2
+        ),
+        a2_{s} AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cid) AS rn
+                FROM d2_{s}) WHERE rn = 1
+        ),
+        dt_{s} AS (
+            SELECT c.cid,
+                   SUM((qv.q[c.i] - c.cval) * (qv.q[c.i] - c.cval)) AS d
+            FROM cm_{s} c CROSS JOIN qv
+            GROUP BY 1
+        )""")
+    a_joins = " ".join(
+        f"JOIN a2_{s} a{s} USING (vec_id)" for s in range(1, m)
+    )
+    dt_joins = " ".join(
+        f"JOIN dt_{s} t{s} ON t{s}.cid = a{s}.cid" for s in range(m)
+    )
+    total = " + ".join(f"t{s}.d" for s in range(m))
+    return f"""
+        WITH {",".join(parts)}
+        SELECT a0.vec_id, CAST({total} AS BIGINT) AS adc_dist
+        FROM a2_0 a0 {a_joins} {dt_joins}
+        ORDER BY adc_dist, a0.vec_id LIMIT 10
+    """
+
+
+@register(
+    "embedding_pq_adc_topk",
+    oracle=_pq_oracle(),
+    survey_ids=("UD7", "J9", "F13"),
+)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): 4 subspaces x 4
+    fixed-point k-means codes compress each 64-dim vector to 4 small
+    ints; search runs ASYMMETRIC DISTANCE (ADC) — the query's m x k
+    distance table is precomputed driver-side and the corpus scan is
+    m literal-array lookups per row, no join, no vector math,
+    TakeOrderedAndProject for the top-10.  At 100 TB the index scan
+    touches code bytes instead of float vectors (here 2000x less
+    data; production k=256 gives 64x with byte codes).  Integer
+    arithmetic end-to-end, so the oracle replays training + encoding
+    + the ADC table bit-for-bit.  See
+    :func:`operators.similarity.pq_encode` / :func:`pq_adc_topk`."""
+    from end_end_data_pipeline__spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = lake.load_table(spark, "embeddings", sf_dir)
+    codes, books = pq_encode(emb, m=4, k=4, dim=64, iterations=2)
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_adc_topk(codes, books, query, k_top=10)

@@ -816,3 +816,39 @@ def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.grp").alias("grp"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (round 6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skyline_part_price_size",
+    oracle="""
+        WITH pts AS (SELECT DISTINCT p_size, p_retailprice FROM part),
+        sky AS (
+            SELECT a.p_size, a.p_retailprice FROM pts a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pts b
+                WHERE b.p_size >= a.p_size
+                  AND b.p_retailprice <= a.p_retailprice
+                  AND (b.p_size > a.p_size
+                       OR b.p_retailprice < a.p_retailprice)))
+        SELECT p_size, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+        FROM sky
+    """,
+    survey_ids=("O2", "W2", "P5"),
+)
+def skyline_part_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier over parts — "the largest size at the lowest
+    price": the distinct (p_size, p_retailprice) points no other part
+    beats on both dimensions.  The operator
+    (``operators/relational.skyline_2d``) runs the sort-scan skyline
+    TWICE — once within each partition (prunes all but ~|skyline|
+    points per partition, fully parallel), once over the tiny survivor
+    union — so no global sort of the input ever happens.  The oracle
+    states dominance directly as NOT EXISTS; values pass through
+    unchanged (no arithmetic), so parity is exact on doubles."""
+    part = lake.load_table(spark, "part", sf_dir)
+    return R.skyline_2d(part, "p_size", "p_retailprice", minimize_y=True)

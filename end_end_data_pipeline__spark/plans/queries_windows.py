@@ -284,3 +284,75 @@ def timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "carried_value",
         "is_gap",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (round 6) — mergeable frequency estimation (A4 family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_countmin_user_counts",
+    oracle="""
+        WITH cells AS (
+            SELECT d.j,
+                   CAST(('0x' || substr(md5(CAST(d.j AS VARCHAR) || '|'
+                         || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 128 AS INTEGER) AS cell,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events e
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS j) d
+            GROUP BY 1, 2
+        ),
+        top20 AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM events GROUP BY 1
+            ORDER BY exact_cnt DESC, user_id LIMIT 20
+        ),
+        est AS (
+            SELECT t.user_id, MIN(c.cnt) AS cms_est
+            FROM top20 t
+            JOIN cells c
+              ON c.cell = CAST(('0x' || substr(md5(CAST(c.j AS VARCHAR)
+                    || '|' || CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 128 AS INTEGER)
+            GROUP BY 1
+        )
+        SELECT t.user_id, t.exact_cnt, e.cms_est,
+               e.cms_est - t.exact_cnt AS overcount
+        FROM top20 t JOIN est e USING (user_id)
+    """,
+    survey_ids=("A4", "F4", "A10"),
+)
+def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 128) over the event stream's
+    user_id, point-estimated for the 20 most-active users next to
+    their exact counts — ``overcount >= 0`` is the CMS one-sided error
+    guarantee, visible per row.  The sketch build is one explode +
+    hash agg whose partials combine map-side into <= d x w cells per
+    task, and sketches MERGE by cell-wise addition
+    (``operators/sketches.cms_merge``, exercised in
+    tests/test_llm_ops.py), so per-day or per-partition sketches
+    compose without re-reading data — the 100 TB path for "how often
+    did X appear" questions.  Hashing is the engine-stable md5-u32
+    recipe, so the DuckDB oracle replays the exact counter grid and
+    estimates match bit-for-bit."""
+    from end_end_data_pipeline__spark.operators import sketches
+
+    events = lake.load_table(spark, "events", sf_dir)
+    sk = sketches.cms_build(events, "user_id", depth=4, width=128)
+    top20 = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(20)
+    )
+    est = sketches.cms_estimate(
+        sk, top20.select("user_id"), "user_id", depth=4, width=128
+    )
+    return top20.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )

@@ -653,3 +653,98 @@ def test_bpe_token_stats_degenerate_corpus_raises(spark):
     )
     with pytest.raises(ValueError, match="merges"):
         bpe_token_stats(docs, n_merges=3)
+
+
+def test_cms_merge_equals_whole_and_overestimates(spark):
+    """CMS mergeability (cell-wise sum of per-half sketches == sketch
+    of the whole) and the one-sided error guarantee (estimate >= exact
+    for every present key)."""
+    from end_end_data_pipeline__spark.operators import sketches
+
+    events = lake.load_table(spark, "events", SF_SMOKE)
+    whole = sketches.cms_build(events, "user_id", depth=4, width=64)
+    lo = sketches.cms_build(
+        events.filter(F.col("event_id") % 2 == 0), "user_id", depth=4, width=64
+    )
+    hi = sketches.cms_build(
+        events.filter(F.col("event_id") % 2 == 1), "user_id", depth=4, width=64
+    )
+    merged = sketches.cms_merge(lo, hi)
+    want = {(r["j"], r["cell"]): r["cnt"] for r in whole.collect()}
+    got = {(r["j"], r["cell"]): r["cnt"] for r in merged.collect()}
+    assert got == want
+
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    est = sketches.cms_estimate(whole, exact.select("user_id"), "user_id", 4, 64)
+    joined = exact.join(est, "user_id").collect()
+    assert joined and all(r["cms_est"] >= r["n"] for r in joined)
+
+
+def test_skyline_2d_matches_brute_force(spark):
+    """The two-phase skyline must equal the quadratic dominance
+    definition, for every minimize/maximize combination, with
+    duplicates and co-linear points in the input."""
+    from end_end_data_pipeline__spark.operators.relational import skyline_2d
+
+    pts = [(1, 1.0), (1, 1.0), (2, 3.0), (3, 2.0), (3, 2.0), (2, 2.0),
+           (5, 0.5), (0, 9.0), (4, 2.0), (2, 7.0), (5, 0.5), (3, 9.0)]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(pts, 4), "x int, y double"
+    )
+    uniq = sorted(set(pts))
+
+    def dominates(p, q, mx, my):
+        bx = (lambda a, b: a <= b) if mx else (lambda a, b: a >= b)
+        by = (lambda a, b: a <= b) if my else (lambda a, b: a >= b)
+        return bx(p[0], q[0]) and by(p[1], q[1]) and p != q
+
+    for mx in (False, True):
+        for my in (False, True):
+            want = {
+                p for p in uniq
+                if not any(dominates(q, p, mx, my) for q in uniq)
+            }
+            got = {
+                (r["x"], r["y"])
+                for r in skyline_2d(df, "x", "y", mx, my).collect()
+            }
+            assert got == want, (mx, my, got, want)
+
+
+def test_pq_adc_matches_python_recomputation(spark):
+    """The ADC scan's literal-table lookups must equal a direct Python
+    recomputation of sum-of-subspace distances from the returned
+    codebooks and codes — and the codes must be valid centroid ids."""
+    import math
+
+    from end_end_data_pipeline__spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = lake.load_table(spark, "embeddings", SF_SMOKE)
+    m, k, dim, scale = 4, 4, 64, 1_000_000
+    codes, books = pq_encode(emb, m=m, k=k, dim=dim, iterations=2)
+    code_rows = {r["vec_id"]: [r[f"code_{s}"] for s in range(m)]
+                 for r in codes.collect()}
+    assert all(0 <= c < k for cs in code_rows.values() for c in cs)
+
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    w = dim // m
+    qq = [int(math.floor(x * scale)) for x in query]
+    tab = {
+        (s, cid): sum(
+            (a - b) * (a - b)
+            for a, b in zip(qq[s * w:(s + 1) * w], cvec)
+        )
+        for s, cent in books.items()
+        for cid, cvec in cent
+    }
+    want = {
+        vid: sum(tab[(s, cs[s])] for s in range(m))
+        for vid, cs in code_rows.items()
+    }
+    expected_top = sorted(want.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+    got = [(r["vec_id"], r["adc_dist"])
+           for r in pq_adc_topk(codes, books, query, k_top=10).collect()]
+    assert got == expected_top
