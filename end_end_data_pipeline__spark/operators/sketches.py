@@ -95,3 +95,76 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est")
     )
+
+
+def _bit_pos(key, j: int, n_bits: int):
+    """Bit position of ``key`` under hash ``j``: same md5-u32 recipe as
+    the CMS cells (row salt prepended), modulo ``n_bits``.  DuckDB
+    replica: ``('0x' || substr(md5(j || '|' || CAST(k AS VARCHAR)), 1,
+    8))::BIGINT % n_bits``."""
+    s = F.concat_ws("|", F.lit(str(j)), key.cast("string"))
+    u32 = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    return (u32 % n_bits).cast("int")
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, n_bits: int = 4096, n_hashes: int = 4
+) -> DataFrame:
+    """Bloom filter over ``key_col``: one row per SET bit position.
+
+    Sparse-set representation instead of a packed bitmap: at most
+    ``n_bits`` rows regardless of input size, built with one Generate
+    (explode of the k per-key positions) + one distinct whose partial
+    agg combines map-side.  Two filters with the same (n_bits,
+    n_hashes) MERGE by union+distinct — per-partition/per-day filters
+    compose without re-reading data, and the set survives a parquet
+    round-trip (unlike an in-memory bitmap).  NULL keys are skipped.
+    """
+    key = F.col(key_col)
+    positions = F.array(
+        *[_bit_pos(key, j, n_bits) for j in range(n_hashes)]
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(F.explode(positions).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Merge same-shape Bloom filters: union of set positions."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Membership verdict per probe key: member iff ALL ``n_hashes``
+    positions are set.  No false negatives by construction; false-
+    positive rate ~ (1 - e^(-kn/m))^k.
+
+    The probe re-derives its positions, broadcast-joins the (<= n_bits
+    row) filter, and counts hits — the explicit form of the bloom-prune
+    a 100 TB join wants on its big probe side before the shuffle.
+    Output: ``keys`` columns + boolean ``bloom_member``.
+    """
+    key = F.col(key_col)
+    positions = F.array(
+        *[_bit_pos(key, j, n_bits) for j in range(n_hashes)]
+    )
+    exploded = keys.select(key_col, F.explode(positions).alias("pos"))
+    marked = bloom.withColumn("__hit", F.lit(1))
+    return (
+        exploded.join(F.broadcast(marked), "pos", "left")
+        .groupBy(key_col)
+        .agg(
+            (F.count("__hit") == F.lit(n_hashes)).alias("bloom_member")
+        )
+    )

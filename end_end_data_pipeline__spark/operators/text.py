@@ -677,3 +677,60 @@ def bpe_token_stats(
             ).alias("chars_per_token"),
         )
     )
+
+
+def bigram_lm_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10**6,
+):
+    """Self-trained bigram language-model quality score per document —
+    the perplexity-proxy filter of LLM data curation (reference has no
+    analytics layer; this is north-star curation surface): train
+    bigram statistics on the WHOLE corpus, then score each document by
+    how predictable its word transitions are.  Atypical/garbled text
+    gets a low score; templated/common text a high one.
+
+    Determinism contract: no logs (perplexity's ``-Σ log p`` is
+    engine-ulp-unstable), so the score is the fixed-point conditional
+    probability itself — per bigram ``floor(scale * c(w1,w2) /
+    c(w1,·))`` in pure BIGINT arithmetic, summed and integer-averaged
+    per document.  Monotone in the geometric-mean-free LM quality and
+    bit-identical in any engine.  Overflow headroom: ``scale *
+    max_bigram_count < 2**63`` — the default 1e6 scale allows bigram
+    counts to ~9e12 (far past 100 TB of text for a single bigram).
+
+    Scale shape: explode to (doc, bigram) once; the MODEL is two
+    map-side-combinable hash aggs (bigram counts, then history counts
+    derived from the bigram table — never a second corpus pass); the
+    scoring join is a uniform string-key equi-join against the model,
+    then one hash agg per doc.  No windows, no driver state.
+    """
+    bg = df.select(
+        F.col(id_col), F.explode(word_bigrams(text_col)).alias("bg")
+    )
+    big = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_big"))
+    hist = big.groupBy(
+        F.substring_index("bg", " ", 1).alias("w1")
+    ).agg(F.sum("c_big").alias("c_hist"))
+    model = big.join(
+        hist, F.substring_index(big["bg"], " ", 1) == hist["w1"]
+    ).select(
+        "bg",
+        F.expr(f"CAST({scale} AS BIGINT) * c_big DIV c_hist").alias(
+            "cond_scaled"
+        ),
+    )
+    return (
+        bg.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cond_scaled").cast("long").alias("lm_sum_scaled"),
+        )
+        .withColumn(
+            "avg_cond_prob_scaled",
+            F.expr("lm_sum_scaled DIV n_bigrams"),
+        )
+    )

@@ -136,6 +136,8 @@ _PRIORITY: tuple[str, ...] = (
     "skyline_part_price_size",
     "sketch_countmin_user_counts",
     "embedding_pq_adc_topk",
+    "text_bigram_lm_quality",
+    "sketch_bloom_membership",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

@@ -2076,3 +2076,63 @@ def corpus_weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("sample_rank") <= 100)
         .select("sample_rank", "doc_id", "weight", "priority")
     )
+
+
+@register(
+    "text_bigram_lm_quality",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+            WHERE len({_TOKS}) >= 2
+        ),
+        pos AS (
+            SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+        ),
+        bgs AS (
+            SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg FROM pos
+        ),
+        big AS (
+            SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_big FROM bgs GROUP BY bg
+        ),
+        hist AS (
+            SELECT split_part(bg, ' ', 1) AS w1,
+                   CAST(SUM(c_big) AS BIGINT) AS c_hist
+            FROM big GROUP BY 1
+        ),
+        model AS (
+            SELECT bg,
+                   CAST((1000000 * c_big) // c_hist AS BIGINT) AS cond_scaled
+            FROM big JOIN hist ON split_part(big.bg, ' ', 1) = hist.w1
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(cond_scaled) AS BIGINT) AS lm_sum_scaled
+            FROM bgs JOIN model USING (bg)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, lm_sum_scaled,
+               CAST(lm_sum_scaled // n_bigrams AS BIGINT)
+                 AS avg_cond_prob_scaled
+        FROM scored
+        ORDER BY avg_cond_prob_scaled ASC, doc_id ASC
+        LIMIT 25
+    """,
+    survey_ids=("UD5", "A2", "O2"),
+)
+def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter: self-trained bigram LM over the
+    corpus, each document scored by the fixed-point average conditional
+    probability of its word transitions; returns the 25 LEAST
+    predictable documents — the curation pipeline's "inspect or drop"
+    list.  Log-free integer arithmetic end-to-end (see
+    ``text.bigram_lm_scores``) so the DuckDB oracle replays the model
+    bit-exactly; the final cut is a TakeOrderedAndProject, not a sort.
+    """
+    docs = lake.load_table(spark, "documents", sf_dir)
+    scored = text.bigram_lm_scores(docs, "text", "doc_id")
+    return (
+        scored.orderBy(F.col("avg_cond_prob_scaled").asc(), F.col("doc_id").asc())
+        .limit(25)
+        .select("doc_id", "n_bigrams", "lm_sum_scaled", "avg_cond_prob_scaled")
+    )

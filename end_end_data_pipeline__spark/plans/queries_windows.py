@@ -356,3 +356,96 @@ def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle="""
+        WITH bkeys AS (
+            SELECT DISTINCT o_custkey AS k FROM orders
+        ),
+        bits AS (
+            SELECT DISTINCT
+                   CAST(('0x' || substr(md5(CAST(d.j AS VARCHAR) || '|'
+                         || CAST(b.k AS VARCHAR)), 1, 8))::BIGINT
+                        % 4096 AS INTEGER) AS pos
+            FROM bkeys b
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS j) d
+        ),
+        ppos AS (
+            SELECT c.c_custkey AS k,
+                   CAST(('0x' || substr(md5(CAST(d.j AS VARCHAR) || '|'
+                         || CAST(c.c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                        % 4096 AS INTEGER) AS pos
+            FROM customer c
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS j) d
+        ),
+        verdict AS (
+            SELECT p.k, (COUNT(b.pos) = 4) AS bloom_member
+            FROM ppos p LEFT JOIN bits b USING (pos)
+            GROUP BY p.k
+        ),
+        joined AS (
+            SELECT v.k, v.bloom_member,
+                   (v.k IN (SELECT k FROM bkeys)) AS true_member
+            FROM verdict v
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+               CAST(SUM(CASE WHEN true_member THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_true_members,
+               CAST(SUM(CASE WHEN bloom_member THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bloom_positive,
+               CAST(SUM(CASE WHEN bloom_member AND NOT true_member
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+               CAST(SUM(CASE WHEN true_member AND NOT bloom_member
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative
+        FROM joined
+    """,
+    survey_ids=("A4", "F4", "J6"),
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (4096 bits x 4 hashes) built over the custkeys that
+    appear in orders, probed with EVERY customer, and audited against
+    the exact semi-join truth in one summary row: probe count, true
+    members, bloom positives, false positives, and false negatives
+    (zero by construction — the Bloom guarantee, hash-checked here).
+
+    Why it earns a sketch-family slot at 100 TB: the filter is <= n_bits
+    rows no matter the build input, built with one explode + map-side-
+    combinable distinct, MERGES by union (``sketches.bloom_merge``),
+    survives a parquet round-trip, and broadcast-prunes a huge probe
+    side BEFORE its shuffle — the explicit, persistable form of the
+    runtime bloom injection Spark already applies inside joins (which
+    tests/test_plans.py plan-asserts separately).  md5-u32 positions
+    make the DuckDB oracle replay the exact bit set."""
+    from end_end_data_pipeline__spark.operators import sketches
+
+    orders = lake.load_table(spark, "orders", sf_dir)
+    cust = lake.load_table(spark, "customer", sf_dir)
+    build = orders.select(F.col("o_custkey").alias("k"))
+    bloom = sketches.bloom_build(build, "k", n_bits=4096, n_hashes=4)
+    probe = cust.select(F.col("c_custkey").alias("k"))
+    verdict = sketches.bloom_probe(bloom, probe, "k", n_bits=4096, n_hashes=4)
+    truth = build.distinct().withColumn("__true", F.lit(1))
+    joined = verdict.join(truth, "k", "left").select(
+        "bloom_member", F.col("__true").isNotNull().alias("true_member")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(F.when(F.col("true_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_members"),
+        F.sum(F.when(F.col("bloom_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_positive"),
+        F.sum(
+            F.when(F.col("bloom_member") & ~F.col("true_member"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_positive"),
+        F.sum(
+            F.when(F.col("true_member") & ~F.col("bloom_member"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_negative"),
+    )

@@ -748,3 +748,70 @@ def test_pq_adc_matches_python_recomputation(spark):
     got = [(r["vec_id"], r["adc_dist"])
            for r in pq_adc_topk(codes, books, query, k_top=10).collect()]
     assert got == expected_top
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Bloom guarantee: every built key probes as a member (no false
+    negatives), absent keys mostly don't, and the union of two half
+    filters equals the filter of the whole."""
+    from end_end_data_pipeline__spark.operators import sketches
+
+    orders = lake.load_table(spark, "orders", SF_SMOKE)
+    build = orders.select(F.col("o_custkey").alias("k"))
+    bloom = sketches.bloom_build(build, "k", n_bits=2048, n_hashes=3)
+
+    members = sketches.bloom_probe(
+        bloom, build.distinct(), "k", n_bits=2048, n_hashes=3
+    ).collect()
+    assert members and all(r["bloom_member"] for r in members)
+
+    lo = sketches.bloom_build(
+        build.filter(F.col("k") % 2 == 0), "k", n_bits=2048, n_hashes=3
+    )
+    hi = sketches.bloom_build(
+        build.filter(F.col("k") % 2 == 1), "k", n_bits=2048, n_hashes=3
+    )
+    merged = sketches.bloom_merge(lo, hi)
+    assert {r["pos"] for r in merged.collect()} == {
+        r["pos"] for r in bloom.collect()
+    }
+
+    # keys far outside the build domain: FPR must be well under 50%
+    absent = spark.range(10**9, 10**9 + 200).select(F.col("id").alias("k"))
+    fp = (
+        sketches.bloom_probe(bloom, absent, "k", n_bits=2048, n_hashes=3)
+        .filter("bloom_member")
+        .count()
+    )
+    assert fp < 100
+
+
+def test_bigram_lm_scores_tiny_corpus_exact(spark):
+    """Hand-checked fixed-point LM arithmetic: corpus 'a b' x2 + 'a c'
+    gives P(b|a)=2/3, P(c|a)=1/3 — doc scores are the exact scaled
+    integers, no float drift."""
+    from end_end_data_pipeline__spark.operators.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(docs, scale=10**6).collect()
+    }
+    assert rows[1]["lm_sum_scaled"] == 666666
+    assert rows[1]["avg_cond_prob_scaled"] == 666666
+    assert rows[3]["lm_sum_scaled"] == 333333
+    assert rows[1]["n_bigrams"] == 1 and rows[3]["n_bigrams"] == 1
+
+
+def test_bigram_lm_single_token_docs_dropped(spark):
+    """Docs with <2 tokens have no bigrams and must be absent from the
+    scored frame (not scored 0 — undefined, mirrors the oracle)."""
+    from end_end_data_pipeline__spark.operators.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens here")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in bigram_lm_scores(docs).collect()}
+    assert got == {2}
