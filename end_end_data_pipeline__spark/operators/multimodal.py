@@ -739,3 +739,66 @@ def augment_images(
     return df.select(id_col, payload_col).mapInPandas(
         batches, f"{id_col} long, media binary"
     )
+
+
+def render_phash_image(c: int, v: int) -> bytes:
+    """Deterministic 9x8 grayscale-as-RGB test pattern for the
+    perceptual-hash fixtures: pixel (x, y) has value ``((c*7 + c*x*19 +
+    c*y*41 + x*x*37 + y*y*59 + x*y*23) % 256 + bump) % 256`` where
+    ``bump`` is 60 at (4, 3) iff ``v == 1`` (the planted near-dup
+    perturbation).  The c-cross terms matter: a c-only additive term
+    would shift every pixel by a constant, leave the gradient bits
+    identical across unrelated images, and blow up the banding join —
+    the same lattice trap as linear-congruential embeddings."""
+    out = bytearray()
+    for y in range(8):
+        for x in range(9):
+            g = (c * 7 + c * x * 19 + c * y * 41 + x * x * 37
+                 + y * y * 59 + x * y * 23) % 256
+            if v == 1 and x == 4 and y == 3:
+                g = (g + 60) % 256
+            out += bytes((g, g, g))
+    return bytes(out)
+
+
+def dhash_bands(media: DataFrame, media_col: str, id_col: str) -> DataFrame:
+    """64-bit difference-hash of each image, emitted as FOUR 16-bit
+    band values — the exact unit the pigeonhole near-dup join needs
+    (Hamming distance <= 3 between two hashes forces at least one of
+    the 4 bands to match exactly, so candidates come from a plain
+    equi-join on (band, val), never an all-pairs scan).
+
+    Decode runs through the REAL pure-stdlib codecs (PNG scanline
+    filters / BMP / PPM), then the hash is ``bit(x, y) = gray(x+1, y) >
+    gray(x, y)`` over the 9x8 grayscale — one Arrow batch per task, a
+    few hundred bytes per image, no resize needed at this fixture
+    geometry.  Band value = sum of ``bit << (x + 8*(y % 2))`` within
+    each 2-row stripe; 16-bit ints sidestep the BIGINT sign bit a
+    packed 64-bit hash would hit.  Output: (id, band int, val int).
+    """
+    import pandas as pd
+
+    def hash_batch(it):
+        for pdf in it:
+            ids, bands, vals = [], [], []
+            for doc, raw in zip(pdf[id_col], pdf[media_col]):
+                fmt, w, h, rgb = decode_image(bytes(raw))
+                if w != 9 or h != 8:
+                    raise ValueError(
+                        f"dhash_bands expects 9x8 images, got {w}x{h}"
+                    )
+                gray = rgb[0::3]
+                acc = [0, 0, 0, 0]
+                for y in range(8):
+                    for x in range(8):
+                        if gray[y * 9 + x + 1] > gray[y * 9 + x]:
+                            acc[y // 2] |= 1 << (x + 8 * (y % 2))
+                for b in range(4):
+                    ids.append(doc)
+                    bands.append(b)
+                    vals.append(acc[b])
+            yield pd.DataFrame({id_col: ids, "band": bands, "val": vals})
+
+    return media.mapInPandas(
+        hash_batch, f"{id_col} long, band int, val int"
+    )

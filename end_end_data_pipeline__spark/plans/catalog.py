@@ -138,6 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_pq_adc_topk",
     "text_bigram_lm_quality",
     "sketch_bloom_membership",
+    "multimodal_phash_neardup",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

@@ -2136,3 +2136,119 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("doc_id", "n_bigrams", "lm_sum_scaled", "avg_cond_prob_scaled")
     )
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS v FROM documents
+        ),
+        base AS (
+            SELECT doc_id, v,
+                   CASE WHEN v = 2 THEN grp + 1000003 ELSE grp END AS c
+            FROM d
+        ),
+        px AS (
+            SELECT doc_id, x.x AS x, y.y AS y,
+              ((c*7 + c*x.x*19 + c*y.y*41 + x.x*x.x*37 + y.y*y.y*59
+                + x.x*y.y*23) % 256
+               + CASE WHEN v = 1 AND x.x = 4 AND y.y = 3
+                      THEN 60 ELSE 0 END) % 256 AS g,
+              ((c*7 + c*(x.x+1)*19 + c*y.y*41 + (x.x+1)*(x.x+1)*37
+                + y.y*y.y*59 + (x.x+1)*y.y*23) % 256
+               + CASE WHEN v = 1 AND x.x + 1 = 4 AND y.y = 3
+                      THEN 60 ELSE 0 END) % 256 AS gn
+            FROM base,
+                 (SELECT unnest(range(0, 8)) AS x) x,
+                 (SELECT unnest(range(0, 8)) AS y) y
+        ),
+        bits AS (
+            SELECT doc_id, x, y, CASE WHEN gn > g THEN 1 ELSE 0 END AS bit
+            FROM px
+        ),
+        bands AS (
+            SELECT doc_id, y // 2 AS band,
+                   CAST(SUM(bit << (x + 8 * (y % 2))) AS INTEGER) AS val
+            FROM bits GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(bit_count(xor(x.val, y.val))) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN bands x ON x.doc_id = c.doc_a
+        JOIN bands y ON y.doc_id = c.doc_b AND y.band = x.band
+        GROUP BY 1, 2 HAVING hamming <= 3
+    """,
+    survey_ids=("UD8", "UD6", "J9", "UD1"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection by perceptual hash — the
+    multimodal twin of MinHash text dedup and a first-class LLM-data
+    curation op: every doc renders a deterministic 9x8 test pattern
+    (docs sharing ``doc_id DIV 3`` share content; variant 1 gets a
+    one-pixel bump = planted near-dup; variant 2 a disjoint pattern),
+    encodes through a REAL codec (PNG/BMP/PPM round-robin by variant),
+    decodes back, and dHashes into four 16-bit bands.
+
+    Scale shape: candidates come from the pigeonhole banding equi-join
+    (Hamming <= 3 forces a shared band — recall 100% by construction,
+    verified: all planted pairs surface), then exact Hamming via
+    ``bit_count(xor)`` only on candidates.  Python touches only the
+    codec+hash (Arrow-batched, ~300 B/image); banding, dedup, and
+    verification are JVM joins.  The oracle replays pixels, hash, and
+    bands in closed form, so any codec bug breaks the hash."""
+    import pandas as pd
+
+    docs = lake.load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(it):
+        encoders = (
+            multimodal.encode_png, multimodal.encode_bmp, multimodal.encode_ppm
+        )
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grp, v = d // 3, d % 3
+                c = grp + 1000003 if v == 2 else grp
+                payloads.append(
+                    encoders[v](9, 8, multimodal.render_phash_image(c, v))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, media binary")
+    bands = multimodal.dhash_bands(media, "media", "doc_id")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.band") == F.col("x.band")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.bit_count(F.col("x.val").bitwiseXOR(F.col("y.val"))))
+            .cast("long")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= 3)
+    )

@@ -37,10 +37,21 @@ def main() -> None:
         for sid in q.survey_ids:
             by_id[sid].append(f"`{name}` {mark}")
 
+    n_total = len(load_all())
+    n_rows_only = sum(1 for q in load_all().values() if q.oracle is None)
+    status = (
+        f"As of round 6 the ○ class is EMPTY — all {n_total} catalog "
+        "queries are oracle-backed (the last two rows-only entries, "
+        "`maintenance_truncate_reset` and `banking_generator_fanout`, "
+        "gained oracles via the truncate contract and a pinned checksum "
+        "summary)."
+        if n_rows_only == 0
+        else f"{n_rows_only} of {n_total} catalog queries are rows-only (○)."
+    )
     lines = [HEADER, "", (
         "Legend: ✓ = DuckDB-oracle hash parity; ○ = rows-only driver check "
         "(plus pytest)."
-    ), (
+    ), status, (
         "Connectors S1/S4/S6/S7 additionally have construction tests in "
         "tests/test_connectors.py."
     ), "", "| §2 id | queries |", "|---|---|"]

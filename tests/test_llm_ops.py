@@ -815,3 +815,36 @@ def test_bigram_lm_single_token_docs_dropped(spark):
     )
     got = {r["doc_id"] for r in bigram_lm_scores(docs).collect()}
     assert got == {2}
+
+
+def test_phash_neardup_finds_planted_pairs(spark):
+    """Every planted near-dup pair (doc 3k vs 3k+1: same pattern, one
+    bumped pixel, different real codecs) must surface with Hamming <= 2,
+    and no pair may straddle content groups UNLESS its hashes genuinely
+    collide (hamming is always <= 3 by the filter)."""
+    from end_end_data_pipeline__spark.plans import queries_llm
+
+    got = queries_llm.multimodal_phash_neardup(spark, SF_SMOKE).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in got}
+
+    n_docs = lake.load_table(spark, "documents", SF_SMOKE).count()
+    planted = [(3 * k, 3 * k + 1) for k in range((n_docs - 1) // 3 + 1)
+               if 3 * k + 1 < n_docs]
+    for p in planted:
+        assert p in pairs, f"planted near-dup {p} missed"
+        assert pairs[p] <= 2
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_dhash_bands_rejects_wrong_geometry(spark):
+    """The band packer is specified for 9x8 — a different geometry must
+    refuse rather than emit a silently different hash."""
+    import pandas as pd
+    from end_end_data_pipeline__spark.operators import multimodal
+
+    raw = multimodal.encode_ppm(4, 4, bytes(48))
+    media = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "media": [raw]})
+    )
+    with pytest.raises(Exception, match="9x8"):
+        multimodal.dhash_bands(media, "media", "doc_id").collect()
