@@ -168,3 +168,114 @@ def bloom_probe(
             (F.count("__hit") == F.lit(n_hashes)).alias("bloom_member")
         )
     )
+
+
+# --- HyperLogLog (p=8, m=256 registers), integer-exact estimation ----------
+#
+# The estimate pipeline is pure BIGINT arithmetic so DuckDB replays it
+# bit-for-bit: the harmonic sum uses S_int = sum_j 2^(25 - M_j) (an
+# integer - every term a power of two), the bias constant alpha_256 =
+# 0.7213/(1 + 1.079/256) is carried as the exact rational
+# 923264/1285395 multiplied through, and the small-range linear-
+# counting correction m*ln(m/V) comes from a 255-entry precomputed
+# integer table (scaled 1e6) inlined in BOTH engines - a lookup, not a
+# runtime transcendental (ln is engine-ulp-unstable, the repo-wide
+# determinism rule).
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256
+_HLL_WBITS = 32 - _HLL_P  # 24 hash bits feed the rank
+# numerator of alpha_m * m^2 * 2^WBITS+1 ... kept as one literal:
+# 923264 * 65536 * 2^25  (fits in int64: ~2.03e18)
+_HLL_NUM = 923264 * (_HLL_M * _HLL_M) * (1 << (_HLL_WBITS + 1))
+_HLL_DEN = 1285395
+_HLL_SMALL = 5 * _HLL_M // 2  # 2.5 m - the linear-counting regime bound
+
+import math as _math
+
+# ln-table[v] = round(1e6 * ln(256 / v)) for v in 1..255 (v = count of
+# zero registers).  Generated once; inlined into the DuckDB oracle via
+# hll_ln_table_sql().
+_HLL_LN_TABLE = tuple(
+    int(round(1_000_000 * _math.log(_HLL_M / v))) for v in range(1, _HLL_M)
+)
+
+
+def hll_ln_table_sql() -> str:
+    """The linear-counting table as a DuckDB list literal (1-based)."""
+    return "[" + ", ".join(str(v) for v in _HLL_LN_TABLE) + "]"
+
+
+def hll_build(df: DataFrame, key_col: str, *group_cols: str) -> DataFrame:
+    """HLL registers over ``key_col``, optionally per group: one row
+    per (group, idx) with the max rank.  idx = md5-u32 % 256; rank =
+    25 - floor_log2(remaining 24 bits) (25 when they are all zero),
+    computed via the length of the leading-zero-trimmed binary string
+    - exact on integers in any engine.  One hash agg, map-side
+    combinable to <= m rows per group per task; NULL keys skipped."""
+    key = F.col(key_col)
+    u32 = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = (u32 / F.lit(_HLL_M)).cast("long")  # u32 DIV 256
+    rank = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.conv(w, 10, 2))
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(
+            *group_cols,
+            (u32 % _HLL_M).cast("int").alias("idx"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rank").alias("m"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge same-shape register sets: per-register MAX — per-day or
+    per-partition sketches compose without re-reading data."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    non_m = [c for c in out.columns if c != "m"]
+    return out.groupBy(*non_m).agg(F.max("m").alias("m"))
+
+
+def hll_estimate(registers: DataFrame, *group_cols: str) -> DataFrame:
+    """Integer-exact cardinality estimate per group from the register
+    rows: raw = alpha*m^2 / sum 2^-M_j carried as ``NUM DIV (DEN *
+    S_int)``; when V zero-registers exist and raw <= 2.5m, the
+    small-range linear-counting correction ``m * ln(m/V)`` applies via
+    the precomputed integer table.  Output: group cols +
+    ``hll_estimate`` (BIGINT) + ``n_zero_registers``."""
+    wb = _HLL_WBITS + 1
+    agg = registers.groupBy(*group_cols).agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {wb} - m)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << wb).cast("long")
+        ).alias("s_int"),
+        (
+            F.lit(_HLL_M)
+            - F.count(F.lit(1))
+            + F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("n_zero_registers"),
+    )
+    raw = F.expr(f"CAST({_HLL_NUM} AS BIGINT) DIV ({_HLL_DEN} * s_int)")
+    lc = F.expr(
+        f"CAST({_HLL_M} AS BIGINT) * element_at("
+        + "array("
+        + ", ".join(f"CAST({v} AS BIGINT)" for v in _HLL_LN_TABLE)
+        + "), CAST(n_zero_registers AS INT)) DIV 1000000"
+    )
+    est = F.when(
+        (F.col("n_zero_registers") > 0) & (raw <= F.lit(_HLL_SMALL)), lc
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        est.cast("long").alias("hll_estimate"),
+        "n_zero_registers",
+    )

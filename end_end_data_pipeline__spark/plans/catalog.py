@@ -139,6 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bigram_lm_quality",
     "sketch_bloom_membership",
     "multimodal_phash_neardup",
+    "sketch_hll_distinct_by_type",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

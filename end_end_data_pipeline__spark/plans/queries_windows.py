@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from end_end_data_pipeline__spark.operators import relational as R
+from end_end_data_pipeline__spark.operators import sketches
 from end_end_data_pipeline__spark.plans.catalog import register
 from end_end_data_pipeline__spark.sources import lake
 
@@ -448,4 +449,90 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_false_negative"),
+    )
+
+
+@register(
+    "sketch_hll_distinct_by_type",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                     AS u32
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        r AS (
+            SELECT event_type, u32 % 256 AS idx,
+                   CASE WHEN u32 // 256 = 0 THEN 25
+                        ELSE 25 - length(ltrim(bin(u32 // 256), '0')) END AS rank
+            FROM h
+        ),
+        regs AS (
+            SELECT event_type, idx, MAX(rank) AS m FROM r GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(1 AS BIGINT) << (25 - m))
+                        + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 25)
+                        AS BIGINT) AS s_int,
+                   CAST(256 - COUNT(*)
+                        + SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero_registers
+            FROM regs GROUP BY 1
+        ),
+        est AS (
+            SELECT event_type, n_zero_registers,
+                   CASE WHEN n_zero_registers > 0
+                         AND {sketches._HLL_NUM} // (1285395 * s_int) <= 640
+                        THEN 256 * {sketches.hll_ln_table_sql()}
+                               [CAST(n_zero_registers AS INT)] // 1000000
+                        ELSE {sketches._HLL_NUM} // (1285395 * s_int)
+                   END AS hll_estimate
+            FROM s
+        ),
+        exact AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type, e.n_exact,
+               CAST(x.hll_estimate AS BIGINT) AS hll_estimate,
+               x.n_zero_registers,
+               CAST(abs(x.hll_estimate - e.n_exact) * 1000000 // e.n_exact
+                    AS BIGINT) AS rel_error_ppm
+        FROM exact e JOIN est x USING (event_type)
+    """,
+    survey_ids=("A4", "F4", "A10"),
+)
+def sketch_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit HyperLogLog registers (p=8, m=256) per event type, with
+    the estimate audited against the exact distinct count — completing
+    the mergeable-sketch triad (CMS frequency / Bloom membership / HLL
+    cardinality).  Unlike ``approx_count_distinct`` (Spark's internal
+    HLL++, estimate-only), the REGISTERS are first-class rows: they
+    persist to parquet, merge by per-register MAX
+    (``sketches.hll_merge``, exercised in tests), and the whole
+    estimate — bias constant as the exact rational 923264/1285395
+    multiplied through, harmonic sum as an integer sum of powers of
+    two, small-range linear counting from a precomputed integer ln
+    table — is BIGINT arithmetic end-to-end, so the DuckDB oracle
+    replays it bit-for-bit.  Build is one map-side-combinable hash agg
+    capped at m rows per group per task: the 100 TB shape for
+    incremental distinct-count rollups."""
+    from end_end_data_pipeline__spark.operators import sketches
+
+    events = lake.load_table(spark, "events", sf_dir)
+    regs = sketches.hll_build(events, "user_id", "event_type")
+    est = sketches.hll_estimate(regs, "event_type")
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        "hll_estimate",
+        "n_zero_registers",
+        F.expr(
+            "CAST(abs(hll_estimate - n_exact) * 1000000 DIV n_exact AS BIGINT)"
+        ).alias("rel_error_ppm"),
     )

@@ -848,3 +848,32 @@ def test_dhash_bands_rejects_wrong_geometry(spark):
     )
     with pytest.raises(Exception, match="9x8"):
         multimodal.dhash_bands(media, "media", "doc_id").collect()
+
+
+def test_hll_merge_and_both_estimate_branches(spark):
+    """HLL registers must merge by per-register MAX (halves == whole),
+    the small-range linear-counting branch must be accurate on the
+    fixture cardinality, and the raw-HLL branch (many distinct keys)
+    must land within the ~3x sigma of 1.04/sqrt(256)."""
+    from end_end_data_pipeline__spark.operators import sketches
+
+    events = lake.load_table(spark, "events", SF_SMOKE)
+    whole = sketches.hll_build(events, "user_id")
+    lo = sketches.hll_build(events.filter(F.col("event_id") % 2 == 0), "user_id")
+    hi = sketches.hll_build(events.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = sketches.hll_merge(lo, hi)
+    assert {(r["idx"], r["m"]) for r in merged.collect()} == {
+        (r["idx"], r["m"]) for r in whole.collect()
+    }
+
+    # linear-counting branch: fixture has few distinct users
+    exact = events.select("user_id").distinct().count()
+    est = sketches.hll_estimate(whole).collect()[0]
+    assert est["n_zero_registers"] > 0
+    assert abs(est["hll_estimate"] - exact) <= max(3, exact // 5)
+
+    # raw branch: 50k distinct keys >> 2.5m
+    big = spark.range(50_000).select(F.col("id").alias("k"))
+    regs = sketches.hll_build(big, "k")
+    est2 = sketches.hll_estimate(regs).collect()[0]
+    assert abs(est2["hll_estimate"] - 50_000) < 50_000 * 0.2
