@@ -343,3 +343,69 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def cheapest_paths_khop(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    undirected: bool = True,
+) -> DataFrame:
+    """Hop-bounded cheapest paths (weighted BFS / k rounds of
+    Bellman-Ford relaxation) from a SET of source nodes: for every
+    node reachable within ``k`` hops, the minimum total edge weight
+    over all paths of at most ``k`` edges.
+
+    The weighted complement of ``bfs_hops`` — weights must be
+    non-negative INTEGERS (the repo determinism contract: min/+ over
+    BIGINT is bit-identical in any engine; float costs would tie-break
+    engine-specifically).  Per round: relax the FULL current estimate
+    frame against the edge list and fold with min — k is small and
+    user-chosen, so the oracle can unroll the same k rounds exactly;
+    unlike BFS there is no early frontier shrink (a longer path found
+    earlier may be undercut later), which is why hop-bounding, not
+    convergence, is the contract.
+
+    Scale: each round is one equi-join on node id + one map-side-
+    combinable min-agg; ``localCheckpoint`` truncates lineage so round
+    r doesn't replay rounds 0..r-1.  ``sources`` must have a ``node``
+    column; output is (node, cost) with cost BIGINT.
+    """
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    if undirected:
+        e = e.unionByName(
+            edges.select(
+                F.col(dst).alias("a"), F.col(src).alias("b"),
+                F.col(weight).cast("long").alias("w"),
+            )
+        )
+    e = (
+        e.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep cheapest
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(k):
+        relaxed = (
+            dist.join(e, dist["node"] == e["a"])
+            .select(F.col("b").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -2068,6 +2068,7 @@ def _pq_oracle(m: int = 4, k: int = 4, dim: int = 64, scale: int = 1_000_000) ->
     "embedding_pq_adc_topk",
     oracle=_pq_oracle(),
     survey_ids=("UD7", "J9", "F13"),
+    bench=True,
 )
 def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011): 4 subspaces x 4

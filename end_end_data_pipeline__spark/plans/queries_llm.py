@@ -2119,6 +2119,7 @@ def corpus_weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFra
         LIMIT 25
     """,
     survey_ids=("UD5", "A2", "O2"),
+    bench=True,
 )
 def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality filter: self-trained bigram LM over the
@@ -2185,6 +2186,7 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2 HAVING hamming <= 3
     """,
     survey_ids=("UD8", "UD6", "J9", "UD1"),
+    bench=True,
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate IMAGE detection by perceptual hash — the

@@ -1569,3 +1569,84 @@ def federated_jdbc_parquet_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("c_acctbal", "total_acctbal"),
         )
     )
+
+
+@register(
+    "graph_cheapest_transfer_4hop",
+    oracle="""
+        WITH edges0 AS (
+            SELECT o_custkey AS a,
+                   (o_orderkey % (SELECT MAX(c_custkey) FROM customer)) + 1 AS b,
+                   CAST(o_orderkey % 97 + 1 AS BIGINT) AS w
+            FROM orders WHERE o_orderkey % 23 = 0
+        ),
+        sym AS (
+            SELECT a, b, w FROM edges0 UNION ALL SELECT b, a, w FROM edges0
+        ),
+        e AS (SELECT a, b, MIN(w) AS w FROM sym GROUP BY 1, 2),
+        d0 AS (
+            SELECT DISTINCT c_custkey AS node, CAST(0 AS BIGINT) AS cost
+            FROM customer WHERE c_custkey % 500 = 1
+        ),
+        r1 AS (
+            SELECT node, MIN(cost) AS cost FROM (
+                SELECT node, cost FROM d0
+                UNION ALL
+                SELECT e.b AS node, d0.cost + e.w AS cost
+                FROM d0 JOIN e ON d0.node = e.a
+            ) GROUP BY node
+        ),
+        r2 AS (
+            SELECT node, MIN(cost) AS cost FROM (
+                SELECT node, cost FROM r1
+                UNION ALL
+                SELECT e.b AS node, r1.cost + e.w AS cost
+                FROM r1 JOIN e ON r1.node = e.a
+            ) GROUP BY node
+        ),
+        r3 AS (
+            SELECT node, MIN(cost) AS cost FROM (
+                SELECT node, cost FROM r2
+                UNION ALL
+                SELECT e.b AS node, r2.cost + e.w AS cost
+                FROM r2 JOIN e ON r2.node = e.a
+            ) GROUP BY node
+        ),
+        r4 AS (
+            SELECT node, MIN(cost) AS cost FROM (
+                SELECT node, cost FROM r3
+                UNION ALL
+                SELECT e.b AS node, r3.cost + e.w AS cost
+                FROM r3 JOIN e ON r3.node = e.a
+            ) GROUP BY node
+        )
+        SELECT node, cost FROM r4
+    """,
+    survey_ids=("J3", "A3"),
+)
+def graph_cheapest_transfer_4hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded CHEAPEST paths over the weighted transfer network
+    (the weighted complement of ``graph_bfs_transfer_hops``): from the
+    seed accounts (every 500th customer), the minimum total transfer
+    cost reachable within 4 hops — k rounds of Bellman-Ford
+    relaxation (``operators/graph.cheapest_paths_khop``), each round
+    one node-id equi-join + one map-side-combinable min-agg, lineage
+    truncated per round.  Integer weights keep min/+ bit-identical
+    across engines, so the DuckDB oracle simply unrolls the SAME four
+    relaxation rounds and must hash-match.  Hop-bounding (not
+    convergence) is the contract: it is what makes the oracle exactly
+    replayable and what bounds the job DAG at scale."""
+    from end_end_data_pipeline__spark.operators.graph import cheapest_paths_khop
+
+    orders = lake.load_table(spark, "orders", sf_dir)
+    customer = lake.load_table(spark, "customer", sf_dir)
+    max_cust = customer.agg(F.max("c_custkey")).collect()[0][0]
+    edges = orders.filter(F.col("o_orderkey") % 23 == 0).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % F.lit(max_cust) + 1).alias("dst"),
+        (F.col("o_orderkey") % 97 + 1).alias("w"),
+    )
+    sources = customer.filter(F.col("c_custkey") % 500 == 1).select(
+        F.col("c_custkey").alias("node")
+    )
+    return cheapest_paths_khop(edges, sources, k=4)

@@ -511,3 +511,25 @@ def test_grouped_global_rank_high_cardinality_fallback(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "__pid" not in plan
     assert "window" in plan.lower()
+
+
+def test_cheapest_paths_khop_prefers_cheaper_long_path(spark):
+    """Weighted relaxation semantics: a 2-hop cost-2 path must undercut
+    a direct cost-10 edge; a node 3 hops out must be absent at k=2 and
+    appear at k=3; parallel edges keep the cheapest."""
+    from end_end_data_pipeline__spark.operators.graph import cheapest_paths_khop
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 2, 1), (2, 4, 5), (1, 3, 7)],
+        "src long, dst long, w long",
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+
+    d2 = {r["node"]: r["cost"]
+          for r in cheapest_paths_khop(edges, sources, k=2, undirected=False).collect()}
+    # 1->3->2 = 2 beats direct 10; 4 only via the expensive edge at k=2
+    assert d2 == {1: 0, 2: 2, 3: 1, 4: 15}
+
+    d3 = {r["node"]: r["cost"]
+          for r in cheapest_paths_khop(edges, sources, k=3, undirected=False).collect()}
+    assert d3[4] == 7  # 1->3->2->4
