@@ -141,6 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_phash_neardup",
     "sketch_hll_distinct_by_type",
     "graph_cheapest_transfer_4hop",
+    "stats_bootstrap_ci_order_value",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

@@ -1195,3 +1195,122 @@ def robust_iqr_fence_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
+
+
+# Poisson(1) inverse-CDF cutoffs as exact u32 integers: w = k iff
+# u32 < _POIS_CUTS[k] (first match), else 7.  Precomputed from the pmf
+# once; inlined into BOTH engines so the bootstrap weights are a pure
+# function of (o_orderkey, replica) — no RNG, no float thresholds.
+_POIS_CUTS = (1580030168, 3160060337, 3950075421, 4213413783,
+              4279248373, 4292415291, 4294609777)
+_B_REPS = 32
+
+
+def _pois_w_sql(u32_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u32_expr} < {c} THEN {k}" for k, c in enumerate(_POIS_CUTS)
+    )
+    return f"(CASE {branches} ELSE 7 END)"
+
+
+@register(
+    "stats_bootstrap_ci_order_value",
+    oracle=f"""
+        WITH xc AS (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT)
+                     AS xc
+            FROM orders
+        ),
+        expl AS (
+            SELECT o_orderkey, xc, unnest(range(0, {_B_REPS})) AS b FROM xc
+        ),
+        wtd AS (
+            SELECT b, xc,
+                   {_pois_w_sql("('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) "
+                                "|| '|' || CAST(b AS VARCHAR)), 1, 8))::BIGINT")}
+                     AS w
+            FROM expl
+        ),
+        reps AS (
+            SELECT b,
+                   CAST(SUM(w * xc) AS BIGINT) AS sum_wx,
+                   CAST(SUM(w) AS BIGINT) AS sum_w,
+                   CAST(SUM(xc) AS BIGINT) AS sum_x,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM wtd GROUP BY b
+        ),
+        ranked AS (
+            SELECT sum_wx // sum_w AS m, sum_x, cnt,
+                   row_number() OVER (ORDER BY sum_wx // sum_w, b) AS r
+            FROM reps
+        )
+        SELECT CAST(MAX(cnt) AS BIGINT) AS n_orders,
+               CAST({_B_REPS} AS BIGINT) AS n_replicas,
+               CAST(MAX(sum_x) // MAX(cnt) AS BIGINT) AS mean_cents,
+               CAST(MAX(CASE WHEN r = 2 THEN m END) AS BIGINT) AS ci_lo_cents,
+               CAST(MAX(CASE WHEN r = {_B_REPS - 1} THEN m END) AS BIGINT)
+                 AS ci_hi_cents
+        FROM ranked
+    """,
+    survey_ids=("A1", "F4", "F9"),
+)
+def stats_bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value —
+    THE distributed bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012): instead of resampling the
+    data B times, each row gets a deterministic Poisson(1) weight per
+    replica, so all 32 replica means come out of ONE pass — an explode
+    to (row, b) and a 32-group map-side-combinable sum, no data
+    duplication, no shuffle of the input.
+
+    Everything is integer: order values as exact cents, weights from
+    md5-u32 against precomputed inverse-CDF cutoffs (no RNG, no float
+    thresholds), replica means by BIGINT division, and the ~93.75% CI
+    as the rank-2 / rank-31 replica means (exact order statistics of
+    32 rows).  The DuckDB oracle replays every step bit-for-bit."""
+    orders = lake.load_table(spark, "orders", sf_dir)
+    xc = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+        .cast("bigint")
+        .alias("xc"),
+    )
+    expl = xc.select(
+        "o_orderkey", "xc", F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("b")
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("o_orderkey").cast("string"),
+                              F.col("b").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    w = F.lit(7)
+    for k in range(len(_POIS_CUTS) - 1, -1, -1):
+        w = F.when(u32 < _POIS_CUTS[k], F.lit(k)).otherwise(w)
+    wtd = expl.select("b", "xc", w.alias("w"))
+    reps = wtd.groupBy("b").agg(
+        F.sum(F.col("w").cast("long") * F.col("xc")).cast("long").alias("sum_wx"),
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum("xc").cast("long").alias("sum_x"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    ranked = reps.select(
+        F.expr("sum_wx DIV sum_w").alias("m"),
+        "sum_x",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.expr("sum_wx DIV sum_w"), "b"))
+        .alias("r"),
+    )
+    return ranked.agg(
+        F.max("cnt").cast("long").alias("n_orders"),
+        F.lit(_B_REPS).cast("long").alias("n_replicas"),
+        F.expr("CAST(MAX(sum_x) DIV MAX(cnt) AS BIGINT)").alias("mean_cents"),
+        F.max(F.when(F.col("r") == 2, F.col("m"))).cast("long").alias("ci_lo_cents"),
+        F.max(F.when(F.col("r") == _B_REPS - 1, F.col("m")))
+        .cast("long")
+        .alias("ci_hi_cents"),
+    )

@@ -319,3 +319,20 @@ def test_iqr_fence_vs_python(spark):
         assert r["upper_fence"] == pytest.approx(fence / 100.0, abs=1e-9)
         assert r["n_outliers"] == sum(1 for x in xs if x > fence)
         assert r["q1_value"] <= r["q3_value"] <= r["upper_fence"]
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    """The Poisson-bootstrap CI must bracket the exact mean, and the
+    whole result must be a pure function of the data (identical on
+    re-run — hash-derived weights, no RNG)."""
+    from end_end_data_pipeline__spark.plans.queries_stats import (
+        stats_bootstrap_ci_order_value,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r1 = stats_bootstrap_ci_order_value(spark, SF_SMOKE).collect()[0]
+    r2 = stats_bootstrap_ci_order_value(spark, SF_SMOKE).collect()[0]
+    assert r1 == r2
+    assert r1["ci_lo_cents"] <= r1["mean_cents"] <= r1["ci_hi_cents"]
+    # the interval is meaningfully tight at n ~ 1.5k (sigma/sqrt(n))
+    assert (r1["ci_hi_cents"] - r1["ci_lo_cents"]) < r1["mean_cents"]
