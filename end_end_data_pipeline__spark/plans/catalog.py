@@ -142,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_hll_distinct_by_type",
     "graph_cheapest_transfer_4hop",
     "stats_bootstrap_ci_order_value",
+    "sketch_hll_rolling_distinct",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

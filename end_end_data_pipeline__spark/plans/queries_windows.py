@@ -536,3 +536,154 @@ def sketch_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(abs(hll_estimate - n_exact) * 1000000 DIV n_exact AS BIGINT)"
         ).alias("rel_error_ppm"),
     )
+
+
+def _hll_est_case(s_int: str, n_zero: str) -> str:
+    """The integer HLL estimate as a DuckDB CASE over precomputed
+    fragments — ONE definition shared by both HLL queries so the
+    estimate arithmetic can never fork."""
+    raw = f"{sketches._HLL_NUM} // ({sketches._HLL_DEN} * {s_int})"
+    lc = (
+        f"256 * {sketches.hll_ln_table_sql()}[CAST({n_zero} AS INT)] // 1000000"
+    )
+    return (
+        f"CASE WHEN {n_zero} > 0 AND {raw} <= 640 THEN {lc} ELSE {raw} END"
+    )
+
+
+@register(
+    "sketch_hll_rolling_distinct",
+    oracle=f"""
+        WITH ev AS (
+            SELECT CAST(ts AS DATE) AS day, user_id FROM events
+            WHERE user_id IS NOT NULL
+        ),
+        daily AS (
+            SELECT day,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 256 AS idx,
+                   MAX(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                  1, 8))::BIGINT // 256 = 0 THEN 25
+                        ELSE 25 - length(ltrim(bin(('0x' ||
+                             substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                             // 256), '0')) END) AS m
+            FROM ev GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT d.day, datediff('day', DATE '1990-01-01', d.day) AS daynum,
+                   i.idx
+            FROM (SELECT DISTINCT day FROM ev) d,
+                 (SELECT unnest(range(0, 256)) AS idx) i
+        ),
+        rolled AS (
+            SELECT g.day, g.idx,
+                   MAX(dl.m) OVER (
+                       PARTITION BY g.idx ORDER BY g.daynum
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS m
+            FROM grid g LEFT JOIN daily dl
+              ON dl.day = g.day AND dl.idx = g.idx
+        ),
+        s AS (
+            SELECT day,
+                   CAST(SUM(CAST(1 AS BIGINT) << (25 - m))
+                        + (256 - COUNT(m)) * (CAST(1 AS BIGINT) << 25)
+                        AS BIGINT) AS s_int,
+                   CAST(256 - COUNT(m)
+                        + SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero
+            FROM rolled GROUP BY day
+        ),
+        est AS (
+            SELECT day, n_zero AS n_zero_registers,
+                   {_hll_est_case("s_int", "n_zero")} AS hll_estimate
+            FROM s
+        ),
+        pairs AS (SELECT DISTINCT day, user_id FROM ev),
+        fan AS (
+            SELECT day + (i.i * INTERVAL 1 DAY) AS tgt, user_id
+            FROM pairs, (SELECT unnest(range(0, 7)) AS i) i
+        ),
+        exact AS (
+            SELECT d.day, CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_exact
+            FROM (SELECT DISTINCT day FROM ev) d
+            JOIN fan f ON f.tgt = d.day
+            GROUP BY d.day
+        )
+        SELECT strftime(e.day, '%Y-%m-%d') AS day, e.n_exact,
+               CAST(x.hll_estimate AS BIGINT) AS hll_estimate,
+               x.n_zero_registers,
+               CAST(abs(x.hll_estimate - e.n_exact) * 1000000 // e.n_exact
+                    AS BIGINT) AS rel_error_ppm
+        FROM exact e JOIN est x USING (day)
+    """,
+    survey_ids=("A4", "A6", "A10", "W4"),
+)
+def sketch_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day WITHOUT re-deduplicating 7
+    days of raw events per output day — the payoff of first-class HLL
+    registers: build DAILY register rows once (one scan), then the
+    rolling merge is a per-register MAX over a 6-day range window on
+    the (days x 256) sketch grid — work proportional to days x m, not
+    to data.  At 100 TB this turns an O(days x window-span) re-scan
+    into one scan plus window algebra over a few KB of sketch rows per
+    day; the same register rows persist and compose into any other
+    window (weekly, monthly) for free.  Audited per day against the
+    exact rolling distinct (7-way fan-out of distinct (day, user)
+    pairs); estimates are the integer HLL pipeline, bit-replayed by
+    the oracle."""
+    from end_end_data_pipeline__spark.operators import sketches as sk
+
+    events = lake.load_table(spark, "events", sf_dir)
+    ev = events.filter(F.col("user_id").isNotNull()).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = sk.hll_build(ev, "user_id", "day")
+    days = ev.select("day").distinct()
+    grid = days.select(
+        "day",
+        F.datediff("day", F.lit("1990-01-01").cast("date")).alias("daynum"),
+        F.explode(F.sequence(F.lit(0), F.lit(255))).alias("idx"),
+    )
+    rolled = (
+        grid.join(daily, ["day", "idx"], "left")
+        .select(
+            "day",
+            "idx",
+            F.max("m")
+            .over(
+                Window.partitionBy("idx")
+                .orderBy("daynum")
+                .rangeBetween(-6, 0)
+            )
+            .alias("m"),
+        )
+        .filter(F.col("m").isNotNull())
+    )
+    est = sk.hll_estimate(rolled, "day")
+    pairs = ev.distinct()
+    fan = (
+        pairs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "day",
+            "user_id",
+        )
+        .select(F.expr("date_add(day, i)").alias("tgt"), "user_id")
+        .join(days.select(F.col("day").alias("tgt")), "tgt")
+    )
+    exact = fan.groupBy("tgt").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    ex, es = exact.alias("ex"), est.alias("es")
+    return (
+        ex.join(es, F.col("ex.tgt") == F.col("es.day"))
+        .select(
+            F.date_format(F.col("es.day"), "yyyy-MM-dd").alias("day"),
+            "n_exact",
+            "hll_estimate",
+            "n_zero_registers",
+            F.expr(
+                "CAST(abs(hll_estimate - n_exact) * 1000000 DIV n_exact AS BIGINT)"
+            ).alias("rel_error_ppm"),
+        )
+    )

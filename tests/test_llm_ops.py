@@ -877,3 +877,38 @@ def test_hll_merge_and_both_estimate_branches(spark):
     regs = sketches.hll_build(big, "k")
     est2 = sketches.hll_estimate(regs).collect()[0]
     assert abs(est2["hll_estimate"] - 50_000) < 50_000 * 0.2
+
+
+def test_hll_rolling_equals_direct_seven_day_build(spark):
+    """Register algebra over time: the rolling 7-day merge at the last
+    fixture day must equal hll_build run directly on that day's
+    trailing 7-day event slice — the property that makes daily sketch
+    rows reusable for any window."""
+    from end_end_data_pipeline__spark.operators import sketches
+
+    events = lake.load_table(spark, "events", SF_SMOKE).filter(
+        F.col("user_id").isNotNull()
+    )
+    ev = events.select(F.to_date("ts").alias("day"), "user_id")
+    last = ev.agg(F.max("day")).collect()[0][0]
+
+    direct = sketches.hll_build(
+        ev.filter(
+            (F.col("day") <= F.lit(last))
+            & (F.col("day") >= F.date_sub(F.lit(last), 6))
+        ),
+        "user_id",
+    )
+
+    daily = sketches.hll_build(ev, "user_id", "day")
+    rolled = (
+        daily.filter(
+            (F.col("day") <= F.lit(last))
+            & (F.col("day") >= F.date_sub(F.lit(last), 6))
+        )
+        .groupBy("idx")
+        .agg(F.max("m").alias("m"))
+    )
+    assert {(r["idx"], r["m"]) for r in rolled.collect()} == {
+        (r["idx"], r["m"]) for r in direct.collect()
+    }
