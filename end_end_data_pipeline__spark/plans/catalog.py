@@ -143,6 +143,8 @@ _PRIORITY: tuple[str, ...] = (
     "graph_cheapest_transfer_4hop",
     "stats_bootstrap_ci_order_value",
     "sketch_hll_rolling_distinct",
+    "stats_ks_two_sample",
+    "corpus_per_source_sample",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

@@ -2254,3 +2254,59 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
+
+
+@register(
+    "corpus_per_source_sample",
+    oracle="""
+        WITH pr AS (
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+                   CAST(n_chars AS DOUBLE) * 4294967296.0
+                       / CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8))::BIGINT + 1) AS DOUBLE)
+                       AS priority
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, doc_id, weight, priority,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY priority DESC, doc_id)
+                       AS stratum_rank
+            FROM pr
+        )
+        SELECT source, CAST(stratum_rank AS INT) AS stratum_rank, doc_id,
+               weight, priority
+        FROM ranked WHERE stratum_rank <= 5
+    """,
+    survey_ids=("F9", "F4", "O3", "A3"),
+)
+def corpus_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-STRATUM weighted sampling — the data-mixing primitive (N
+    docs per source, weighted by length): the same hash-derived A-ES
+    priority as the global ``corpus_weighted_sample_priority`` (pure
+    function of doc_id — stable across runs, engines, and cluster
+    layouts), but ranked WITHIN each source via a partitioned window,
+    so every stratum keeps its own top-5.  Per-group top-k over a
+    partitioned window shuffles once on the stratum key and heaps
+    within partitions — no global sort; at 100 TB the stratum count,
+    not the corpus size, bounds the result."""
+    from pyspark.sql import Window
+
+    docs = lake.load_table(spark, "documents", sf_dir)
+    h = _md5_u32(F.col("doc_id"))
+    pr = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (
+            F.col("n_chars").cast("double")
+            * F.lit(4294967296.0)
+            / (h + 1).cast("double")
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("priority").desc(), "doc_id")
+    return (
+        pr.withColumn("stratum_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("stratum_rank") <= 5)
+        .select("source", "stratum_rank", "doc_id", "weight", "priority")
+    )

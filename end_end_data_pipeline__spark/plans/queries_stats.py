@@ -1314,3 +1314,114 @@ def stats_bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("ci_hi_cents"),
     )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+        WITH labeled AS (
+            SELECT CAST(CAST(o.o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT)
+                     AS xc,
+                   CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS s
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ),
+        per_v AS (
+            SELECT xc,
+                   CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+            FROM labeled GROUP BY xc
+        ),
+        cum AS (
+            SELECT xc,
+                   SUM(d1) OVER (ORDER BY xc) AS c1,
+                   SUM(d2) OVER (ORDER BY xc) AS c2
+            FROM per_v
+        ),
+        n AS (
+            SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2
+            FROM per_v
+        )
+        SELECT n.n1, n.n2,
+               CAST(MAX(abs(n.n2 * cum.c1 - n.n1 * cum.c2)) AS BIGINT)
+                 AS d_num,
+               CAST(MAX(abs(n.n2 * cum.c1 - n.n1 * cum.c2)) * 1000000
+                    // (n.n1 * n.n2) AS BIGINT) AS d_ppm,
+               (CAST(MAX(abs(n.n2 * cum.c1 - n.n1 * cum.c2)) AS HUGEINT)
+                  * CAST(MAX(abs(n.n2 * cum.c1 - n.n1 * cum.c2)) AS HUGEINT)
+                  * 10000
+                > 18442 * CAST(n.n1 AS HUGEINT) * n.n2 * (n.n1 + n.n2))
+                 AS reject_5pct
+        FROM cum, n
+        GROUP BY n.n1, n.n2
+    """,
+    survey_ids=("A1", "A5", "W1"),
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample test between the BUILDING and
+    MACHINERY segments' order-value distributions, computed as an
+    EXACT integer rank statistic: D = max |F1 - F2| is carried as
+    ``d_num = max |n2*c1 - n1*c2|`` over the pooled distinct values
+    (one hash agg + one cumulative window — no sort of raw rows, no
+    floats), and the 5% decision compares d_num² against the
+    Smirnov critical value with both sides scaled to integers
+    (1.358² → 18442/10000), evaluated in 38-digit exact arithmetic
+    so the product can't overflow at any SF.  The distribution-drift
+    gate of a data pipeline: rank-based, so it sees shape changes
+    chi-square binning misses.
+
+    Scale note: the cumulative pass is a single-task window over the
+    DISTINCT pooled values (the oracle's shape too).  That is fine to
+    ~10M distinct values; past that, apply the range-partition +
+    driver-prefix-summed-offset scheme of
+    ``operators/scale.grouped_global_rank`` to the cumsum — the
+    statistic itself (max of per-value integers) is embarrassingly
+    parallel once c1/c2 are distributed."""
+    orders = lake.load_table(spark, "orders", sf_dir)
+    cust = lake.load_table(spark, "customer", sf_dir)
+    labeled = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+            .cast("bigint")
+            .alias("xc"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(2)
+            .alias("s"),
+        )
+    )
+    per_v = labeled.groupBy("xc").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(F.col("s") == 2, 1).otherwise(0)).cast("long").alias("d2"),
+    )
+    w = Window.orderBy("xc").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("d1").over(w).alias("c1"), F.sum("d2").over(w).alias("c2")
+    )
+    stats = cum.select(
+        "c1",
+        "c2",
+        F.max("c1")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n1"),
+        F.max("c2")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n2"),
+    ).agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.max(F.abs(F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2")))
+        .cast("long")
+        .alias("d_num"),
+    )
+    return stats.select(
+        "n1",
+        "n2",
+        "d_num",
+        F.expr("CAST(d_num * 1000000 DIV (n1 * n2) AS BIGINT)").alias("d_ppm"),
+        F.expr(
+            "CAST(d_num AS DECIMAL(38,0)) * CAST(d_num AS DECIMAL(38,0)) * 10000"
+            " > CAST(18442 AS DECIMAL(38,0)) * n1 * n2 * (n1 + n2)"
+        ).alias("reject_5pct"),
+    )

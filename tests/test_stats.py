@@ -336,3 +336,54 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     assert r1["ci_lo_cents"] <= r1["mean_cents"] <= r1["ci_hi_cents"]
     # the interval is meaningfully tight at n ~ 1.5k (sigma/sqrt(n))
     assert (r1["ci_hi_cents"] - r1["ci_lo_cents"]) < r1["mean_cents"]
+
+
+def test_ks_two_sample_extremes(spark):
+    """KS statistic sanity at the extremes: identical samples give
+    D = 0 / no rejection; disjoint supports give D = 1 (1e6 ppm) and a
+    rejection at any reasonable n."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    def ks(df):
+        per_v = df.groupBy("xc").agg(
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long").alias("d1"),
+            F.sum(F.when(F.col("s") == 2, 1).otherwise(0)).cast("long").alias("d2"),
+        )
+        w = Window.orderBy("xc").rowsBetween(Window.unboundedPreceding, 0)
+        cum = per_v.select(
+            F.sum("d1").over(w).alias("c1"), F.sum("d2").over(w).alias("c2")
+        )
+        full = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        stats = cum.select(
+            "c1", "c2",
+            F.max("c1").over(full).alias("n1"),
+            F.max("c2").over(full).alias("n2"),
+        ).agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.max(F.abs(F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2")))
+            .cast("long").alias("d_num"),
+        )
+        return stats.select(
+            F.expr("CAST(d_num * 1000000 DIV (n1 * n2) AS BIGINT)").alias("d_ppm"),
+            F.expr(
+                "CAST(d_num AS DECIMAL(38,0)) * CAST(d_num AS DECIMAL(38,0)) * 10000"
+                " > CAST(18442 AS DECIMAL(38,0)) * n1 * n2 * (n1 + n2)"
+            ).alias("reject_5pct"),
+        ).collect()[0]
+
+    same = spark.createDataFrame(
+        [(v, s) for v in range(100) for s in (1, 2)], "xc long, s int"
+    )
+    r = ks(same)
+    assert r["d_ppm"] == 0 and not r["reject_5pct"]
+
+    disjoint = spark.createDataFrame(
+        [(v, 1) for v in range(100)] + [(v + 1000, 2) for v in range(100)],
+        "xc long, s int",
+    )
+    r = ks(disjoint)
+    assert r["d_ppm"] == 1_000_000 and r["reject_5pct"]
