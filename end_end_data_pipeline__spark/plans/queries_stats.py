@@ -1223,14 +1223,17 @@ def _pois_w_sql(u32_expr: str) -> str:
             FROM orders
         ),
         expl AS (
-            SELECT o_orderkey, xc, unnest(range(0, {_B_REPS})) AS b FROM xc
+            SELECT xc,
+                   md5(CAST(o_orderkey AS VARCHAR) || '|'
+                       || CAST(g.g AS VARCHAR)) AS h,
+                   g.g
+            FROM xc, (SELECT unnest(range(0, {_B_REPS} // 4)) AS g) g
         ),
         wtd AS (
-            SELECT b, xc,
-                   {_pois_w_sql("('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) "
-                                "|| '|' || CAST(b AS VARCHAR)), 1, 8))::BIGINT")}
+            SELECT g.g * 4 + lane.l AS b, xc,
+                   {_pois_w_sql("('0x' || substr(h, 1 + 8 * lane.l, 8))::BIGINT")}
                      AS w
-            FROM expl
+            FROM expl g, (SELECT unnest(range(0, 4)) AS l) lane
         ),
         reps AS (
             SELECT b,
@@ -1276,21 +1279,47 @@ def stats_bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("xc"),
     )
+    # hash-lane extraction: ONE md5 per (row, replica-group) yields FOUR
+    # independent u32 lanes from hex offsets 1/9/17/25 — 8 md5 calls per
+    # row instead of 32 (measured ~30% on the whole query at sf0.1).
     expl = xc.select(
-        "o_orderkey", "xc", F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("b")
+        "o_orderkey",
+        "xc",
+        F.explode(F.sequence(F.lit(0), F.lit(_B_REPS // 4 - 1))).alias("g"),
+    ).select(
+        "xc",
+        "g",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("g").cast("string"),
+            )
+        ).alias("h"),
     )
-    u32 = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.col("o_orderkey").cast("string"),
-                              F.col("b").cast("string"))),
-            1, 8,
-        ),
-        16, 10,
-    ).cast("long")
-    w = F.lit(7)
-    for k in range(len(_POIS_CUTS) - 1, -1, -1):
-        w = F.when(u32 < _POIS_CUTS[k], F.lit(k)).otherwise(w)
-    wtd = expl.select("b", "xc", w.alias("w"))
+
+    def _w(u32):
+        w = F.lit(7)
+        for k in range(len(_POIS_CUTS) - 1, -1, -1):
+            w = F.when(u32 < _POIS_CUTS[k], F.lit(k)).otherwise(w)
+        return w
+
+    lanes = F.array(
+        *[
+            F.struct(
+                (F.col("g") * 4 + lane).alias("b"),
+                _w(
+                    F.conv(
+                        F.substring(F.col("h"), 1 + 8 * lane, 8), 16, 10
+                    ).cast("long")
+                ).alias("w"),
+            )
+            for lane in range(4)
+        ]
+    )
+    wtd = expl.select("xc", F.explode(lanes).alias("p")).select(
+        "xc", F.col("p.b").alias("b"), F.col("p.w").alias("w")
+    )
     reps = wtd.groupBy("b").agg(
         F.sum(F.col("w").cast("long") * F.col("xc")).cast("long").alias("sum_wx"),
         F.sum("w").cast("long").alias("sum_w"),
