@@ -8,7 +8,8 @@ and print the markdown table rows.
 
 Defaults reproduce the round-5 third-wave study (audit / robust-stats
 / sampling queries; derive the big set first with
-``python scripts/make_sf1_derived.py``).
+``python scripts/make_sf1_derived.py``).  ``--wave r06`` reproduces
+the round-6 wave table (sketches / PQ / phash / bootstrap / KS).
 """
 
 from __future__ import annotations
@@ -19,6 +20,21 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+R06_WAVE = [
+    "skyline_part_price_size",
+    "sketch_countmin_user_counts",
+    "sketch_bloom_membership",
+    "sketch_hll_distinct_by_type",
+    "sketch_hll_rolling_distinct",
+    "embedding_pq_adc_topk",
+    "multimodal_phash_neardup",
+    "text_bigram_lm_quality",
+    "graph_cheapest_transfer_4hop",
+    "stats_bootstrap_ci_order_value",
+    "stats_ks_two_sample",
+    "corpus_per_source_sample",
+]
 
 THIRD_WAVE = [
     "fraud_benford_digit_audit",
@@ -38,7 +54,8 @@ THIRD_WAVE = [
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--queries", default=",".join(THIRD_WAVE))
+    ap.add_argument("--wave", choices=["third", "r06"], default="third")
+    ap.add_argument("--queries", default="")
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default="/tmp/sf1-derived")
     ap.add_argument("--runs", type=int, default=2)
@@ -50,6 +67,8 @@ def main() -> None:
     spark = get_spark("scale_study")
     queries = load_all()
     names = [n.strip() for n in args.queries.split(",") if n.strip()]
+    if not names:
+        names = R06_WAVE if args.wave == "r06" else THIRD_WAVE
     unknown = [n for n in names if n not in queries]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
