@@ -279,3 +279,15 @@ def hll_estimate(registers: DataFrame, *group_cols: str) -> DataFrame:
         est.cast("long").alias("hll_estimate"),
         "n_zero_registers",
     )
+
+
+def hll_estimate_sql(s_int: str, n_zero: str) -> str:
+    """The integer HLL estimate as DuckDB SQL over precomputed
+    fragments — ONE definition shared by every HLL oracle (per-type,
+    rolling, streaming) so the estimate arithmetic can never fork."""
+    raw = f"{_HLL_NUM} // ({_HLL_DEN} * {s_int})"
+    lc = f"{_HLL_M} * {hll_ln_table_sql()}[CAST({n_zero} AS INT)] // 1000000"
+    return (
+        f"CASE WHEN {n_zero} > 0 AND {raw} <= {_HLL_SMALL} "
+        f"THEN {lc} ELSE {raw} END"
+    )

@@ -145,6 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_hll_rolling_distinct",
     "stats_ks_two_sample",
     "corpus_per_source_sample",
+    "stream_hll_incremental",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from end_end_data_pipeline__spark.functions.scalar import dec_sum
+from end_end_data_pipeline__spark.operators import sketches
 from end_end_data_pipeline__spark.plans.catalog import register
 from end_end_data_pipeline__spark.plans.sqlgen import dsum
 from end_end_data_pipeline__spark.sources import cdc, datagen, lake
@@ -1084,3 +1085,119 @@ def pyds_stream_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         if done:
             break
     return spark.read.parquet(sink)
+
+
+@register(
+    "stream_hll_incremental",
+    oracle=f"""
+        WITH h AS (
+            SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                     AS u32
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        r AS (
+            SELECT u32 % 256 AS idx,
+                   CASE WHEN u32 // 256 = 0 THEN 25
+                        ELSE 25 - length(ltrim(bin(u32 // 256), '0')) END AS rank
+            FROM h
+        ),
+        regs AS (SELECT idx, MAX(rank) AS m FROM r GROUP BY 1),
+        s AS (
+            SELECT CAST(SUM(CAST(1 AS BIGINT) << (25 - m))
+                        + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 25)
+                        AS BIGINT) AS s_int,
+                   CAST(256 - COUNT(*)
+                        + SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero
+            FROM regs
+        ),
+        exact AS (
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT CAST(3 AS BIGINT) AS n_batches, e.n_exact,
+               CAST({sketches.hll_estimate_sql("s.s_int", "s.n_zero")}
+                    AS BIGINT) AS hll_estimate,
+               s.n_zero AS n_zero_registers,
+               CAST(abs(CAST({sketches.hll_estimate_sql("s.s_int", "s.n_zero")}
+                        AS BIGINT) - e.n_exact) * 1000000 // e.n_exact
+                    AS BIGINT) AS rel_error_ppm
+        FROM s, exact e
+    """,
+    survey_ids=("A10", "ST1", "ST8", "A4"),
+)
+def stream_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained distinct count over a STREAM: each
+    micro-batch folds into HLL registers inside ``foreachBatch`` (one
+    tiny hash agg per batch — never a re-scan of history), the
+    per-batch register rows append to a lake path, and the final
+    estimate is the merge (per-register MAX) of everything appended —
+    bit-identical to building one sketch over all the data, because
+    register merge is associative and commutative.  THE production
+    shape for "distinct users so far" on an unbounded stream: state is
+    m register rows per batch, the nightly compaction is the same MAX,
+    and no batch ever touches another batch's input.
+
+    The events table is replayed as three micro-batches
+    (``maxFilesPerTrigger=1`` over three split feed files; batch
+    ORDER doesn't matter — max is order-insensitive, so no mtime
+    pinning is needed for the merged state).  The oracle computes the
+    same integer HLL estimate over the whole table in one shot and
+    must hash-match the three-batch incremental result exactly."""
+    from end_end_data_pipeline__spark.operators import sketches as sk
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tmp = tempfile.mkdtemp(prefix="hll_inc_")
+    src_dir, regs_dir, ckpt = (
+        os.path.join(tmp, d) for d in ("src", "regs", "ckpt")
+    )
+    os.makedirs(src_dir)
+
+    # split the fixture into three feed files by event_id % 3 so the
+    # availableNow run sequences three genuine micro-batches
+    ev = lake.load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    for i in range(3):
+        (
+            ev.filter(F.col("event_id") % 3 == i)
+            .select("user_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src_dir, f"part-{i}"))
+        )
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+
+    def fold(batch_df, batch_id):
+        sk.hll_build(batch_df, "user_id").withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(regs_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    appended = spark.read.parquet(regs_dir)
+    n_batches = appended.select("batch_id").distinct().count()
+    merged = sk.hll_merge(appended.select("idx", "m"))
+    est = sk.hll_estimate(merged)
+    exact = ev.select("user_id").distinct().count()
+    return est.select(
+        F.lit(n_batches).cast("long").alias("n_batches"),
+        F.lit(exact).cast("long").alias("n_exact"),
+        "hll_estimate",
+        "n_zero_registers",
+        F.expr(
+            f"CAST(abs(hll_estimate - {exact}) * 1000000 DIV {exact} AS BIGINT)"
+        ).alias("rel_error_ppm"),
+    )

@@ -539,16 +539,8 @@ def sketch_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_est_case(s_int: str, n_zero: str) -> str:
-    """The integer HLL estimate as a DuckDB CASE over precomputed
-    fragments — ONE definition shared by both HLL queries so the
-    estimate arithmetic can never fork."""
-    raw = f"{sketches._HLL_NUM} // ({sketches._HLL_DEN} * {s_int})"
-    lc = (
-        f"256 * {sketches.hll_ln_table_sql()}[CAST({n_zero} AS INT)] // 1000000"
-    )
-    return (
-        f"CASE WHEN {n_zero} > 0 AND {raw} <= 640 THEN {lc} ELSE {raw} END"
-    )
+    """See :func:`sketches.hll_estimate_sql` — one shared definition."""
+    return sketches.hll_estimate_sql(s_int, n_zero)
 
 
 @register(

@@ -553,3 +553,27 @@ def test_tws_user_stats_matches_batch(spark, tmp_path):
         assert final == {1: (3, 300), 2: (2, 75), 3: (1, 10)}
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_hll_incremental_equals_batch_sketch(spark):
+    """The three-micro-batch incremental register merge must equal the
+    single-shot batch sketch: same estimate, and genuinely three
+    batches folded."""
+    from end_end_data_pipeline__spark.operators import sketches
+    from end_end_data_pipeline__spark.plans.queries_streaming import (
+        stream_hll_incremental,
+    )
+    from tests.conftest import SF_SMOKE
+    from end_end_data_pipeline__spark.sources import lake
+
+    row = stream_hll_incremental(spark, SF_SMOKE).collect()[0]
+    assert row["n_batches"] == 3
+
+    ev = lake.load_table(spark, "events", SF_SMOKE).filter(
+        F.col("user_id").isNotNull()
+    )
+    direct = sketches.hll_estimate(
+        sketches.hll_build(ev, "user_id")
+    ).collect()[0]
+    assert row["hll_estimate"] == direct["hll_estimate"]
+    assert row["n_zero_registers"] == direct["n_zero_registers"]
