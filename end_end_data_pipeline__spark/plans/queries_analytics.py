@@ -546,6 +546,42 @@ def fuzzy_name_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_deletion_pairs",
+    oracle="""
+        SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    survey_ids=("J9", "J3", "UD6", "F2"),
+)
+def fuzzy_deletion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance-≤1 pair enumeration over customer names via
+    the deletion-neighborhood (SymSpell) equi-join — the full-recall
+    complement to ``fuzzy_name_best_match``'s blocked contract: no
+    blocking key, so a pair differing in ANY single character position
+    is found, yet never an all-pairs cross join (the oracle's O(n²)
+    form is exactly what the operator avoids).
+
+    Scale shape: one map-side explode (19 variants per 18-char name),
+    one equi-join on near-unique variant strings, one ``levenshtein``
+    per surviving candidate.  On structured keys like ``Customer#…``
+    prefix/blocking schemes degenerate (every row shares the hot
+    16-char block) — deletion variants keep the full discriminating
+    suffix, so the join key stays uniform.  See
+    :func:`operators.dedup.deletion_neighborhood_pairs`.
+    """
+    from end_end_data_pipeline__spark.operators.dedup import (
+        deletion_neighborhood_pairs,
+    )
+
+    customer = lake.load_table(spark, "customer", sf_dir)
+    return deletion_neighborhood_pairs(
+        customer, id_col="c_custkey", text_col="c_name", max_dist=1
+    )
+
+
+@register(
     "embedding_kmeans_clusters",
     oracle="""
         WITH q AS (

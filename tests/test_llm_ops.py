@@ -912,3 +912,67 @@ def test_hll_rolling_equals_direct_seven_day_build(spark):
     assert {(r["idx"], r["m"]) for r in rolled.collect()} == {
         (r["idx"], r["m"]) for r in direct.collect()
     }
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+_DELNBR_ROWS = [
+    (1, "apple"), (2, "aple"), (3, "apples"), (4, "aXple"), (5, "banana"),
+    (6, "ab"), (7, "ba"), (8, "abc"), (9, "acb"), (10, ""), (11, "a"),
+    (12, "åpple"), (13, "grape"), (14, "grapé"), (15, "xyzzy"),
+]
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_deletion_neighborhood_matches_brute_force(spark, k):
+    """Full recall AND exact precision vs an all-pairs python oracle,
+    covering substitution, insertion, deletion, unicode, the empty
+    string, and the ed-2 transposition false candidate ("ab"/"ba"
+    collides in the variant join at k=1 but must be verified out)."""
+    df = spark.createDataFrame(_DELNBR_ROWS, ["id", "s"])
+    got = sorted(
+        tuple(r)
+        for r in dedup.deletion_neighborhood_pairs(
+            df, "id", "s", max_dist=k
+        ).collect()
+    )
+    want = sorted(
+        (a_id, b_id, _lev(a, b))
+        for i, (a_id, a) in enumerate(_DELNBR_ROWS)
+        for b_id, b in _DELNBR_ROWS[i + 1 :]
+        if _lev(a, b) <= k
+    )
+    assert got == want
+
+
+def test_deletion_neighborhood_each_pair_once(spark):
+    """Pairs sharing MANY variants (identical strings share all of
+    them) still come out exactly once, canonically ordered."""
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "same")], ["id", "s"]
+    )
+    got = sorted(
+        tuple(r)
+        for r in dedup.deletion_neighborhood_pairs(df, "id", "s").collect()
+    )
+    assert got == [(1, 2, 0), (1, 3, 0), (2, 3, 0)]
+
+
+def test_deletion_neighborhood_length_guard(spark):
+    df = spark.createDataFrame([(1, "short"), (2, "much too long")], ["id", "s"])
+    with pytest.raises(Exception, match="longer than"):
+        dedup.deletion_neighborhood_pairs(df, "id", "s", max_len=8).collect()
+
+
+def test_deletion_neighborhood_max_dist_validated(spark):
+    df = spark.createDataFrame([(1, "a")], ["id", "s"])
+    with pytest.raises(ValueError, match="max_dist 1 or 2"):
+        dedup.deletion_neighborhood_pairs(df, "id", "s", max_dist=3)
