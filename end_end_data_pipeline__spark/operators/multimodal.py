@@ -761,6 +761,67 @@ def render_phash_image(c: int, v: int) -> bytes:
     return bytes(out)
 
 
+def render_fingerprint_audio(c: int, v: int, n_samples: int = 480) -> list[int]:
+    """Deterministic PCM16 test signal for the audio-fingerprint
+    fixtures: quadratically-mixed carrier ``(c*37 + c*i*11 + i*i*13) %
+    32768`` shaped by a per-32-sample-frame envelope ``amp(c, f) =
+    (c*13 + c*f*5 + f*f*3) % 8``; variant ``v == 1`` bumps frame 7's
+    envelope by +3 (mod 8) — the planted near-dup, one fingerprint
+    frame off.  The c-cross terms in BOTH carrier and envelope matter
+    for the same reason as ``render_phash_image``'s: a c-only additive
+    term would leave the energy profile identical across unrelated
+    clips.  All arithmetic is nonnegative-integer (division before the
+    -16384 recenter), so a SQL oracle replays it bit-exactly."""
+    out = []
+    for i in range(n_samples):
+        f = i // 32
+        amp = (c * 13 + c * f * 5 + f * f * 3
+               + (3 if v == 1 and f == 7 else 0)) % 8
+        abs_raw = (c * 37 + c * i * 11 + i * i * 13) % 32768
+        out.append((abs_raw * amp) // 8 - 16384)
+    return out
+
+
+def audio_energy_levels(
+    media: DataFrame,
+    media_col: str,
+    id_col: str,
+    frame: int = 32,
+    quantum: int = 2048,
+) -> DataFrame:
+    """Quantized frame-energy fingerprint of each audio payload — the
+    audio twin of :func:`dhash_bands`, emitted RELATIONALLY as one row
+    per (id, frame position, level) so banding (``pos DIV band_len``
+    group-agg) and exact-Hamming verification (position equi-join,
+    count of differing levels) stay JVM joins over scalar ints, never
+    array cells.
+
+    Decode runs through the REAL RIFF/WAVE chunk walker
+    (:func:`decode_audio`); the fingerprint is ``level(p) =
+    (Σ|sample| over frame p ÷ frame) ÷ quantum`` — integer mean
+    absolute amplitude per frame, quantized.  Energy-envelope
+    fingerprints are deliberately coarse (robust to sample-level
+    noise, blind to phase): clips whose loudness profile matches
+    frame-for-frame are near-dups, the radio-broadcast-monitoring
+    contract.  One Arrow batch per task, ~1 KB/clip.
+    """
+    import pandas as pd
+
+    def lev_batch(it):
+        for pdf in it:
+            ids, poss, lvls = [], [], []
+            for doc, raw in zip(pdf[id_col], pdf[media_col]):
+                _sr, samples = decode_audio(bytes(raw))
+                for p in range(len(samples) // frame):
+                    s = sum(abs(x) for x in samples[p * frame : (p + 1) * frame])
+                    ids.append(doc)
+                    poss.append(p)
+                    lvls.append((s // frame) // quantum)
+            yield pd.DataFrame({id_col: ids, "pos": poss, "level": lvls})
+
+    return media.mapInPandas(lev_batch, f"{id_col} long, pos int, level int")
+
+
 def dhash_bands(media: DataFrame, media_col: str, id_col: str) -> DataFrame:
     """64-bit difference-hash of each image, emitted as FOUR 16-bit
     band values — the exact unit the pigeonhole near-dup join needs

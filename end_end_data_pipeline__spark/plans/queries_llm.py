@@ -2257,6 +2257,133 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_fingerprint_neardup",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS v FROM documents
+        ),
+        base AS (
+            SELECT doc_id, v,
+                   CASE WHEN v = 2 THEN grp + 1000003 ELSE grp END AS c
+            FROM d
+        ),
+        s AS (
+            SELECT doc_id, i.i // 32 AS f,
+                   (c*37 + c*i.i*11 + i.i*i.i*13) % 32768 AS abs_raw,
+                   (c*13 + c*(i.i//32)*5 + (i.i//32)*(i.i//32)*3
+                    + CASE WHEN v = 1 AND i.i//32 = 7 THEN 3 ELSE 0 END
+                   ) % 8 AS amp
+            FROM base, (SELECT unnest(range(0, 480)) AS i) i
+        ),
+        lv AS (
+            SELECT doc_id, f AS pos,
+                   CAST((SUM(abs((abs_raw * amp) // 8 - 16384)) // 32)
+                        // 128 AS INT) AS level
+            FROM s GROUP BY 1, 2
+        ),
+        bands AS (
+            SELECT doc_id, pos // 3 AS band,
+                   CAST(SUM(level << (8 * (pos % 3))) AS INT) AS val
+            FROM lv GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN x.level <> y.level THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hamming
+        FROM cand c
+        JOIN lv x ON x.doc_id = c.doc_a
+        JOIN lv y ON y.doc_id = c.doc_b AND y.pos = x.pos
+        GROUP BY 1, 2 HAVING hamming <= 4
+    """,
+    survey_ids=("UD8", "UD6", "J9", "UD1"),
+)
+def multimodal_audio_fingerprint_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate AUDIO detection by quantized energy-envelope
+    fingerprint — completing the cross-modality near-dup triad
+    (text MinHash, image dHash, audio fingerprint): every doc renders
+    a deterministic amplitude-modulated clip (docs sharing ``doc_id
+    DIV 3`` share content; variant 1 bumps one envelope frame = the
+    planted near-dup; variant 2 a disjoint clip), encodes through the
+    REAL RIFF/WAVE codec, decodes back, and fingerprints as 15
+    quantized frame-energy levels.
+
+    Scale shape: candidates come from a pigeonhole banding equi-join
+    over 5 bands of 3 levels (fingerprint Hamming ≤ 4 forces a shared
+    untouched band — recall 100% by construction), then exact Hamming
+    as a position equi-join counting differing levels — only on
+    candidates, never all-pairs.  Python touches only codec +
+    per-frame integer sums (Arrow-batched); banding, candidate dedup,
+    and verification are JVM hash joins.  The oracle replays samples,
+    levels, bands, and the verify join in closed form, so a codec bug
+    anywhere breaks the hash.  Envelope fingerprints are coarse by
+    design; entropy per band scales with the level alphabet, so
+    ``quantum`` is the candidate-fan-out dial on low-dynamic-range
+    corpora."""
+    import pandas as pd
+
+    docs = lake.load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grp, v = d // 3, d % 3
+                c = grp + 1000003 if v == 2 else grp
+                payloads.append(
+                    multimodal.encode_wav(
+                        48000, multimodal.render_fingerprint_audio(c, v)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, media binary")
+    lv = multimodal.audio_energy_levels(media, "media", "doc_id", quantum=128)
+    bands = lv.groupBy("doc_id", F.expr("pos div 3").alias("band")).agg(
+        F.sum(F.expr("level * shiftleft(1, (pos % 3) * 8)"))
+        .cast("int")
+        .alias("val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x, y = lv.alias("x"), lv.alias("y")
+    return (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.pos") == F.col("x.pos")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("x.level") != F.col("y.level"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= 4)
+    )
+
+
+@register(
     "corpus_per_source_sample",
     oracle="""
         WITH pr AS (

@@ -34,6 +34,7 @@ R06_WAVE = [
     "stats_bootstrap_ci_order_value",
     "stats_ks_two_sample",
     "corpus_per_source_sample",
+    "fuzzy_deletion_pairs",
 ]
 
 THIRD_WAVE = [

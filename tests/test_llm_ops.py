@@ -976,3 +976,58 @@ def test_deletion_neighborhood_max_dist_validated(spark):
     df = spark.createDataFrame([(1, "a")], ["id", "s"])
     with pytest.raises(ValueError, match="max_dist 1 or 2"):
         dedup.deletion_neighborhood_pairs(df, "id", "s", max_dist=3)
+
+
+def _afp_levels(c: int, v: int, quantum: int = 128) -> list[int]:
+    samples = multimodal.render_fingerprint_audio(c, v)
+    return [
+        (sum(abs(x) for x in samples[p * 32 : (p + 1) * 32]) // 32) // quantum
+        for p in range(len(samples) // 32)
+    ]
+
+
+def test_audio_energy_levels_roundtrip(spark):
+    """encode_wav → decode_audio → frame levels equals the closed-form
+    python replay, for base/planted/disjoint variants."""
+    import pandas as pd
+
+    rows = [(0, 5, 0), (1, 5, 1), (2, 1000008, 2)]
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        multimodal.encode_wav(
+                            48000,
+                            multimodal.render_fingerprint_audio(
+                                int(c), int(v)
+                            ),
+                        )
+                        for c, v in zip(pdf["c"], pdf["v"])
+                    ],
+                }
+            )
+
+    df = spark.createDataFrame(rows, ["doc_id", "c", "v"]).coalesce(1)
+    media = df.mapInPandas(gen, "doc_id long, media binary")
+    lv = multimodal.audio_energy_levels(media, "media", "doc_id", quantum=128)
+    got = {
+        (r["doc_id"], r["pos"]): r["level"] for r in lv.collect()
+    }
+    for doc_id, c, v in rows:
+        want = _afp_levels(c, v)
+        assert [got[(doc_id, p)] for p in range(15)] == want
+
+
+def test_audio_fingerprint_pigeonhole_and_separation():
+    """The planted variant differs in exactly ONE frame (so ≥4 of the 5
+    bands stay equal — the pigeonhole the banding join relies on),
+    while a disjoint clip differs in far more than 4."""
+    for c in (0, 7, 123):
+        base, planted = _afp_levels(c, 0), _afp_levels(c, 1)
+        diff = [p for p in range(15) if base[p] != planted[p]]
+        assert diff and all(p // 3 == 7 // 3 for p in diff)  # only frame-7 band
+        far = _afp_levels(c + 1000003, 2)
+        assert sum(1 for p in range(15) if base[p] != far[p]) > 4
