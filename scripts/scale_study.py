@@ -35,6 +35,7 @@ R06_WAVE = [
     "stats_ks_two_sample",
     "corpus_per_source_sample",
     "fuzzy_deletion_pairs",
+    "multimodal_audio_fingerprint_neardup",
 ]
 
 THIRD_WAVE = [
