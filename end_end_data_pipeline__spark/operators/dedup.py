@@ -677,10 +677,18 @@ def deletion_neighborhood_pairs(
             F.col("b.vid").alias("b_id"),
             F.col("b.vtext").alias("b_text"),
         )
-        .distinct()
     )
+    # Dedup AFTER the verify filter: a candidate pair appears once per
+    # shared variant (measured ~1.02× on the customer fixture), so
+    # re-running the cheap levenshtein on the few duplicates is far
+    # cheaper than shuffling the full candidate set through a
+    # pre-verify distinct (the candidate:result ratio is ~20:1 there —
+    # moving the distinct below the filter shrinks that shuffle by the
+    # same factor).  (a_id, b_id) determines dist, so the result is
+    # identical.
     return (
         cand.withColumn("dist", F.levenshtein("a_text", "b_text"))
         .filter(F.col("dist") <= F.lit(max_dist))
         .select("a_id", "b_id", "dist")
+        .distinct()
     )

@@ -66,6 +66,21 @@ def main() -> None:
             c = base
             for k in keys:
                 c = c.withColumn(k, F.col(k) + F.lit(i * OFF))
+            if name == "customer":
+                # distinct names per copy at pairwise edit distance
+                # >= 2 (DOUBLED copy digit, a repetition code): the
+                # deletion-neighborhood decade then measures 10x the
+                # true near-dup work instead of a cross-copy duplicate
+                # explosion (unsalted, each name's 10 key-shifted
+                # clones turned every sf0.1 pair into 100 and every
+                # name into a 10-clique: 262k -> 26.9M result rows) —
+                # same reason documents get word-salted below.
+                c = c.withColumn(
+                    "c_name",
+                    F.concat(
+                        F.lit(f"Cust{i}{i}er#"), F.substring("c_name", 10, 9)
+                    ),
+                )
             if name == "documents":
                 # distinct text per copy: salt every word with the copy
                 # index so shingle/minhash dfs scale, not duplicate
