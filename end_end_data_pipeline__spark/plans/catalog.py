@@ -70,10 +70,15 @@ def register(
 # ``banking_generator_fanout``) whose oracles are new this round,
 # plus one r05-green sentinel (``flagship_monthly_segment_volume``)
 # to detect driver drift.  47 + 2 + 1 = 50: after this window every
-# one of the 194 catalog queries has a hash-verified driver row in
-# r01 ∪ … ∪ r06.  All 50 were re-verified against the driver's own
-# sf0.01 DuckDB gate this round (scripts/driver_gate.py).  Names not
-# listed here sort after the listed ones in registration order.
+# query that existed at rotation time (194) has a hash-verified driver
+# row in r01 ∪ … ∪ r06; the 15 round-6 additions registered AFTER the
+# rotation (sketches/PQ/phash/bootstrap/KS/deletion-join/audio-
+# fingerprint wave) sort just behind it at positions 51-65 and are the
+# r07 window's backlog.  The whole catalog — window, backlog, and all
+# — is swept against the driver's own sf0.01 DuckDB gate each round
+# (scripts/driver_gate.py --all → GATE_r06.json, 209/209 green).
+# Names not listed here sort after the listed ones in registration
+# order.
 _PRIORITY: tuple[str, ...] = (
     # --- never driver-checked backlog (47): round-5 late additions ---
     "pyds_writer_sink_roundtrip",
@@ -146,6 +151,8 @@ _PRIORITY: tuple[str, ...] = (
     "stats_ks_two_sample",
     "corpus_per_source_sample",
     "stream_hll_incremental",
+    "fuzzy_deletion_pairs",
+    "multimodal_audio_fingerprint_neardup",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
