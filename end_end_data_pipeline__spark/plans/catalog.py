@@ -153,6 +153,11 @@ _PRIORITY: tuple[str, ...] = (
     "stream_hll_incremental",
     "fuzzy_deletion_pairs",
     "multimodal_audio_fingerprint_neardup",
+    "stats_mannwhitney_auc",
+    "ml_decile_lift",
+    "interval_peak_concurrency",
+    "forecast_seasonal_naive_error",
+    "timeseries_acf_lags",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

@@ -1454,3 +1454,555 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > CAST(18442 AS DECIMAL(38,0)) * n1 * n2 * (n1 + n2)"
         ).alias("reject_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U / exact AUC (rank-based two-sample effect size)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stats_mannwhitney_auc",
+    oracle="""
+        WITH labeled AS (
+            SELECT CAST(CAST(o.o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT)
+                     AS xc,
+                   CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS s
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ),
+        per_v AS (
+            SELECT xc,
+                   CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+            FROM labeled GROUP BY xc
+        ),
+        cum AS (
+            SELECT d1, d2, SUM(d2) OVER (ORDER BY xc) AS c2
+            FROM per_v
+        )
+        SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+               CAST(SUM(d2) AS BIGINT) AS n2,
+               CAST(SUM(d1 * (2 * c2 - d2)) AS BIGINT) AS u2_num,
+               CAST(SUM(d1 * (2 * c2 - d2)) * 500000
+                    // (SUM(d1) * SUM(d2)) AS BIGINT) AS auc_ppm,
+               CAST((SUM(d1 * (2 * c2 - d2)) - SUM(d1) * SUM(d2)) * 1000000
+                    // (SUM(d1) * SUM(d2)) AS BIGINT) AS rank_biserial_ppm
+        FROM cum
+    """,
+    survey_ids=("A1", "A5", "W1"),
+)
+def stats_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / exact AUC between the BUILDING and MACHINERY
+    segments' order-value distributions — the rank-based effect size
+    (P(X1 > X2) + ½P(X1 = X2)) that scores a binary separator without
+    any distributional assumption, and the standard offline metric for
+    "does this feature separate the classes".
+
+    Exact-integer contract: over the DISTINCT pooled values with
+    per-group counts (d1, d2) and the group-2 cumulative c2, twice the
+    tie-corrected U statistic is ``u2_num = Σ d1·(2·c2 − d2)`` — pure
+    BIGINT, no average-rank fractions — and AUC = u2_num / (2·n1·n2)
+    is reported in fixed-point ppm (floor), with the rank-biserial
+    correlation (2·AUC − 1) alongside.  Both engines run the identical
+    integer expression tree, so the hash check is bit-exact.
+
+    Plan shape: one equi-join, one hash agg to distinct values (map-
+    side combinable), ONE cumulative window over the distinct-value
+    spine, one final agg.  The window is single-task over distinct
+    cents values (bounded, ≤13M for DECIMAL(13,2) money) — the same
+    spine as ``stats_ks_two_sample``; past that, range-partition the
+    cumsum (``operators/scale.grouped_global_rank`` scheme).  Overflow
+    headroom: u2_num ≤ 2·n1·n2, and u2_num·500000 stays under 2⁶³ to
+    n1·n2 ≈ 9.2e12 — past that, widen to DECIMAL(38,0) on both sides.
+    """
+    orders = lake.load_table(spark, "orders", sf_dir)
+    cust = lake.load_table(spark, "customer", sf_dir)
+    labeled = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+            .cast("bigint")
+            .alias("xc"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(2)
+            .alias("s"),
+        )
+    )
+    per_v = labeled.groupBy("xc").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(F.col("s") == 2, 1).otherwise(0)).cast("long").alias("d2"),
+    )
+    w = Window.orderBy("xc").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "d1", "d2", F.sum("d2").over(w).alias("c2")
+    )
+    return cum.agg(
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+        F.sum(F.col("d1") * (2 * F.col("c2") - F.col("d2")))
+        .cast("long")
+        .alias("u2_num"),
+    ).select(
+        "n1",
+        "n2",
+        "u2_num",
+        F.expr("CAST(u2_num * 500000 DIV (n1 * n2) AS BIGINT)").alias(
+            "auc_ppm"
+        ),
+        F.expr(
+            "CAST((u2_num - n1 * n2) * 1000000 DIV (n1 * n2) AS BIGINT)"
+        ).alias("rank_biserial_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / cumulative gains (model-scoring evaluation table)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ml_decile_lift",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT)
+                     AS xc,
+                   o_orderkey,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                     AS label
+            FROM orders
+        ),
+        deciled AS (
+            SELECT ntile(10) OVER (ORDER BY xc DESC, o_orderkey) AS decile,
+                   label
+            FROM scored
+        ),
+        per AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(label) AS BIGINT) AS pos
+            FROM deciled GROUP BY decile
+        ),
+        cum AS (
+            SELECT decile, n, pos,
+                   SUM(n) OVER (ORDER BY decile) AS cum_n,
+                   SUM(pos) OVER (ORDER BY decile) AS cum_pos,
+                   SUM(n) OVER () AS tot_n,
+                   SUM(pos) OVER () AS tot_pos
+            FROM per
+        )
+        SELECT decile, n, pos,
+               CAST(pos * 1000000 // n AS BIGINT) AS rate_ppm,
+               CAST(cum_n AS BIGINT) AS cum_n,
+               CAST(cum_pos AS BIGINT) AS cum_pos,
+               CAST(CAST(cum_pos AS HUGEINT) * tot_n * 1000000
+                    // (CAST(cum_n AS HUGEINT) * tot_pos) AS BIGINT)
+                 AS cum_lift_ppm,
+               CAST(cum_pos * 1000000 // tot_pos AS BIGINT) AS gain_ppm
+        FROM cum
+        ORDER BY decile
+    """,
+    survey_ids=("W5", "W1", "A5"),
+)
+def ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table — THE offline evaluation
+    artifact for a propensity model: rank the population by score
+    (order value, standing in for a model score), cut into 10 equal
+    deciles, and report per-decile response rate, cumulative lift over
+    the base rate, and cumulative gain (% of all positives captured).
+    Label = urgent-priority order.
+
+    Determinism: the ntile ORDER BY carries the unique o_orderkey
+    tie-break (both engines fill the first ``n mod 10`` buckets one
+    larger, so identical ordering ⇒ identical buckets); every rate is
+    fixed-point ppm floor division; the lift numerator/denominator run
+    in 128-bit (HUGEINT / DECIMAL(38,0)) so cum_pos·tot_n·10⁶ cannot
+    overflow at any SF.
+
+    Plan shape: the global ntile is a single-task window — the honest
+    cost of an exact population decile cut.  At 100 TB, replace it
+    with the range-partitioned global-rank scheme
+    (``operators/scale.grouped_global_rank``): sample range bounds,
+    rank within ranges, prefix-sum offsets — the decile edges follow
+    from the exact global rank.  Everything after the cut is two tiny
+    hash aggs over 10 rows."""
+    orders = lake.load_table(spark, "orders", sf_dir)
+    scored = orders.select(
+        (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+        .cast("bigint")
+        .alias("xc"),
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    w = Window.orderBy(F.col("xc").desc(), F.col("o_orderkey"))
+    deciled = scored.select(F.ntile(10).over(w).alias("decile"), "label")
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("pos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wt).alias("tot_n"),
+        F.sum("pos").over(wt).alias("tot_pos"),
+    )
+    return cum.select(
+        "decile",
+        "n",
+        "pos",
+        F.expr("CAST(pos * 1000000 DIV n AS BIGINT)").alias("rate_ppm"),
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        F.expr(
+            "CAST(CAST(cum_pos AS DECIMAL(38,0)) * tot_n * 1000000"
+            " DIV (CAST(cum_n AS DECIMAL(38,0)) * tot_pos) AS BIGINT)"
+        ).alias("cum_lift_ppm"),
+        F.expr("CAST(cum_pos * 1000000 DIV tot_pos AS BIGINT)").alias(
+            "gain_ppm"
+        ),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Interval sweep-line: peak concurrent in-transit shipments per nation
+# ---------------------------------------------------------------------------
+
+@register(
+    "interval_peak_concurrency",
+    oracle="""
+        WITH iv AS (
+            SELECT n.n_name AS nation,
+                   CAST(l.l_shipdate AS DATE) AS ship_d,
+                   CAST(l.l_shipdate AS DATE)
+                     + ((l.l_orderkey * 3 + l.l_linenumber) % 14 + 1)
+                       * INTERVAL 1 DAY AS end_d
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+        ),
+        ev AS (
+            SELECT nation, ship_d AS d, 1 AS delta FROM iv
+            UNION ALL
+            SELECT nation, CAST(end_d AS DATE) AS d, -1 AS delta FROM iv
+        ),
+        net AS (
+            SELECT nation, d, CAST(SUM(delta) AS BIGINT) AS net
+            FROM ev GROUP BY nation, d
+        ),
+        conc AS (
+            SELECT nation, d,
+                   SUM(net) OVER (PARTITION BY nation ORDER BY d) AS conc
+            FROM net
+        ),
+        peak AS (
+            SELECT nation, MAX(conc) AS peak FROM conc GROUP BY nation
+        ),
+        firstd AS (
+            SELECT c.nation, MIN(c.d) AS peak_d
+            FROM conc c JOIN peak p
+              ON c.nation = p.nation AND c.conc = p.peak
+            GROUP BY c.nation
+        ),
+        cnt AS (
+            SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_shipments
+            FROM iv GROUP BY nation
+        )
+        SELECT cnt.nation, cnt.n_shipments,
+               CAST(p.peak AS BIGINT) AS peak_in_transit,
+               strftime(f.peak_d, '%Y-%m-%d') AS peak_first_day
+        FROM cnt
+        JOIN peak p ON cnt.nation = p.nation
+        JOIN firstd f ON cnt.nation = f.nation
+        ORDER BY cnt.nation
+    """,
+    survey_ids=("W1", "J5", "A6"),
+)
+def interval_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent in-transit shipments per supplier nation — the
+    classic interval sweep-line (gaps-and-islands sibling): each
+    shipment occupies [ship_date, ship_date + transit) where transit
+    days derive deterministically from the line keys; +1/−1 boundary
+    events are bucketed per day, and ONE cumulative window per nation
+    turns net deltas into the concurrency curve, whose max and argmax
+    (first day) are reported.  Capacity planning / anomaly surface:
+    "how many trucks does each nation need at once".
+
+    Scale shape: the sweep never materializes interval×day rows — the
+    event list is 2 rows per shipment, collapsed by a map-side-
+    combinable hash agg to one row per (nation, day) BEFORE the
+    window, so the cumsum runs over ~25 nations × ~2.4k days regardless
+    of SF.  Peak + argmax are two tiny hash aggs plus an equi-join on
+    the 25-row peak frame (broadcast).  No driver state, no UDFs."""
+    li = lake.load_table(spark, "lineitem", sf_dir)
+    sup = lake.load_table(spark, "supplier", sf_dir)
+    nat = lake.load_table(spark, "nation", sf_dir)
+    iv = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.to_date("l_shipdate").alias("ship_d"),
+            F.date_add(
+                F.to_date("l_shipdate"),
+                ((F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 14 + 1)
+                .cast("int"),
+            ).alias("end_d"),
+        )
+    )
+    ev = iv.select(
+        "nation", F.col("ship_d").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "nation", F.col("end_d").alias("d"), F.lit(-1).alias("delta")
+        )
+    )
+    net = ev.groupBy("nation", "d").agg(
+        F.sum("delta").cast("long").alias("net")
+    )
+    wc = (
+        Window.partitionBy("nation")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    conc = net.select("nation", "d", F.sum("net").over(wc).alias("conc"))
+    peak = conc.groupBy("nation").agg(F.max("conc").alias("peak"))
+    peak_r = peak.select(
+        F.col("nation").alias("pn"), F.col("peak")
+    )
+    firstd = (
+        conc.join(
+            F.broadcast(peak_r),
+            on=[
+                F.col("nation") == F.col("pn"),
+                F.col("conc") == F.col("peak"),
+            ],
+        )
+        .groupBy("nation")
+        .agg(F.min("d").alias("peak_d"))
+        .select(F.col("nation").alias("fn"), "peak_d")
+    )
+    cnt = iv.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shipments")
+    )
+    return (
+        cnt.join(peak_r, F.col("nation") == F.col("pn"))
+        .join(firstd, F.col("nation") == F.col("fn"))
+        .select(
+            "nation",
+            "n_shipments",
+            F.col("peak").cast("long").alias("peak_in_transit"),
+            F.date_format("peak_d", "yyyy-MM-dd").alias("peak_first_day"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast error (lag-7 baseline, the forecasting floor)
+# ---------------------------------------------------------------------------
+
+@register(
+    "forecast_seasonal_naive_error",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        paired AS (
+            SELECT a.d, a.cents AS actual, f.cents AS forecast
+            FROM daily a
+            JOIN daily f ON f.d = a.d - 7 * INTERVAL 1 DAY
+        ),
+        err AS (
+            SELECT strftime(d, '%Y-%m') AS month,
+                   abs(actual - forecast) AS abs_err,
+                   abs(actual - forecast) * 2000000
+                     // (actual + forecast) AS smape_ppm
+            FROM paired
+        )
+        SELECT month,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err_cents,
+               CAST(SUM(abs_err) // COUNT(*) AS BIGINT) AS mae_cents,
+               CAST(SUM(smape_ppm) // COUNT(*) AS BIGINT) AS smape_ppm
+        FROM err
+        GROUP BY month
+        ORDER BY month
+    """,
+    survey_ids=("A6", "F6", "J7"),
+)
+def forecast_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7) forecast error of daily order revenue,
+    reported per month as MAE (cents) and sMAPE (ppm) — the baseline
+    every real forecasting model must beat, and the drift monitor for
+    "did this week look like last week".  The forecast for day d is
+    the actual of day d−7, paired by a DATE equi-join (not a row-lag
+    window) so calendar gaps pair correctly instead of sliding to the
+    previous present row.
+
+    Exact integers end-to-end: daily revenue is exact cents, per-day
+    sMAPE is fixed-point floor((|a−f|·2·10⁶)/(a+f)), and monthly
+    roll-ups are integer sums/floors — bit-identical across engines.
+
+    Scale shape: one scan → one hash agg to the daily spine (bounded:
+    days, not rows), a self equi-join on date (broadcastable — the
+    spine is tiny at any SF), one final hash agg per month."""
+    orders = lake.load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(13,2)") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    a = daily.alias("a")
+    f_ = daily.alias("f")
+    paired = a.join(
+        f_, F.col("f.d") == F.date_sub(F.col("a.d"), 7)
+    ).select(
+        F.col("a.d").alias("d"),
+        F.col("a.cents").alias("actual"),
+        F.col("f.cents").alias("forecast"),
+    )
+    err = paired.select(
+        F.date_format("d", "yyyy-MM").alias("month"),
+        F.abs(F.col("actual") - F.col("forecast")).alias("abs_err"),
+        F.expr(
+            "abs(actual - forecast) * 2000000 DIV (actual + forecast)"
+        ).alias("smape_ppm"),
+    )
+    return (
+        err.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("abs_err").cast("long").alias("sum_abs_err_cents"),
+            F.expr("CAST(SUM(abs_err) DIV COUNT(*) AS BIGINT)").alias(
+                "mae_cents"
+            ),
+            F.expr("CAST(SUM(smape_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "smape_ppm"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function at lags 1..14 (exact multiply-through)
+# ---------------------------------------------------------------------------
+
+@register(
+    "timeseries_acf_lags",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        dev AS (
+            SELECT d,
+                   CAST(COUNT(*) OVER () AS BIGINT) * x
+                     - CAST(SUM(x) OVER () AS BIGINT) AS dv
+            FROM daily
+        ),
+        den AS (
+            SELECT SUM(CAST(dv AS HUGEINT) * dv) AS den FROM dev
+        ),
+        lagged AS (
+            SELECT l.lag, t.d, t.dv AS dv_t, p.dv AS dv_p
+            FROM dev t
+            CROSS JOIN (SELECT unnest(range(1, 15)) AS lag) l
+            JOIN dev p ON p.d = t.d - l.lag * INTERVAL 1 DAY
+        )
+        SELECT lg.lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CAST(dv_t AS HUGEINT) * dv_p) * 1000000
+                    // (SELECT den FROM den) AS BIGINT) AS acf_ppm
+        FROM lagged lg
+        GROUP BY lg.lag
+        ORDER BY lg.lag
+    """,
+    survey_ids=("A6", "W1", "F13"),
+)
+def timeseries_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order revenue at lags 1–14 days — the
+    seasonality detector that tells a forecasting pipeline which lag
+    features matter (a weekly cycle shows as a lag-7/14 ridge).
+
+    Exact multiply-through contract: with n days and S = Σx, the
+    centered deviation is carried as the INTEGER n·x − S (never the
+    fractional x − mean), so the numerator Σ dv_t·dv_{t−k} and
+    denominator Σ dv² are exact 128-bit integers on both engines and
+    acf_ppm = floor(10⁶·num/den) is bit-identical; the common n²
+    factor cancels in the ratio.  Pairs join by calendar DATE (gap-
+    safe), lags fan out via a 14-element explode.
+
+    Scale shape: one scan → hash agg to the daily spine; deviations
+    and the denominator ride ONE global window over the spine (days,
+    not rows — bounded at any SF); the lag fan-out is spine × 14
+    joined back to the spine (broadcastable).  The expensive part of
+    ACF at 100 TB is the daily agg, which is map-side combinable."""
+    orders = lake.load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(13,2)") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dev = daily.select(
+        "d",
+        (
+            F.count(F.lit(1)).over(wt).cast("long") * F.col("x")
+            - F.sum("x").over(wt).cast("long")
+        ).alias("dv"),
+    )
+    den = dev.select(
+        F.sum(F.expr("CAST(dv AS DECIMAL(38,0)) * dv")).alias("den"),
+        F.lit(1).alias("k"),
+    )
+    t = dev.select(
+        F.explode(F.array(*[F.lit(i) for i in range(1, 15)])).alias("lag"),
+        F.col("d"),
+        F.col("dv").alias("dv_t"),
+    )
+    p = dev.select(F.col("d").alias("pd"), F.col("dv").alias("dv_p"))
+    lagged = t.join(
+        p, F.col("pd") == F.expr("date_sub(d, lag)")
+    )
+    num = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.expr("CAST(dv_t AS DECIMAL(38,0)) * dv_p")).alias("num"),
+    )
+    return (
+        num.withColumn("k", F.lit(1))
+        .join(F.broadcast(den), "k")
+        .select(
+            "lag",
+            "n_pairs",
+            F.expr("CAST(num * 1000000 DIV den AS BIGINT)").alias(
+                "acf_ppm"
+            ),
+        )
+        .orderBy("lag")
+    )
