@@ -158,6 +158,9 @@ _PRIORITY: tuple[str, ...] = (
     "interval_peak_concurrency",
     "forecast_seasonal_naive_error",
     "timeseries_acf_lags",
+    "text_pmi_collocations",
+    "search_reciprocal_rank_fusion",
+    "sketch_kmv_jaccard",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

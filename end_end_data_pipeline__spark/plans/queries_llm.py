@@ -2437,3 +2437,359 @@ def corpus_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("stratum_rank") <= 5)
         .select("source", "stratum_rank", "doc_id", "weight", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (log-free rational PMI ranking)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+            WHERE len({_TOKS}) >= 2
+        ),
+        pos AS (
+            SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+        ),
+        bgs AS (
+            SELECT t[i] || ' ' || t[i + 1] AS bg FROM pos
+        ),
+        big AS (
+            SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_xy FROM bgs GROUP BY bg
+        ),
+        lm AS (
+            SELECT split_part(bg, ' ', 1) AS w1,
+                   CAST(SUM(c_xy) AS BIGINT) AS c_left
+            FROM big GROUP BY 1
+        ),
+        rm AS (
+            SELECT split_part(bg, ' ', 2) AS w2,
+                   CAST(SUM(c_xy) AS BIGINT) AS c_right
+            FROM big GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS w FROM big)
+        SELECT b.bg, b.c_xy, lm.c_left, rm.c_right,
+               CAST(CAST(b.c_xy AS HUGEINT) * t.w * 1000000
+                    // (CAST(lm.c_left AS HUGEINT) * rm.c_right)
+                    AS BIGINT) AS pmi_scaled
+        FROM big b
+        JOIN lm ON split_part(b.bg, ' ', 1) = lm.w1
+        JOIN rm ON split_part(b.bg, ' ', 2) = rm.w2
+        CROSS JOIN tot t
+        WHERE b.c_xy >= 5
+        ORDER BY pmi_scaled DESC, b.bg ASC
+        LIMIT 30
+    """,
+    survey_ids=("UD5", "A2", "O2"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 collocations (sticky word pairs) by pointwise mutual
+    information over the corpus bigrams — the phrase-mining primitive
+    behind tokenizer vocabulary curation and stop-phrase detection.
+
+    Log-free determinism: PMI's log(P(xy)/(P(x)P(y))) is monotone in
+    its rational argument, so the ranking key is the exact fixed-point
+    lift ``floor(10⁶ · c_xy · W / (c_left · c_right))`` with the
+    bigram total W and the directional margins (c_left = count of
+    bigrams starting with w1, c_right = ending with w2) — pure 128-bit
+    integer arithmetic on both engines, no transcendentals in any
+    compared value.  Support floor c_xy ≥ 5 kills the PMI
+    rare-pair pathology.
+
+    Scale shape: explode to bigrams once; three map-side-combinable
+    hash aggs (bigram counts, then the two margins DERIVED from the
+    bigram table — never a second corpus pass); W is a 1-row broadcast;
+    the final cut is a TakeOrderedAndProject.  The margin joins key on
+    uniform-ish vocabulary strings, skew-bounded by the support floor."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    bg = docs.select(F.explode(text.word_bigrams("text")).alias("bg"))
+    big = bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    lm = big.groupBy(
+        F.substring_index("bg", " ", 1).alias("w1")
+    ).agg(F.sum("c_xy").cast("long").alias("c_left"))
+    rm = big.groupBy(
+        F.substring_index("bg", " ", -1).alias("w2")
+    ).agg(F.sum("c_xy").cast("long").alias("c_right"))
+    tot = big.agg(F.sum("c_xy").cast("long").alias("w")).withColumn(
+        "k", F.lit(1)
+    )
+    return (
+        big.filter(F.col("c_xy") >= 5)
+        .join(lm, F.substring_index(F.col("bg"), " ", 1) == F.col("w1"))
+        .join(rm, F.substring_index(F.col("bg"), " ", -1) == F.col("w2"))
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(tot), "k")
+        .select(
+            "bg",
+            "c_xy",
+            "c_left",
+            "c_right",
+            F.expr(
+                "CAST(CAST(c_xy AS DECIMAL(38,0)) * w * 1000000"
+                " DIV (CAST(c_left AS DECIMAL(38,0)) * c_right) AS BIGINT)"
+            ).alias("pmi_scaled"),
+        )
+        .orderBy(F.col("pmi_scaled").desc(), F.col("bg").asc())
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval rankings
+# ---------------------------------------------------------------------------
+
+def _rrf_oracle(term_a: str, term_b: str, k: int = 60, top: int = 100) -> str:
+    def ranked(term: str) -> str:
+        return f"""
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY len(list_filter({_TOKS}, x -> x = '{term}'))
+                                DESC, doc_id) AS rnk
+            FROM documents
+            WHERE len(list_filter({_TOKS}, x -> x = '{term}')) > 0
+            QUALIFY rnk <= {top}
+        """
+
+    return f"""
+        WITH ra AS ({ranked(term_a)}),
+        rb AS ({ranked(term_b)})
+        SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+               ra.rnk AS rank_a, rb.rnk AS rank_b,
+               COALESCE(1000000000 // ({k} + ra.rnk), 0)
+                 + COALESCE(1000000000 // ({k} + rb.rnk), 0) AS rrf_score
+        FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+        ORDER BY rrf_score DESC, doc_id ASC
+        LIMIT 20
+    """
+
+
+@register(
+    "search_reciprocal_rank_fusion",
+    oracle=_rrf_oracle("spark", "table"),
+    survey_ids=("UD5", "W2", "J4", "O2"),
+)
+def search_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (term-frequency
+    rankers for 'spark' and 'table') — the standard zero-tuning hybrid-
+    search combiner (BM25 ⊕ dense retrieval in production; two exact
+    tf rankers here so the oracle replays bit-for-bit).  Each ranker
+    contributes floor(10⁹ / (60 + rank)); documents missing from one
+    list contribute 0 from it — the fusion is a FULL OUTER join of the
+    two top-100 lists.
+
+    Determinism: rankings order by (tf DESC, doc_id) — unique tie-
+    break; RRF weights are integer floor divisions; the final cut
+    orders by (score DESC, doc_id).  No floats anywhere.
+
+    Scale shape: per ranker one scan + one top-k window (a global
+    row_number over rows that match the term — at 100 TB make it a
+    TakeOrderedAndProject by ranking only the tf-top candidates);
+    the fusion join touches ≤ top-k rows per side."""
+    from pyspark.sql import Window
+
+    docs = lake.load_table(spark, "documents", sf_dir)
+
+    def ranked(term: str, alias: str) -> DataFrame:
+        tf = F.size(
+            F.filter(text.tokens("text"), lambda x: x == F.lit(term))
+        )
+        w = Window.orderBy(F.col("tf").desc(), F.col("doc_id"))
+        return (
+            docs.select("doc_id", tf.alias("tf"))
+            .filter(F.col("tf") > 0)
+            .select("doc_id", F.row_number().over(w).alias(alias))
+            .filter(F.col(alias) <= 100)
+        )
+
+    ra = ranked("spark", "rank_a")
+    rb = ranked("table", "rank_b")
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("rank_a").cast("long").alias("rank_a"),
+        F.col("rank_b").cast("long").alias("rank_b"),
+        (
+            F.coalesce(
+                F.expr("1000000000 DIV (60 + rank_a)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr("1000000000 DIV (60 + rank_b)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_score"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch: pairwise source Jaccard + union-cardinality estimate
+# ---------------------------------------------------------------------------
+
+_KMV_K = 128
+
+
+@register(
+    "sketch_kmv_jaccard",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, {_TOKS} AS t FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT source,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   ))) AS s
+            FROM toks
+        ),
+        hashed AS (
+            SELECT source, s,
+                   ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+            FROM sh
+        ),
+        kept AS (
+            SELECT source, s, h
+            FROM (
+                SELECT source, s, h,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY h, s) AS rn
+                FROM hashed
+            ) WHERE rn <= {_KMV_K}
+        ),
+        srcs AS (SELECT DISTINCT source FROM documents),
+        pairs AS (
+            SELECT a.source AS src_a, b.source AS src_b
+            FROM srcs a JOIN srcs b ON a.source < b.source
+        ),
+        u AS (
+            SELECT p.src_a, p.src_b, k.s, k.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN kept k ON k.source = p.src_a
+            UNION ALL
+            SELECT p.src_a, p.src_b, k.s, k.h, 0 AS in_a, 1 AS in_b
+            FROM pairs p JOIN kept k ON k.source = p.src_b
+        ),
+        g AS (
+            SELECT src_a, src_b, s, h,
+                   MAX(in_a) AS in_a, MAX(in_b) AS in_b
+            FROM u GROUP BY src_a, src_b, s, h
+        ),
+        k2 AS (
+            SELECT src_a, src_b, h, in_a, in_b
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY src_a, src_b ORDER BY h, s) AS rn
+                FROM g
+            ) WHERE rn <= {_KMV_K}
+        )
+        SELECT src_a, src_b,
+               CAST(COUNT(*) AS BIGINT) AS k_used,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS matches,
+               CAST(SUM(in_a * in_b) * 1000000 // COUNT(*) AS BIGINT)
+                 AS jaccard_ppm,
+               CAST(CASE WHEN COUNT(*) = {_KMV_K}
+                         THEN ({_KMV_K} - 1) * 4294967296 // MAX(h)
+                         ELSE COUNT(*) END AS BIGINT) AS est_union_distinct
+        FROM k2
+        GROUP BY src_a, src_b
+        ORDER BY src_a, src_b
+    """,
+    survey_ids=("A4", "J9", "UD6"),
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vs-source content overlap from KMV (k-minimum-
+    values) bottom-k sketches over word 3-shingles — the mergeable
+    sketch that answers "which ingest feeds duplicate each other" with
+    one tiny signature per source instead of a full shingle join.
+    For each source pair: merge the two bottom-128 sets, re-take the
+    bottom 128 of the union, report the match fraction (the KMV
+    Jaccard estimator) and the union-cardinality estimate
+    (k−1)·2³²/h₍ₖ₎.
+
+    Determinism: the sketch "random" order is the md5-u32 of the
+    shingle (engine-stable, the repo-wide uniform), ties broken by the
+    shingle string; the estimator is integer floor division — the
+    whole result is hash-exact, because the approximation lives in the
+    SKETCH definition, not in any engine-varying arithmetic.
+
+    Scale shape: one scan → distinct (source, shingle) hash agg →
+    per-source top-k window (map-side combinable min-heap shape; k
+    rows per source survive).  Pair fan-out joins SKETCHES only
+    (≤ k rows per source, 190 pairs here) — never raw shingles; at
+    1000 sources that is still < 10⁵ sketch rows against
+    ``pairs``, a broadcast."""
+    from pyspark.sql import Window
+
+    docs = lake.load_table(spark, "documents", sf_dir)
+    toked = docs.select("source", text.tokens("text").alias("t"))
+    sh = toked.select(
+        "source", F.explode(dedup.shingles(F.col("t"), 3)).alias("s")
+    ).distinct()
+    hashed = sh.select("source", "s", _md5_u32(F.col("s")).alias("h"))
+    wk = Window.partitionBy("source").orderBy("h", "s")
+    kept = (
+        hashed.select("source", "s", "h", F.row_number().over(wk).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    srcs = docs.select("source").distinct()
+    a = srcs.select(F.col("source").alias("src_a"))
+    b = srcs.select(F.col("source").alias("src_b"))
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    u = (
+        pairs.join(
+            kept.select(
+                F.col("source").alias("src_a"),
+                "s",
+                "h",
+                F.lit(1).alias("in_a"),
+                F.lit(0).alias("in_b"),
+            ),
+            "src_a",
+        )
+    ).unionByName(
+        pairs.join(
+            kept.select(
+                F.col("source").alias("src_b"),
+                "s",
+                "h",
+                F.lit(0).alias("in_a"),
+                F.lit(1).alias("in_b"),
+            ),
+            "src_b",
+        )
+    )
+    g = u.groupBy("src_a", "src_b", "s", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w2 = Window.partitionBy("src_a", "src_b").orderBy("h", "s")
+    k2 = (
+        g.select(
+            "src_a",
+            "src_b",
+            "h",
+            "in_a",
+            "in_b",
+            F.row_number().over(w2).alias("rn"),
+        )
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    return (
+        k2.groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("matches"),
+            F.expr(
+                "CAST(SUM(in_a * in_b) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                f"CAST(CASE WHEN COUNT(*) = {_KMV_K}"
+                f" THEN ({_KMV_K} - 1) * 4294967296 DIV MAX(h)"
+                f" ELSE COUNT(*) END AS BIGINT)"
+            ).alias("est_union_distinct"),
+        )
+        .orderBy("src_a", "src_b")
+    )
