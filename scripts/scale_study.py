@@ -36,6 +36,14 @@ R06_WAVE = [
     "corpus_per_source_sample",
     "fuzzy_deletion_pairs",
     "multimodal_audio_fingerprint_neardup",
+    "stats_mannwhitney_auc",
+    "ml_decile_lift",
+    "interval_peak_concurrency",
+    "forecast_seasonal_naive_error",
+    "timeseries_acf_lags",
+    "text_pmi_collocations",
+    "search_reciprocal_rank_fusion",
+    "sketch_kmv_jaccard",
 ]
 
 THIRD_WAVE = [

@@ -1031,3 +1031,127 @@ def test_audio_fingerprint_pigeonhole_and_separation():
         assert diff and all(p // 3 == 7 // 3 for p in diff)  # only frame-7 band
         far = _afp_levels(c + 1000003, 2)
         assert sum(1 for p in range(15) if base[p] != far[p]) > 4
+
+
+# ---------------------------------------------------------------------------
+# round-6 retrieval wave: PMI / RRF / KMV brute-force cross-checks
+# ---------------------------------------------------------------------------
+
+
+def _doc_tokens():
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    pdf = duckdb.sql(
+        "SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t"
+        f" FROM '{SF_SMOKE}/documents.parquet'"
+    ).df()
+    return [(int(r.doc_id), r.source, list(r.t)) for r in pdf.itertuples()]
+
+
+def test_pmi_collocations_vs_python(spark):
+    """Top-30 PMI list must match an exact-int Python replay of the
+    rational-lift ranking."""
+    from collections import Counter
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = [
+        (r["bg"], r["c_xy"], r["c_left"], r["c_right"], r["pmi_scaled"])
+        for r in load_all()["text_pmi_collocations"].fn(spark, SF_SMOKE).collect()
+    ]
+    big: Counter = Counter()
+    for _, _, toks in _doc_tokens():
+        for a, b in zip(toks, toks[1:]):
+            big[f"{a} {b}"] += 1
+    w = sum(big.values())
+    left: Counter = Counter()
+    right: Counter = Counter()
+    for bg, c in big.items():
+        w1, w2 = bg.split(" ")
+        left[w1] += c
+        right[w2] += c
+    scored = [
+        (bg, c, left[bg.split(" ")[0]], right[bg.split(" ")[1]],
+         c * w * 1_000_000 // (left[bg.split(" ")[0]] * right[bg.split(" ")[1]]))
+        for bg, c in big.items()
+        if c >= 5
+    ]
+    want = sorted(scored, key=lambda x: (-x[4], x[0]))[:30]
+    assert got == want
+
+
+def test_rrf_vs_python(spark):
+    """RRF fusion must match a Python replay of both rankers."""
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = [
+        (r["doc_id"], r["rank_a"], r["rank_b"], r["rrf_score"])
+        for r in load_all()["search_reciprocal_rank_fusion"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    ]
+    docs = _doc_tokens()
+
+    def rank(term):
+        hits = [(sum(1 for t in toks if t == term), did) for did, _, toks in docs]
+        hits = [(tf, did) for tf, did in hits if tf > 0]
+        hits.sort(key=lambda x: (-x[0], x[1]))
+        return {did: i + 1 for i, (tf, did) in enumerate(hits[:100])}
+
+    ra, rb = rank("spark"), rank("table")
+    fused = {}
+    for did in set(ra) | set(rb):
+        s = 0
+        if did in ra:
+            s += 1_000_000_000 // (60 + ra[did])
+        if did in rb:
+            s += 1_000_000_000 // (60 + rb[did])
+        fused[did] = (ra.get(did), rb.get(did), s)
+    want = sorted(
+        ((did, a, b, s) for did, (a, b, s) in fused.items()),
+        key=lambda x: (-x[3], x[0]),
+    )[:20]
+    assert got == want
+
+
+def test_kmv_jaccard_vs_python_sketch(spark):
+    """One pair's KMV merge must match a hashlib.md5 Python replay;
+    all pairs obey the sketch invariants."""
+    import hashlib
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    rows = load_all()["sketch_kmv_jaccard"].fn(spark, SF_SMOKE).collect()
+    assert rows, "no source pairs"
+    for r in rows:
+        assert 0 < r["k_used"] <= 128
+        assert 0 <= r["matches"] <= r["k_used"]
+        assert r["jaccard_ppm"] == r["matches"] * 1_000_000 // r["k_used"]
+
+    def u32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    shingle_sets = {}
+    for _, source, toks in _doc_tokens():
+        ss = shingle_sets.setdefault(source, set())
+        ss.update(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+    srcs = sorted(shingle_sets)
+    a, b = srcs[0], srcs[1]
+    bottom = lambda src: set(
+        sorted(((u32(s), s) for s in shingle_sets[src]))[:128]
+    )
+    ka, kb = bottom(a), bottom(b)
+    merged = sorted(ka | kb)[:128]
+    matches = sum(1 for hs in merged if hs in ka and hs in kb)
+    row = next(r for r in rows if r["src_a"] == a and r["src_b"] == b)
+    assert row["k_used"] == len(merged)
+    assert row["matches"] == matches
+    if len(merged) == 128:
+        assert row["est_union_distinct"] == 127 * 4294967296 // merged[-1][0]

@@ -387,3 +387,170 @@ def test_ks_two_sample_extremes(spark):
     )
     r = ks(disjoint)
     assert r["d_ppm"] == 1_000_000 and r["reject_5pct"]
+
+
+# ---------------------------------------------------------------------------
+# round-6 ML-eval / timeseries wave: brute-force cross-checks
+# ---------------------------------------------------------------------------
+
+
+def _fixture_df(table, cols):
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    return duckdb.sql(
+        f"SELECT {cols} FROM '{SF_SMOKE}/{table}.parquet'"
+    ).df()
+
+
+def _daily_cents():
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    return duckdb.sql(
+        "SELECT CAST(o_orderdate AS DATE) AS d,"
+        " SUM(CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT)) AS x"
+        f" FROM '{SF_SMOKE}/orders.parquet' GROUP BY 1"
+    ).df()
+
+
+def test_mannwhitney_auc_vs_numpy_bruteforce(spark):
+    """u2_num from the distinct-value spine must equal the O(n1*n2)
+    pairwise definition 2*(#{x1 > x2} + 0.5*#{x1 == x2})."""
+    import numpy as np
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    row = (
+        load_all()["stats_mannwhitney_auc"].fn(spark, SF_SMOKE).collect()[0]
+    )
+    pdf = _fixture_df(
+        "orders",
+        "CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT) AS xc,"
+        " o_custkey",
+    )
+    cust = _fixture_df("customer", "c_custkey, c_mktsegment")
+    m = pdf.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    x1 = m.loc[m.c_mktsegment == "BUILDING", "xc"].to_numpy()
+    x2 = m.loc[m.c_mktsegment == "MACHINERY", "xc"].to_numpy()
+    gt = int((x1[:, None] > x2[None, :]).sum())
+    eq = int((x1[:, None] == x2[None, :]).sum())
+    assert row["n1"] == len(x1) and row["n2"] == len(x2)
+    assert row["u2_num"] == 2 * gt + eq
+    assert row["auc_ppm"] == (2 * gt + eq) * 500000 // (len(x1) * len(x2))
+
+
+def test_decile_lift_invariants(spark):
+    """Deciles partition the population into near-equal cuts; gains are
+    monotone; the full-population lift is exactly 1.0 (1e6 ppm)."""
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    rows = load_all()["ml_decile_lift"].fn(spark, SF_SMOKE).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    gains = [r["gain_ppm"] for r in rows]
+    assert gains == sorted(gains)
+    assert rows[-1]["cum_lift_ppm"] == 1_000_000
+    assert rows[-1]["gain_ppm"] == 1_000_000
+    assert rows[-1]["cum_n"] == sum(sizes)
+
+
+def test_interval_peak_concurrency_vs_python_sweep(spark):
+    """Peak and argmax-day per nation must match a per-day occupancy
+    dict built row-at-a-time in Python."""
+    from collections import Counter, defaultdict
+    from datetime import timedelta
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["nation"]: (r["peak_in_transit"], r["peak_first_day"], r["n_shipments"])
+        for r in load_all()["interval_peak_concurrency"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    li = _fixture_df(
+        "lineitem",
+        "l_orderkey, l_linenumber, l_suppkey, CAST(l_shipdate AS DATE) AS sd",
+    )
+    sup = _fixture_df("supplier", "s_suppkey, s_nationkey")
+    nat = _fixture_df("nation", "n_nationkey, n_name")
+    m = li.merge(sup, left_on="l_suppkey", right_on="s_suppkey").merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    occ: dict = defaultdict(Counter)
+    n_ship: Counter = Counter()
+    for r in m.itertuples():
+        transit = int(r.l_orderkey * 3 + r.l_linenumber) % 14 + 1
+        n_ship[r.n_name] += 1
+        for k in range(transit):
+            occ[r.n_name][r.sd + timedelta(days=k)] += 1
+    for nation, days in occ.items():
+        peak = max(days.values())
+        first = min(d for d, c in days.items() if c == peak)
+        assert got[nation] == (peak, first.strftime("%Y-%m-%d"), n_ship[nation]), nation
+
+
+def test_seasonal_naive_error_vs_pandas(spark):
+    """Monthly MAE/sMAPE must match a pandas lag-7 reindex join."""
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["month"]: (r["n_days"], r["sum_abs_err_cents"], r["mae_cents"], r["smape_ppm"])
+        for r in load_all()["forecast_seasonal_naive_error"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    daily = _daily_cents()
+    by_day = {r.d: int(r.x) for r in daily.itertuples()}
+    from collections import defaultdict
+    from datetime import timedelta
+
+    agg = defaultdict(lambda: [0, 0, 0])  # n, sum_abs, sum_smape
+    for d, a in by_day.items():
+        f = by_day.get(d - timedelta(days=7))
+        if f is None:
+            continue
+        month = d.strftime("%Y-%m")
+        agg[month][0] += 1
+        agg[month][1] += abs(a - f)
+        agg[month][2] += abs(a - f) * 2_000_000 // (a + f)
+    want = {
+        m: (n, s, s // n, sm // n) for m, (n, s, sm) in agg.items()
+    }
+    assert got == want
+
+
+def test_acf_lags_bounds_and_bruteforce(spark):
+    """|acf| <= 1e6 ppm at every lag (Cauchy-Schwarz on subset sums);
+    lag-1 and lag-7 numerators match exact-int Python."""
+    from datetime import timedelta
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    rows = load_all()["timeseries_acf_lags"].fn(spark, SF_SMOKE).collect()
+    assert [r["lag"] for r in rows] == list(range(1, 15))
+    assert all(abs(r["acf_ppm"]) <= 1_000_000 for r in rows)
+    daily = _daily_cents()
+    xs = {r.d: int(r.x) for r in daily.itertuples()}
+    n, s = len(xs), sum(xs.values())
+    dv = {d: n * x - s for d, x in xs.items()}
+    den = sum(v * v for v in dv.values())
+    for lag in (1, 7):
+        num = sum(
+            v * dv[d - timedelta(days=lag)]
+            for d, v in dv.items()
+            if d - timedelta(days=lag) in dv
+        )
+        r = next(r for r in rows if r["lag"] == lag)
+        # trunc-toward-zero division on both engines:
+        q = abs(num) * 1_000_000 // den
+        assert r["acf_ppm"] == (q if num >= 0 else -q)
