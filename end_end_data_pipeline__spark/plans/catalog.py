@@ -161,6 +161,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_pmi_collocations",
     "search_reciprocal_rank_fusion",
     "sketch_kmv_jaccard",
+    "control_chart_xmr_signals",
+    "embedding_centroid_classifier_eval",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

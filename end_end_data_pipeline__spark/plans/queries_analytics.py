@@ -2127,3 +2127,76 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, books = pq_encode(emb, m=4, k=4, dim=64, iterations=2)
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return pq_adc_topk(codes, books, query, k_top=10)
+
+
+@register(
+    "embedding_centroid_classifier_eval",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        cm AS (
+            SELECT label, i,
+                   CAST((SUM(q[i]) + COUNT(*) * 1000000) // COUNT(*)
+                        AS BIGINT) - 1000000 AS cval
+            FROM q, unnest(range(1, 65)) AS t(i)
+            GROUP BY 1, 2
+        ),
+        c1 AS (
+            SELECT label AS clabel, list(cval ORDER BY i) AS c
+            FROM cm GROUP BY label
+        ),
+        d AS (
+            SELECT v.vec_id, v.label, c.clabel,
+                   SUM((v.q[i] - c.c[i]) * (v.q[i] - c.c[i])) AS d
+            FROM q v CROSS JOIN c1 c, unnest(range(1, 65)) AS t(i)
+            GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT vec_id, label, clabel AS pred FROM (
+                SELECT vec_id, label, clabel,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, clabel) AS rn
+                FROM d) WHERE rn = 1
+        )
+        SELECT label, pred,
+               CAST(COUNT(*) AS BIGINT) AS n_cell,
+               CAST(SUM(vec_id) AS BIGINT) AS member_id_sum
+        FROM pred GROUP BY label, pred
+        ORDER BY label, pred
+    """,
+    survey_ids=("UD7", "F13", "A3"),
+)
+def embedding_centroid_classifier_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-quality evaluation by nearest-centroid (Rocchio)
+    reclassification: train one mean vector per label on the corpus
+    itself, reassign every vector to its nearest centroid in exact
+    fixed-point squared-L2, and report the full confusion matrix
+    (true label × predicted label, with a member-id checksum per
+    cell).  The diagonal mass is the separability score of the
+    embedding space; the heaviest off-diagonal cells name the label
+    pairs a downstream classifier will confuse.  See
+    :func:`operators.similarity.nearest_centroid_confusion` for the
+    literal-centroid one-scan plan shape."""
+    from end_end_data_pipeline__spark.operators.similarity import (
+        nearest_centroid_confusion,
+    )
+
+    emb = lake.load_table(spark, "embeddings", sf_dir)
+    pred = nearest_centroid_confusion(emb)
+    return (
+        pred.groupBy(
+            F.col("__label").alias("label"), F.col("pred")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cell"),
+            F.sum("__id").cast("long").alias("member_id_sum"),
+        )
+        .orderBy("label", "pred")
+    )

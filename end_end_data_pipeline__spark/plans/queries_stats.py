@@ -2006,3 +2006,146 @@ def timeseries_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# XmR individuals control chart (SPC limit + run-rule signals)
+# ---------------------------------------------------------------------------
+
+@register(
+    "control_chart_xmr_signals",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        mr AS (
+            SELECT d, x,
+                   abs(x - lag(x) OVER (ORDER BY d)) AS mr
+            FROM daily
+        ),
+        st AS (
+            SELECT d, x,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   CAST(SUM(x) OVER () AS BIGINT) AS sx,
+                   CAST(SUM(mr) OVER () AS BIGINT) AS smr
+            FROM mr
+        ),
+        lim AS (
+            SELECT d, x,
+                   CASE WHEN n * x > sx THEN 'limit_above'
+                        ELSE 'limit_below' END AS signal
+            FROM st
+            WHERE CAST(100 AS HUGEINT) * (n - 1) * abs(n * x - sx)
+                  > CAST(266 AS HUGEINT) * n * smr
+        ),
+        signed AS (
+            SELECT d, x,
+                   CASE WHEN n * x > sx THEN 1 ELSE 0 END AS above
+            FROM st
+        ),
+        runs AS (
+            SELECT d, x, above,
+                   SUM(above) OVER (ORDER BY d
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS s8,
+                   COUNT(*) OVER (ORDER BY d
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c8
+            FROM signed
+        ),
+        runsig AS (
+            SELECT d, x,
+                   CASE WHEN s8 = 8 THEN 'run8_above'
+                        ELSE 'run8_below' END AS signal
+            FROM runs WHERE c8 = 8 AND (s8 = 8 OR s8 = 0)
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day, x AS cents, signal
+        FROM (SELECT * FROM lim UNION ALL SELECT * FROM runsig)
+        ORDER BY day, signal
+    """,
+    survey_ids=("W1", "W3", "A6"),
+)
+def control_chart_xmr_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals / moving-range) control chart over daily order
+    revenue — the SPC monitor of a data pipeline's throughput: flags
+    days outside the x̄ ± 2.66·mR̄ natural-process limits, plus the
+    Western-Electric run rule (8 consecutive days on one side of the
+    center line — a drift too small for the limits but too long for
+    chance).
+
+    Exact-integer contract: the limit test |x − S/n| > 2.66·MR/(n−1)
+    is cross-multiplied to 100·(n−1)·|n·x − S| > 266·n·MR in 128-bit
+    integers (2.66 = 266/100 exactly), and the center-line side is the
+    exact comparison n·x > S — no division, no doubles, bit-identical
+    on both engines.
+
+    Scale shape: one scan → hash agg to the daily spine; the lag,
+    global stats, and 8-row run windows all ride the bounded spine
+    (days, not rows).  The moving-range chart is THE monitoring
+    primitive that needs no parameter tuning — limits derive from the
+    data's own short-term variation."""
+    orders = lake.load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(13,2)") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    wd = Window.orderBy("d")
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mr = daily.select(
+        "d", "x", F.abs(F.col("x") - F.lag("x").over(wd)).alias("mr")
+    )
+    st = mr.select(
+        "d",
+        "x",
+        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+        F.sum("x").over(wt).cast("long").alias("sx"),
+        F.sum("mr").over(wt).cast("long").alias("smr"),
+    )
+    lim = st.filter(
+        F.expr(
+            "CAST(100 AS DECIMAL(38,0)) * (n - 1) * abs(n * x - sx)"
+            " > CAST(266 AS DECIMAL(38,0)) * n * smr"
+        )
+    ).select(
+        "d",
+        "x",
+        F.when(F.expr("n * x > sx"), "limit_above")
+        .otherwise("limit_below")
+        .alias("signal"),
+    )
+    signed = st.select(
+        "d", "x", F.expr("CASE WHEN n * x > sx THEN 1 ELSE 0 END").alias("above")
+    )
+    w8 = Window.orderBy("d").rowsBetween(-7, 0)
+    runs = signed.select(
+        "d",
+        "x",
+        F.sum("above").over(w8).alias("s8"),
+        F.count(F.lit(1)).over(w8).alias("c8"),
+    )
+    runsig = runs.filter(
+        (F.col("c8") == 8) & ((F.col("s8") == 8) | (F.col("s8") == 0))
+    ).select(
+        "d",
+        "x",
+        F.when(F.col("s8") == 8, "run8_above")
+        .otherwise("run8_below")
+        .alias("signal"),
+    )
+    return (
+        lim.unionByName(runsig)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("x").alias("cents"),
+            "signal",
+        )
+        .orderBy("day", "signal")
+    )

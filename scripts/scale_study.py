@@ -44,6 +44,8 @@ R06_WAVE = [
     "text_pmi_collocations",
     "search_reciprocal_rank_fusion",
     "sketch_kmv_jaccard",
+    "control_chart_xmr_signals",
+    "embedding_centroid_classifier_eval",
 ]
 
 THIRD_WAVE = [

@@ -554,3 +554,79 @@ def test_acf_lags_bounds_and_bruteforce(spark):
         # trunc-toward-zero division on both engines:
         q = abs(num) * 1_000_000 // den
         assert r["acf_ppm"] == (q if num >= 0 else -q)
+
+
+def test_control_chart_xmr_vs_python(spark):
+    """Limit and run signals must match an exact-int Python replay."""
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = [
+        (r["day"], r["cents"], r["signal"])
+        for r in load_all()["control_chart_xmr_signals"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    ]
+    daily = _daily_cents()
+    series = sorted((r.d, int(r.x)) for r in daily.itertuples())
+    xs = [x for _, x in series]
+    n, sx = len(xs), sum(xs)
+    smr = sum(abs(a - b) for a, b in zip(xs[1:], xs))
+    want = []
+    for (d, x) in series:
+        if 100 * (n - 1) * abs(n * x - sx) > 266 * n * smr:
+            want.append(
+                (d.strftime("%Y-%m-%d"), x,
+                 "limit_above" if n * x > sx else "limit_below")
+            )
+    above = [1 if n * x > sx else 0 for x in xs]
+    for i in range(7, len(xs)):
+        s8 = sum(above[i - 7 : i + 1])
+        if s8 in (0, 8):
+            d, x = series[i]
+            want.append(
+                (d.strftime("%Y-%m-%d"), x,
+                 "run8_above" if s8 == 8 else "run8_below")
+            )
+    assert got == sorted(want)
+
+
+def test_centroid_classifier_vs_numpy(spark):
+    """Confusion cells must match an int64 numpy replay of the
+    fixed-point centroid assignment."""
+    import duckdb
+    import numpy as np
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r["label"], r["pred"]): (r["n_cell"], r["member_id_sum"])
+        for r in load_all()["embedding_centroid_classifier_eval"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    pdf = duckdb.sql(
+        "SELECT vec_id, label, embedding"
+        f" FROM '{SF_SMOKE}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    vecs = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    q = np.floor(vecs * 1_000_000).astype(np.int64)
+    labels = pdf.label.to_numpy().astype(np.int64)
+    ids = pdf.vec_id.to_numpy().astype(np.int64)
+    uniq = np.sort(np.unique(labels))
+    cents = []
+    for lbl in uniq:
+        s = q[labels == lbl].sum(axis=0)
+        cnt = int((labels == lbl).sum())
+        cents.append((s + cnt * 1_000_000) // cnt - 1_000_000)
+    cents = np.stack(cents)  # (L, dim) exact floor means
+    # exact int64 distances: (n, L)
+    d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    pred = uniq[d.argmin(axis=1)]  # argmin ties -> first = smallest label
+    want = {}
+    for lbl, pr, vid in zip(labels, pred, ids):
+        n, s = want.get((lbl, pr), (0, 0))
+        want[(int(lbl), int(pr))] = (n + 1, s + int(vid))
+    assert got == want
+    assert sum(n for n, _ in got.values()) == len(ids)
