@@ -163,6 +163,8 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_kmv_jaccard",
     "control_chart_xmr_signals",
     "embedding_centroid_classifier_eval",
+    "streaks_longest_active_run",
+    "timeseries_rolling_median_7d",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

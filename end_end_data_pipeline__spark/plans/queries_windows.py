@@ -679,3 +679,173 @@ def sketch_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaks_longest_active_run",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        grp AS (
+            SELECT user_id, d,
+                   date_diff('day', DATE '1990-01-01', d)
+                     - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                     AS island
+            FROM days
+        ),
+        islands AS (
+            SELECT user_id, island,
+                   CAST(COUNT(*) AS BIGINT) AS len,
+                   MIN(d) AS start_d
+            FROM grp GROUP BY user_id, island
+        ),
+        best AS (
+            SELECT user_id, len, start_d,
+                   CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT)
+                     AS n_active_days,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY len DESC, start_d ASC) AS rn
+            FROM islands
+        )
+        SELECT user_id, n_active_days,
+               len AS longest_streak,
+               strftime(start_d, '%Y-%m-%d') AS streak_start
+        FROM best WHERE rn = 1
+        ORDER BY user_id
+    """,
+    survey_ids=("W2", "W1", "A6"),
+)
+def streaks_longest_active_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands pattern (engagement scoring / habit metrics):
+    distinct active days minus their per-user row_number is constant
+    exactly while days are consecutive, so one window + one hash agg
+    turns day rows into islands; the longest island (earliest start
+    breaking ties) is each user's streak.
+
+    Determinism: the island key is an INTEGER day ordinal difference
+    (anchor-datediff minus rank — engine-identical), not engine date
+    arithmetic; the winner is picked by (len DESC, start ASC) — a
+    total order.
+
+    Scale shape: distinct (user, day) is a map-side-combinable hash
+    agg that bounds everything downstream at users × days; both
+    windows partition by user_id (parallel across the user key
+    space, never global)."""
+    events = lake.load_table(spark, "events", sf_dir)
+    days = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("1990-01-01"))
+            - F.row_number().over(wu)
+        ).alias("island"),
+    )
+    islands = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").alias("start_d"),
+    )
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start_d").asc()
+    )
+    wsum = Window.partitionBy("user_id")
+    best = islands.select(
+        "user_id",
+        "len",
+        "start_d",
+        F.sum("len").over(wsum).cast("long").alias("n_active_days"),
+        F.row_number().over(wbest).alias("rn"),
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_active_days",
+            F.col("len").alias("longest_streak"),
+            F.date_format("start_d", "yyyy-MM-dd").alias("streak_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling 7-day median (order statistics in a sliding frame)
+# ---------------------------------------------------------------------------
+
+@register(
+    "timeseries_rolling_median_7d",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        win AS (
+            SELECT d, x,
+                   list_sort(list(x) OVER (ORDER BY d
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS w
+            FROM daily
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day, x AS cents,
+               CAST(len(w) AS BIGINT) AS n_win,
+               CAST(w[(len(w) + 1) // 2]
+                    + w[len(w) // 2 + 1] AS BIGINT) AS med2_cents
+        FROM win
+        ORDER BY day
+    """,
+    survey_ids=("W4", "A8", "F12"),
+)
+def timeseries_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day median of daily order revenue — the
+    outlier-robust smoother (a mean-based moving average chases every
+    spike; the median window ignores them), i.e. order statistics
+    inside a sliding frame, which no built-in windowed aggregate
+    gives exactly.
+
+    Exact-integer contract: the window's values are collected and
+    sorted per frame, and the median is reported DOUBLED
+    (``m_lo + m_hi``, = 2·middle for odd frames) so even frames never
+    produce a fractional value — the repo's midpoint-median recipe.
+    ``collect_list`` over a window has nondeterministic arrival
+    order, so the frame array is ``array_sort``-ed before indexing —
+    deterministic as a multiset.
+
+    Scale shape: the frame rides the bounded daily spine (days, not
+    raw rows; the expensive part at 100 TB is the map-side-combinable
+    daily agg).  Frame width is a constant 7, so the per-row sort is
+    O(1)."""
+    orders = lake.load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(13,2)") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    win = daily.select(
+        "d",
+        "x",
+        F.array_sort(F.collect_list("x").over(w7)).alias("w"),
+    )
+    return win.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("cents"),
+        F.size("w").cast("long").alias("n_win"),
+        F.expr(
+            "CAST(element_at(w, CAST((size(w) + 1) DIV 2 AS INT))"
+            " + element_at(w, CAST(size(w) DIV 2 + 1 AS INT)) AS BIGINT)"
+        ).alias("med2_cents"),
+    ).orderBy("day")

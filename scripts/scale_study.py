@@ -46,6 +46,8 @@ R06_WAVE = [
     "sketch_kmv_jaccard",
     "control_chart_xmr_signals",
     "embedding_centroid_classifier_eval",
+    "streaks_longest_active_run",
+    "timeseries_rolling_median_7d",
 ]
 
 THIRD_WAVE = [

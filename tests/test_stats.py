@@ -630,3 +630,65 @@ def test_centroid_classifier_vs_numpy(spark):
         want[(int(lbl), int(pr))] = (n + 1, s + int(vid))
     assert got == want
     assert sum(n for n, _ in got.values()) == len(ids)
+
+
+def test_longest_streak_vs_python(spark):
+    """Streak table must match a plain-Python consecutive-run scan."""
+    import duckdb
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["user_id"]: (r["n_active_days"], r["longest_streak"], r["streak_start"])
+        for r in load_all()["streaks_longest_active_run"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    pdf = duckdb.sql(
+        "SELECT DISTINCT user_id, CAST(ts AS DATE) AS d"
+        f" FROM '{SF_SMOKE}/events.parquet' ORDER BY user_id, d"
+    ).df()
+    from collections import defaultdict
+    from datetime import timedelta
+
+    by_user = defaultdict(list)
+    for r in pdf.itertuples():
+        by_user[int(r.user_id)].append(r.d)
+    want = {}
+    for uid, days in by_user.items():
+        best_len, best_start = 0, None
+        run_len, run_start = 0, None
+        prev = None
+        for d in days:
+            if prev is not None and d == prev + timedelta(days=1):
+                run_len += 1
+            else:
+                run_len, run_start = 1, d
+            if run_len > best_len:
+                best_len, best_start = run_len, run_start
+            prev = d
+        want[uid] = (len(days), best_len, best_start.strftime("%Y-%m-%d"))
+    assert got == want
+
+
+def test_rolling_median_vs_python(spark):
+    """Doubled rolling medians must match sorted-window Python."""
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = [
+        (r["day"], r["cents"], r["n_win"], r["med2_cents"])
+        for r in load_all()["timeseries_rolling_median_7d"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    ]
+    daily = _daily_cents()
+    series = sorted((r.d, int(r.x)) for r in daily.itertuples())
+    want = []
+    for i, (d, x) in enumerate(series):
+        w = sorted(x2 for _, x2 in series[max(0, i - 6) : i + 1])
+        n = len(w)
+        med2 = w[(n + 1) // 2 - 1] + w[n // 2]
+        want.append((d.strftime("%Y-%m-%d"), x, n, med2))
+    assert got == want
