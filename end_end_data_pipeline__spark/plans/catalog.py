@@ -165,6 +165,9 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_centroid_classifier_eval",
     "streaks_longest_active_run",
     "timeseries_rolling_median_7d",
+    "features_hashing_trick",
+    "features_target_encoding_loo",
+    "corpus_groupwise_split",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

@@ -2200,3 +2200,239 @@ def embedding_centroid_classifier_eval(
         )
         .orderBy("label", "pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering: hashing trick, LOO target encoding, group-safe split
+# ---------------------------------------------------------------------------
+
+def _u32_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+@register(
+    "features_hashing_trick",
+    oracle=f"""
+        WITH feats AS (
+            SELECT c.c_custkey,
+                   'n=' || n.n_name AS feat,
+                   CAST(1 AS BIGINT) AS weight
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            UNION ALL
+            SELECT c_custkey, 's=' || c_mktsegment AS feat,
+                   CAST(1 AS BIGINT) AS weight
+            FROM customer
+            UNION ALL
+            SELECT o_custkey AS c_custkey,
+                   'p=' || o_orderpriority AS feat,
+                   CAST(COUNT(*) AS BIGINT) AS weight
+            FROM orders GROUP BY 1, 2
+        ),
+        hashed AS (
+            SELECT c_custkey,
+                   {_u32_sql('feat')} % 16 AS bucket,
+                   CASE WHEN ({_u32_sql('feat')} // 16) % 2 = 0
+                        THEN weight ELSE -weight END AS sval
+            FROM feats
+        )
+        SELECT c_custkey, CAST(bucket AS BIGINT) AS bucket,
+               CAST(SUM(sval) AS BIGINT) AS val
+        FROM hashed
+        GROUP BY c_custkey, bucket
+        ORDER BY c_custkey, bucket
+    """,
+    survey_ids=("F4", "A3", "U1"),
+)
+def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick) per customer: categorical
+    features (nation, market segment, per-priority order counts) are
+    hashed into a FIXED 16-bucket signed vector — the dimensionality
+    cap that makes categorical feature spaces of unbounded vocabulary
+    trainable without a fitted vocabulary object (no stateful encoder
+    to ship; new categories at serve time hash to the same space).
+
+    Determinism: bucket = md5-u32(feat) mod 16 and the sign bit is the
+    next hash bit — the engine-stable uniform, exactly replayable in
+    SQL; cell values are signed integer weight sums (sparse — only
+    non-zero cells are emitted).
+
+    Scale shape: three feature extractors union into one (entity,
+    feat, weight) stream (the priority counts pre-aggregated
+    map-side), one hash agg on (entity, bucket) — no vocabulary
+    broadcast, no fitted state, the defining scale property of the
+    trick."""
+    from end_end_data_pipeline__spark.plans.queries_llm import _md5_u32
+
+    cust = lake.load_table(spark, "customer", sf_dir)
+    nat = lake.load_table(spark, "nation", sf_dir)
+    orders = lake.load_table(spark, "orders", sf_dir)
+    feats = (
+        cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+        .select(
+            "c_custkey",
+            F.concat(F.lit("n="), F.col("n_name")).alias("feat"),
+            F.lit(1).cast("long").alias("weight"),
+        )
+        .unionByName(
+            cust.select(
+                "c_custkey",
+                F.concat(F.lit("s="), F.col("c_mktsegment")).alias("feat"),
+                F.lit(1).cast("long").alias("weight"),
+            )
+        )
+        .unionByName(
+            orders.groupBy(
+                F.col("o_custkey").alias("c_custkey"),
+                F.concat(F.lit("p="), F.col("o_orderpriority")).alias(
+                    "feat"
+                ),
+            ).agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        )
+    )
+    h = _md5_u32(F.col("feat"))
+    hashed = feats.select(
+        "c_custkey",
+        (h % 16).alias("bucket"),
+        F.when((h.bitwiseAND(16) == 0), F.col("weight"))
+        .otherwise(-F.col("weight"))
+        .alias("sval"),
+    )
+    return (
+        hashed.groupBy("c_custkey", "bucket")
+        .agg(F.sum("sval").cast("long").alias("val"))
+        .select(
+            "c_custkey", F.col("bucket").cast("long").alias("bucket"), "val"
+        )
+        .orderBy("c_custkey", "bucket")
+    )
+
+
+@register(
+    "features_target_encoding_loo",
+    oracle="""
+        WITH labeled AS (
+            SELECT o.o_orderkey, c.c_mktsegment AS segment,
+                   CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                     AS label
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        seg AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(label) AS BIGINT) AS pos
+            FROM labeled GROUP BY segment
+        )
+        SELECT l.o_orderkey, l.segment, CAST(l.label AS BIGINT) AS label,
+               CAST((s.pos - l.label) * 1000000 // (s.n - 1) AS BIGINT)
+                 AS te_loo_ppm,
+               CAST((s.pos * 1000000 + 20 * 500000) // (s.n + 20) AS BIGINT)
+                 AS te_smooth_ppm
+        FROM labeled l JOIN seg s ON l.segment = s.segment
+        ORDER BY l.o_orderkey
+    """,
+    survey_ids=("A5", "J1", "F11"),
+)
+def features_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target encoding of the market segment against the urgent-order
+    label, in the two leakage-aware forms a training pipeline needs:
+    LEAVE-ONE-OUT (each row's own label removed from its category
+    mean — the standard guard against the target leaking into its own
+    feature) and prior-smoothed (m=20 pseudo-observations of the 50%
+    prior — the guard against tiny categories memorizing).
+
+    Exact integers: both encodings are fixed-point ppm floors of
+    rational means — (pos−y)·10⁶/(n−1) and (pos·10⁶+m·½·10⁶)/(n+m) —
+    no doubles, bit-identical cross-engine.
+
+    Scale shape: one equi-join for labels, one map-side-combinable
+    hash agg to category stats (segments — tiny), one broadcast join
+    back to rows.  The LOO adjustment is per-row arithmetic on the
+    joined stats, NOT a per-row re-aggregation."""
+    orders = lake.load_table(spark, "orders", sf_dir)
+    cust = lake.load_table(spark, "customer", sf_dir)
+    labeled = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    seg = labeled.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    return (
+        labeled.join(F.broadcast(seg), "segment")
+        .select(
+            "o_orderkey",
+            "segment",
+            F.col("label").cast("long").alias("label"),
+            F.expr(
+                "CAST((pos - label) * 1000000 DIV (n - 1) AS BIGINT)"
+            ).alias("te_loo_ppm"),
+            F.expr(
+                "CAST((pos * 1000000 + 20 * 500000) DIV (n + 20) AS BIGINT)"
+            ).alias("te_smooth_ppm"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "corpus_groupwise_split",
+    oracle=f"""
+        WITH folded AS (
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(CAST(CAST(o.o_totalprice AS DECIMAL(13,2)) * 100
+                        AS BIGINT) AS BIGINT) AS cents,
+                   {_u32_sql('CAST(o.o_custkey AS VARCHAR)')} % 5 AS fold
+            FROM orders o
+        )
+        SELECT CAST(fold AS BIGINT) AS fold,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS cents,
+               CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_checksum
+        FROM folded
+        GROUP BY fold
+        ORDER BY fold
+    """,
+    survey_ids=("F4", "F9", "A4"),
+)
+def corpus_groupwise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware k-fold assignment: every order lands in the fold of
+    its CUSTOMER's hash, so no customer ever spans folds — the
+    leakage-safe cross-validation split (a row-level split leaks
+    entity-level signal across folds; hashing the group key is the
+    stateless fix).  Fold populations are reported with id checksums
+    so the driver hash-verifies the exact membership, and
+    ``n_customers`` sums to the distinct-customer total — the
+    partition property itself.
+
+    Scale shape: the fold is a projection (md5-u32 mod k on the group
+    key — no shuffle, no fitted state), and the report is one hash
+    agg.  distinct-customer per fold is exact because fold is a
+    FUNCTION of the customer key."""
+    from end_end_data_pipeline__spark.plans.queries_llm import _md5_u32
+
+    orders = lake.load_table(spark, "orders", sf_dir)
+    folded = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (_md5_u32(F.col("o_custkey")) % 5).alias("fold"),
+    )
+    return (
+        folded.groupBy(F.col("fold").cast("long").alias("fold"))
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.sum("o_orderkey").cast("long").alias("orderkey_checksum"),
+        )
+        .orderBy("fold")
+    )

@@ -48,6 +48,9 @@ R06_WAVE = [
     "embedding_centroid_classifier_eval",
     "streaks_longest_active_run",
     "timeseries_rolling_median_7d",
+    "features_hashing_trick",
+    "features_target_encoding_loo",
+    "corpus_groupwise_split",
 ]
 
 THIRD_WAVE = [
