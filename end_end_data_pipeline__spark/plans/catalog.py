@@ -168,6 +168,8 @@ _PRIORITY: tuple[str, ...] = (
     "features_hashing_trick",
     "features_target_encoding_loo",
     "corpus_groupwise_split",
+    "interval_overlap_concurrent_shipments",
+    "interval_union_coverage_days",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

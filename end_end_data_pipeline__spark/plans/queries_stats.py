@@ -2149,3 +2149,235 @@ def control_chart_xmr_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "signal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval algebra: bucketed overlap self-join + union coverage measure
+# ---------------------------------------------------------------------------
+
+_IV_SQL = """
+            SELECT l_suppkey AS sk,
+                   CAST(l_shipdate AS DATE) AS s,
+                   CAST(CAST(l_shipdate AS DATE)
+                        + ((l_orderkey * 3 + l_linenumber) % 14 + 1)
+                          * INTERVAL 1 DAY AS DATE) AS e
+            FROM lineitem
+"""
+
+
+@register(
+    "interval_overlap_concurrent_shipments",
+    oracle=f"""
+        WITH iv AS ({_IV_SQL}),
+        g AS (
+            SELECT sk, s, e,
+                   date_part('year', s) * 12 + date_part('month', s) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM iv GROUP BY sk, s, e, 4
+        ),
+        a2 AS (
+            SELECT sk, s, e, m, c, m AS k FROM g
+            UNION ALL
+            SELECT sk, s, e, m, c, m + 1 AS k FROM g
+        ),
+        cross_pairs AS (
+            SELECT a.sk, a.c * b.c AS w,
+                   least(a.e, b.e) - greatest(a.s, b.s) AS ov
+            FROM a2 a JOIN g b
+              ON a.sk = b.sk AND a.k = b.m
+             AND (b.m > a.m OR a.s < b.s OR (a.s = b.s AND a.e < b.e))
+             AND a.s < b.e AND b.s < a.e
+        ),
+        within_pairs AS (
+            SELECT sk, c * (c - 1) // 2 AS w, e - s AS ov
+            FROM g WHERE c >= 2
+        ),
+        pairs AS (
+            SELECT * FROM cross_pairs UNION ALL SELECT * FROM within_pairs
+        )
+        SELECT sk AS s_suppkey,
+               CAST(SUM(w) AS BIGINT) AS n_pairs,
+               CAST(MAX(ov) AS BIGINT) AS max_overlap_days,
+               CAST(SUM(w * ov) AS BIGINT) AS total_overlap_days
+        FROM pairs
+        GROUP BY sk
+        ORDER BY s_suppkey
+    """,
+    survey_ids=("J7", "J3", "A3"),
+)
+def interval_overlap_concurrent_shipments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval OVERLAP self-join: per supplier, every unordered pair
+    of shipments whose in-transit windows intersect, aggregated to
+    pair count / max / total overlap days — the workload-interference
+    analysis behind the ``interval_peak_concurrency`` point statistic
+    (the peak says how high; the pairs say which shipments collide
+    and for how long).
+
+    Two scale techniques compose here.  (1) MONTH-BUCKETED interval
+    joining: transit is ≤ 15 days < one month, so overlapping
+    intervals start in the same or adjacent months — side A is
+    exploded to its (month, month+1) keys and equi-joined to side B's
+    month, turning the range predicate into a hash join with a
+    bounded 2× expansion; each qualifying pair matches exactly once
+    (the next-month key can't reach back; same-month duplicates die
+    on the canonical (s, e) order).  (2) MULTIPLICITY COMPRESSION:
+    identical (supplier, start, end) intervals collapse to one row
+    with count c BEFORE the join (the fixture really has duplicate
+    line rows), contributing c_a·c_b per cross pair and C(c,2)
+    within-group pairs — the join runs on distinct intervals, not raw
+    rows.
+
+    At 100 TB the per-(supplier, month) bucket bounds the quadratic
+    fan-out; a hot supplier-month is salted like any skewed join key.
+    """
+    li = lake.load_table(spark, "lineitem", sf_dir)
+    iv = li.select(
+        F.col("l_suppkey").alias("sk"),
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            ((F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 14 + 1)
+            .cast("int"),
+        ).alias("e"),
+    )
+    g = iv.groupBy(
+        "sk", "s", "e", (F.year("s") * 12 + F.month("s")).alias("m")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a2 = g.select("sk", "s", "e", "m", "c", F.col("m").alias("k")).unionByName(
+        g.select("sk", "s", "e", "m", "c", (F.col("m") + 1).alias("k"))
+    )
+    b = g.select(
+        F.col("sk").alias("bsk"),
+        F.col("s").alias("bs"),
+        F.col("e").alias("be"),
+        F.col("m").alias("bm"),
+        F.col("c").alias("bc"),
+    )
+    cross_pairs = a2.join(
+        b,
+        (F.col("sk") == F.col("bsk"))
+        & (F.col("k") == F.col("bm"))
+        & (
+            (F.col("bm") > F.col("m"))
+            | (F.col("s") < F.col("bs"))
+            | ((F.col("s") == F.col("bs")) & (F.col("e") < F.col("be")))
+        )
+        & (F.col("s") < F.col("be"))
+        & (F.col("bs") < F.col("e")),
+    ).select(
+        "sk",
+        (F.col("c") * F.col("bc")).alias("w"),
+        F.datediff(F.least("e", "be"), F.greatest("s", "bs")).alias("ov"),
+    )
+    within_pairs = g.filter(F.col("c") >= 2).select(
+        "sk",
+        F.expr("c * (c - 1) DIV 2").alias("w"),
+        F.datediff("e", "s").alias("ov"),
+    )
+    pairs = cross_pairs.unionByName(within_pairs)
+    return (
+        pairs.groupBy(F.col("sk").alias("s_suppkey"))
+        .agg(
+            F.sum("w").cast("long").alias("n_pairs"),
+            F.max("ov").cast("long").alias("max_overlap_days"),
+            F.sum(F.col("w") * F.col("ov")).cast("long").alias(
+                "total_overlap_days"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "interval_union_coverage_days",
+    oracle=f"""
+        WITH iv AS ({_IV_SQL}),
+        ev AS (
+            SELECT sk, s AS d, 1 AS delta FROM iv
+            UNION ALL
+            SELECT sk, e AS d, -1 AS delta FROM iv
+        ),
+        net AS (
+            SELECT sk, d, CAST(SUM(delta) AS BIGINT) AS net
+            FROM ev GROUP BY sk, d
+        ),
+        conc AS (
+            SELECT sk, d,
+                   SUM(net) OVER (PARTITION BY sk ORDER BY d) AS conc,
+                   lead(d) OVER (PARTITION BY sk ORDER BY d) AS nxt
+            FROM net
+        )
+        SELECT sk AS s_suppkey,
+               CAST(SUM(CASE WHEN conc > 0
+                             THEN date_diff('day', d, nxt)
+                             ELSE 0 END) AS BIGINT) AS covered_days,
+               CAST(date_diff('day', MIN(d), MAX(d)) AS BIGINT) AS span_days,
+               CAST(SUM(CASE WHEN conc > 0
+                             THEN date_diff('day', d, nxt)
+                             ELSE 0 END) * 1000000
+                    // date_diff('day', MIN(d), MAX(d)) AS BIGINT)
+                 AS utilization_ppm
+        FROM conc
+        GROUP BY sk
+        ORDER BY s_suppkey
+    """,
+    survey_ids=("W1", "W3", "A6"),
+)
+def interval_union_coverage_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION measure: per supplier, how many distinct days
+    had at least one shipment in transit (the union length of the
+    interval set — NOT the sum, which double-counts overlaps), the
+    first-to-last span, and utilization ppm — the duty-cycle metric
+    of a logistics/ops dashboard.
+
+    Sweep-line again, but integrating the gaps: +1/−1 events collapse
+    per (supplier, day); the cumulative concurrency says whether the
+    segment [d, next_d) is covered; summing covered segment lengths
+    gives the exact union measure in integer days.  One window per
+    supplier over the bounded event spine; fixed-point ppm floor for
+    utilization."""
+    li = lake.load_table(spark, "lineitem", sf_dir)
+    iv = li.select(
+        F.col("l_suppkey").alias("sk"),
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            ((F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 14 + 1)
+            .cast("int"),
+        ).alias("e"),
+    )
+    ev = iv.select(
+        "sk", F.col("s").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(iv.select("sk", F.col("e").alias("d"), F.lit(-1).alias("delta")))
+    net = ev.groupBy("sk", "d").agg(F.sum("delta").cast("long").alias("net"))
+    ws = (
+        Window.partitionBy("sk")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wl = Window.partitionBy("sk").orderBy("d")
+    conc = net.select(
+        "sk",
+        "d",
+        F.sum("net").over(ws).alias("conc"),
+        F.lead("d").over(wl).alias("nxt"),
+    )
+    return (
+        conc.groupBy(F.col("sk").alias("s_suppkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("conc") > 0, F.datediff("nxt", "d")).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered_days"),
+            F.datediff(F.max("d"), F.min("d")).cast("long").alias("span_days"),
+            F.expr(
+                "CAST(SUM(CASE WHEN conc > 0 THEN datediff(nxt, d)"
+                " ELSE 0 END) * 1000000"
+                " DIV datediff(MAX(d), MIN(d)) AS BIGINT)"
+            ).alias("utilization_ppm"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -51,6 +51,8 @@ R06_WAVE = [
     "features_hashing_trick",
     "features_target_encoding_loo",
     "corpus_groupwise_split",
+    "interval_overlap_concurrent_shipments",
+    "interval_union_coverage_days",
 ]
 
 THIRD_WAVE = [

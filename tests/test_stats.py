@@ -692,3 +692,76 @@ def test_rolling_median_vs_python(spark):
         med2 = w[(n + 1) // 2 - 1] + w[n // 2]
         want.append((d.strftime("%Y-%m-%d"), x, n, med2))
     assert got == want
+
+
+def test_interval_overlap_pairs_vs_python(spark):
+    """Bucketed overlap join must equal the O(n²)-per-supplier brute
+    force: every qualifying pair exactly once, overlaps exact."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["s_suppkey"]: (r["n_pairs"], r["max_overlap_days"], r["total_overlap_days"])
+        for r in load_all()["interval_overlap_concurrent_shipments"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    li = _fixture_df(
+        "lineitem",
+        "l_suppkey, l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS sd",
+    )
+    by_sup = defaultdict(list)
+    for r in li.itertuples():
+        transit = int(r.l_orderkey * 3 + r.l_linenumber) % 14 + 1
+        by_sup[int(r.l_suppkey)].append((r.sd, r.sd + timedelta(days=transit)))
+    want = {}
+    for sk, ivs in by_sup.items():
+        ovs = []
+        for i in range(len(ivs)):
+            for j in range(i + 1, len(ivs)):
+                (s1, e1), (s2, e2) = ivs[i], ivs[j]
+                if s1 < e2 and s2 < e1:
+                    ovs.append((min(e1, e2) - max(s1, s2)).days)
+        if ovs:
+            want[sk] = (len(ovs), max(ovs), sum(ovs))
+    assert got == want
+
+
+def test_interval_union_coverage_vs_python(spark):
+    """Union measure must equal a day-set size built interval by
+    interval."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["s_suppkey"]: (r["covered_days"], r["span_days"], r["utilization_ppm"])
+        for r in load_all()["interval_union_coverage_days"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    li = _fixture_df(
+        "lineitem",
+        "l_suppkey, l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS sd",
+    )
+    days = defaultdict(set)
+    bounds = {}
+    for r in li.itertuples():
+        sk = int(r.l_suppkey)
+        transit = int(r.l_orderkey * 3 + r.l_linenumber) % 14 + 1
+        end = r.sd + timedelta(days=transit)
+        for k in range(transit):
+            days[sk].add(r.sd + timedelta(days=k))
+        lo, hi = bounds.get(sk, (r.sd, end))
+        bounds[sk] = (min(lo, r.sd), max(hi, end))
+    want = {}
+    for sk, ds in days.items():
+        lo, hi = bounds[sk]
+        span = (hi - lo).days
+        want[sk] = (len(ds), span, len(ds) * 1_000_000 // span)
+    assert got == want
