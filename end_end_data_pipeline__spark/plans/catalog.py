@@ -170,6 +170,9 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_groupwise_split",
     "interval_overlap_concurrent_shipments",
     "interval_union_coverage_days",
+    "ml_conformal_threshold",
+    "robust_weighted_median_value",
+    "growth_mom_yoy_revenue",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

@@ -2381,3 +2381,318 @@ def interval_union_coverage_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conformal prediction threshold + empirical coverage (split calibration)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ml_conformal_threshold",
+    oracle="""
+        WITH labeled AS (
+            SELECT o.o_orderkey,
+                   c.c_mktsegment AS segment,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT)
+                     AS xc,
+                   ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 8))
+                     ::BIGINT % 2 AS fold
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        seg AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_cal,
+                   CAST(SUM(xc) AS BIGINT) AS s_cal
+            FROM labeled WHERE fold = 0 GROUP BY segment
+        ),
+        scored AS (
+            SELECT l.o_orderkey, l.segment, l.fold,
+                   abs(s.n_cal * l.xc - s.s_cal) AS score
+            FROM labeled l JOIN seg s ON l.segment = s.segment
+        ),
+        ranked AS (
+            SELECT segment, score,
+                   row_number() OVER (PARTITION BY segment
+                                      ORDER BY score, o_orderkey) AS rn
+            FROM scored WHERE fold = 0
+        ),
+        thr AS (
+            SELECT r.segment, r.score AS threshold
+            FROM ranked r JOIN seg s ON r.segment = s.segment
+            WHERE r.rn = (s.n_cal * 9 + 9) // 10
+        )
+        SELECT t.segment,
+               s.n_cal,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               t.threshold,
+               CAST(SUM(CASE WHEN sc.score <= t.threshold THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm
+        FROM scored sc
+        JOIN thr t ON sc.segment = t.segment
+        JOIN seg s ON sc.segment = s.segment
+        WHERE sc.fold = 1
+        GROUP BY t.segment, s.n_cal, t.threshold
+        ORDER BY t.segment
+    """,
+    survey_ids=("W2", "A5", "F4"),
+)
+def ml_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration per market segment: a hash fold
+    splits orders into calibration/test, the nonconformity score is
+    the exact integer deviation |n·x − S| from the calibration mean
+    (multiply-through — no division ever happens), the 90% threshold
+    is the ceil(0.9·(n+1))-th order statistic of calibration scores
+    (the finite-sample-valid conformal quantile, = (9n+9) div 10),
+    and the reported test coverage_ppm should hover near 900000 —
+    the distribution-free uncertainty-interval machinery of a
+    production scoring pipeline.
+
+    Everything is rank-exact integers: scores share a per-segment
+    denominator so their order is the true deviation order; the
+    threshold pick is a row_number window with a unique tie-break;
+    coverage is a fixed-point floor.
+
+    Scale shape: one join for labels, a tiny calibration-stats agg
+    broadcast back, one per-segment rank window over calibration
+    rows, and one hash agg over test rows joined to the 5-row
+    threshold table (broadcast).  At 100 TB the rank window is the
+    only order-sensitive step, and it partitions by segment."""
+    from end_end_data_pipeline__spark.plans.queries_llm import _md5_u32
+
+    orders = lake.load_table(spark, "orders", sf_dir)
+    cust = lake.load_table(spark, "customer", sf_dir)
+    labeled = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+        .cast("bigint")
+        .alias("xc"),
+        (_md5_u32(F.col("o_orderkey")) % 2).alias("fold"),
+    )
+    seg = (
+        labeled.filter(F.col("fold") == 0)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cal"),
+            F.sum("xc").cast("long").alias("s_cal"),
+        )
+    )
+    scored = labeled.join(F.broadcast(seg), "segment").select(
+        "o_orderkey",
+        "segment",
+        "fold",
+        "n_cal",
+        F.abs(F.col("n_cal") * F.col("xc") - F.col("s_cal")).alias("score"),
+    )
+    wr = Window.partitionBy("segment").orderBy("score", "o_orderkey")
+    thr = (
+        scored.filter(F.col("fold") == 0)
+        .select(
+            "segment", "score", "n_cal", F.row_number().over(wr).alias("rn")
+        )
+        .filter(F.expr("rn = (n_cal * 9 + 9) DIV 10"))
+        .select("segment", F.col("score").alias("threshold"))
+    )
+    return (
+        scored.filter(F.col("fold") == 1)
+        .join(F.broadcast(thr), "segment")
+        .groupBy("segment", "n_cal", "threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.expr(
+                "CAST(SUM(CASE WHEN score <= threshold THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .select(
+            "segment", "n_cal", "n_test", "threshold", "coverage_ppm"
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (rank-exact, quantity-weighted order statistic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "robust_weighted_median_value",
+    oracle="""
+        WITH pts AS (
+            SELECT l_returnflag AS grp,
+                   CAST(CAST(l_extendedprice AS DECIMAL(13,2)) * 100
+                        AS BIGINT) AS v,
+                   CAST(CAST(l_quantity AS DECIMAL(12,0)) AS BIGINT) AS w
+            FROM lineitem
+        ),
+        byv AS (
+            SELECT grp, v, CAST(SUM(w) AS BIGINT) AS w
+            FROM pts GROUP BY grp, v
+        ),
+        cum AS (
+            SELECT grp, v, w,
+                   SUM(w) OVER (PARTITION BY grp ORDER BY v) AS cw,
+                   SUM(w) OVER (PARTITION BY grp) AS tw
+            FROM byv
+        ),
+        lo AS (
+            SELECT grp, MIN(v) AS m_lo FROM cum
+            WHERE 2 * cw >= tw GROUP BY grp
+        ),
+        hi AS (
+            SELECT grp, MIN(v) AS m_hi FROM cum
+            WHERE 2 * cw > tw GROUP BY grp
+        )
+        SELECT c.grp,
+               CAST(MAX(c.tw) AS BIGINT) AS total_weight,
+               CAST(MAX(l.m_lo) + MAX(h.m_hi) AS BIGINT) AS wmed2_cents
+        FROM cum c
+        JOIN lo l ON c.grp = l.grp
+        JOIN hi h ON c.grp = h.grp
+        GROUP BY c.grp
+        ORDER BY c.grp
+    """,
+    survey_ids=("A8", "W1", "A2"),
+)
+def robust_weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-WEIGHTED median line price per return flag — the order
+    statistic where each observation counts by its weight (the
+    per-unit typical price, not the per-line one), rank-exact like
+    the plain median but over the cumulative WEIGHT: the lower
+    weighted median is the first value whose cumulative weight
+    reaches half the total (2·cw ≥ W exactly — no halving division),
+    the upper the first strictly past it, reported doubled
+    (m_lo + m_hi) to stay integral.
+
+    Scale shape: collapse to distinct values per group first (one
+    map-side-combinable hash agg), then ONE cumulative window over
+    the per-group value spine — the same shape every rank-exact
+    statistic in this repo uses; never a sort of raw rows."""
+    li = lake.load_table(spark, "lineitem", sf_dir)
+    pts = li.select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_extendedprice").cast("decimal(13,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+        F.col("l_quantity").cast("decimal(12,0)").cast("bigint").alias("w"),
+    )
+    byv = pts.groupBy("grp", "v").agg(F.sum("w").cast("long").alias("w"))
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("grp")
+    cum = byv.select(
+        "grp",
+        "v",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    lo = (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("grp")
+        .agg(F.min("v").alias("m_lo"))
+    )
+    hi = (
+        cum.filter(2 * F.col("cw") > F.col("tw"))
+        .groupBy("grp")
+        .agg(F.min("v").alias("m_hi"))
+    )
+    tot = cum.groupBy("grp").agg(F.max("tw").cast("long").alias("total_weight"))
+    return (
+        tot.join(lo, "grp")
+        .join(hi, "grp")
+        .select(
+            "grp",
+            "total_weight",
+            (F.col("m_lo") + F.col("m_hi")).cast("long").alias("wmed2_cents"),
+        )
+        .orderBy("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MoM / YoY growth (calendar-join deltas, the BI reporting staple)
+# ---------------------------------------------------------------------------
+
+@register(
+    "growth_mom_yoy_revenue",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_part('year', CAST(o_orderdate AS DATE)) * 12
+                     + date_part('month', CAST(o_orderdate AS DATE)) - 1
+                     AS mo,
+                   strftime(date_trunc('month', CAST(o_orderdate AS DATE)),
+                            '%Y-%m') AS month,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT a.month, a.cents,
+               CAST((a.cents - m1.cents) * 1000000 // m1.cents AS BIGINT)
+                 AS mom_ppm,
+               CAST((a.cents - m12.cents) * 1000000 // m12.cents AS BIGINT)
+                 AS yoy_ppm
+        FROM monthly a
+        LEFT JOIN monthly m1 ON m1.mo = a.mo - 1
+        LEFT JOIN monthly m12 ON m12.mo = a.mo - 12
+        ORDER BY a.month
+    """,
+    survey_ids=("A6", "F6", "J4"),
+)
+def growth_mom_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth (fixed-point
+    ppm) — the BI reporting staple, computed by CALENDAR join on an
+    integer month ordinal rather than a row-lag window, so a missing
+    month yields NULL growth instead of silently comparing against
+    the wrong period.  Growth is exact integer arithmetic with
+    truncating division (identical on both engines, negative growth
+    included).
+
+    Scale shape: one map-side-combinable hash agg to the month spine,
+    then two self equi-joins on the tiny spine (broadcastable at any
+    SF)."""
+    orders = lake.load_table(spark, "orders", sf_dir)
+    monthly = orders.groupBy(
+        (
+            F.year(F.to_date("o_orderdate")) * 12
+            + F.month(F.to_date("o_orderdate"))
+            - 1
+        ).alias("mo"),
+        F.date_format(
+            F.date_trunc("month", F.to_date("o_orderdate")), "yyyy-MM"
+        ).alias("month"),
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(13,2)") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    a = monthly.alias("a")
+    m1 = monthly.select(
+        F.col("mo").alias("mo1"), F.col("cents").alias("cents1")
+    )
+    m12 = monthly.select(
+        F.col("mo").alias("mo12"), F.col("cents").alias("cents12")
+    )
+    return (
+        a.join(m1, F.col("mo1") == F.col("a.mo") - 1, "left")
+        .join(m12, F.col("mo12") == F.col("a.mo") - 12, "left")
+        .select(
+            F.col("a.month").alias("month"),
+            F.col("a.cents").alias("cents"),
+            F.expr(
+                "CAST((cents - cents1) * 1000000 DIV cents1 AS BIGINT)"
+            ).alias("mom_ppm"),
+            F.expr(
+                "CAST((cents - cents12) * 1000000 DIV cents12 AS BIGINT)"
+            ).alias("yoy_ppm"),
+        )
+        .orderBy("month")
+    )

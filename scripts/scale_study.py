@@ -53,6 +53,9 @@ R06_WAVE = [
     "corpus_groupwise_split",
     "interval_overlap_concurrent_shipments",
     "interval_union_coverage_days",
+    "ml_conformal_threshold",
+    "robust_weighted_median_value",
+    "growth_mom_yoy_revenue",
 ]
 
 THIRD_WAVE = [

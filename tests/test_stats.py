@@ -765,3 +765,122 @@ def test_interval_union_coverage_vs_python(spark):
         span = (hi - lo).days
         want[sk] = (len(ds), span, len(ds) * 1_000_000 // span)
     assert got == want
+
+
+def test_conformal_threshold_vs_python(spark):
+    """Per-segment thresholds and coverage must match an exact-int
+    Python replay; coverage should sit near the nominal 90%."""
+    import hashlib
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["segment"]: (r["n_cal"], r["n_test"], r["threshold"], r["coverage_ppm"])
+        for r in load_all()["ml_conformal_threshold"].fn(spark, SF_SMOKE).collect()
+    }
+    pdf = _fixture_df(
+        "orders",
+        "o_orderkey, o_custkey,"
+        " CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT) AS xc",
+    )
+    cust = _fixture_df("customer", "c_custkey, c_mktsegment")
+    m = pdf.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    from collections import defaultdict
+
+    cal = defaultdict(list)
+    test = defaultdict(list)
+    stats = defaultdict(lambda: [0, 0])
+    rows = [
+        (int(r.o_orderkey), r.c_mktsegment, int(r.xc)) for r in m.itertuples()
+    ]
+    for okey, seg, xc in rows:
+        fold = int(hashlib.md5(str(okey).encode()).hexdigest()[:8], 16) % 2
+        if fold == 0:
+            stats[seg][0] += 1
+            stats[seg][1] += xc
+    for okey, seg, xc in rows:
+        n, s = stats[seg]
+        fold = int(hashlib.md5(str(okey).encode()).hexdigest()[:8], 16) % 2
+        (cal if fold == 0 else test)[seg].append((abs(n * xc - s), okey))
+    for seg in stats:
+        n, _ = stats[seg]
+        k = (n * 9 + 9) // 10
+        thr = sorted(cal[seg])[k - 1][0]
+        n_test = len(test[seg])
+        cov = sum(1 for sc, _ in test[seg] if sc <= thr) * 1_000_000 // n_test
+        assert got[seg] == (n, n_test, thr, cov)
+        assert 800_000 < cov < 1_000_000  # near nominal 90%
+
+
+def test_weighted_median_vs_python(spark):
+    """Doubled weighted medians must match a sequential cumulative-
+    weight scan."""
+    from collections import defaultdict
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["grp"]: (r["total_weight"], r["wmed2_cents"])
+        for r in load_all()["robust_weighted_median_value"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    li = _fixture_df(
+        "lineitem",
+        "l_returnflag AS grp,"
+        " CAST(CAST(l_extendedprice AS DECIMAL(13,2)) * 100 AS BIGINT) AS v,"
+        " CAST(CAST(l_quantity AS DECIMAL(12,0)) AS BIGINT) AS w",
+    )
+    groups = defaultdict(lambda: defaultdict(int))
+    for r in li.itertuples():
+        groups[r.grp][int(r.v)] += int(r.w)
+    for grp, byv in groups.items():
+        tw = sum(byv.values())
+        cw = 0
+        m_lo = m_hi = None
+        for v in sorted(byv):
+            cw += byv[v]
+            if m_lo is None and 2 * cw >= tw:
+                m_lo = v
+            if m_hi is None and 2 * cw > tw:
+                m_hi = v
+        assert got[grp] == (tw, m_lo + m_hi), grp
+
+
+def test_growth_mom_yoy_vs_python(spark):
+    """Growth ppm columns must match a dict-based month-ordinal join,
+    including NULLs for missing periods."""
+    import duckdb
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["month"]: (r["cents"], r["mom_ppm"], r["yoy_ppm"])
+        for r in load_all()["growth_mom_yoy_revenue"].fn(spark, SF_SMOKE).collect()
+    }
+    pdf = duckdb.sql(
+        "SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)),"
+        " '%Y-%m') AS month,"
+        " SUM(CAST(CAST(o_totalprice AS DECIMAL(13,2)) * 100 AS BIGINT))"
+        " AS cents"
+        f" FROM '{SF_SMOKE}/orders.parquet' GROUP BY 1"
+    ).df()
+    cents = {r.month: int(r.cents) for r in pdf.itertuples()}
+
+    def shift(month, k):
+        y, m = int(month[:4]), int(month[5:])
+        mo = y * 12 + m - 1 - k
+        return f"{mo // 12:04d}-{mo % 12 + 1:02d}"
+
+    def tdiv(a, b):
+        q = abs(a) * 1_000_000 // b
+        return q if a >= 0 else -q
+
+    for month, c in cents.items():
+        p1, p12 = cents.get(shift(month, 1)), cents.get(shift(month, 12))
+        mom = tdiv(c - p1, p1) if p1 else None
+        yoy = tdiv(c - p12, p12) if p12 else None
+        assert got[month] == (c, mom, yoy), month
