@@ -173,6 +173,8 @@ _PRIORITY: tuple[str, ...] = (
     "ml_conformal_threshold",
     "robust_weighted_median_value",
     "growth_mom_yoy_revenue",
+    "corpus_vocab_growth_curve",
+    "privacy_k_anonymity_audit",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

@@ -2793,3 +2793,158 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve (how much new vocab more data buys)
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_vocab_growth_curve",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   ))) AS s
+            FROM toks
+        ),
+        firsts AS (
+            SELECT s, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM sh
+            GROUP BY s
+        ),
+        n AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs
+              FROM documents),
+        grid AS (SELECT unnest(range(1, 11)) AS decile)
+        SELECT g.decile,
+               CAST(g.decile * n.n_docs // 10 AS BIGINT) AS n_docs_prefix,
+               CAST(SUM(CASE WHEN f.first_doc < g.decile * n.n_docs // 10
+                             THEN 1 ELSE 0 END) AS BIGINT) AS vocab_size
+        FROM firsts f CROSS JOIN grid g CROSS JOIN n
+        GROUP BY g.decile, n.n_docs
+        ORDER BY g.decile
+    """,
+    survey_ids=("UD5", "A4", "A6"),
+)
+def corpus_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve over word 3-shingles: the
+    distinct-vocabulary size of every 10%-of-corpus prefix (by
+    doc_id) — the data-scaling diagnostic that answers "does more
+    data still buy new content, or are we re-crawling the same
+    text?"  A flattening curve is the saturation signal that gates
+    further ingest spend.
+
+    The trick that makes it ONE pass instead of ten: the prefix-p
+    vocabulary is exactly the set of shingles whose FIRST occurrence
+    (min doc_id) falls inside the prefix, so a single min-agg per
+    shingle plus a 10-row threshold grid replaces ten distinct-counts
+    over growing prefixes.
+
+    Scale shape: explode-distinct per doc, one map-side-combinable
+    min hash-agg to (shingle, first_doc) — the only corpus-sized
+    state — then a broadcast 10-row grid join and a 10-group agg.
+    The grid join is the bounded crossJoin degenerate case (10 ×
+    vocab), same bound class as the drift grid."""
+    docs = lake.load_table(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", text.tokens("text").alias("t"))
+    sh = toked.select(
+        "doc_id", F.explode(dedup.shingles(F.col("t"), 3)).alias("s")
+    )
+    firsts = sh.groupBy("s").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    n_docs = docs.agg(
+        (F.max("doc_id") + 1).cast("long").alias("n_docs")
+    ).withColumn("k", F.lit(1))
+    grid = (
+        docs.sparkSession.range(1, 11)
+        .select(F.col("id").cast("long").alias("decile"))
+        .withColumn("k", F.lit(1))
+    )
+    thresholds = F.broadcast(
+        grid.join(n_docs, "k").select(
+            "decile",
+            F.expr("CAST(decile * n_docs DIV 10 AS BIGINT)").alias(
+                "n_docs_prefix"
+            ),
+        )
+    ).withColumn("k", F.lit(1))
+    return (
+        firsts.withColumn("k", F.lit(1))
+        .join(thresholds, "k")
+        .groupBy("decile", "n_docs_prefix")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") < F.col("n_docs_prefix"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("vocab_size")
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (governance: quasi-identifier re-identification risk)
+# ---------------------------------------------------------------------------
+
+@register(
+    "privacy_k_anonymity_audit",
+    oracle="""
+        WITH qi AS (
+            SELECT c.c_custkey,
+                   n.n_name AS nation,
+                   c.c_mktsegment AS segment,
+                   CAST(CAST(c.c_acctbal AS DECIMAL(13,2)) * 100 AS BIGINT)
+                     // 100000 AS balance_band
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        cells AS (
+            SELECT nation, segment, balance_band,
+                   CAST(COUNT(*) AS BIGINT) AS cell_size
+            FROM qi GROUP BY nation, segment, balance_band
+        )
+        SELECT nation, segment, balance_band, cell_size
+        FROM cells
+        WHERE cell_size < 5
+        ORDER BY nation, segment, balance_band
+    """,
+    survey_ids=("P7", "A3", "F7"),
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-
+    identifier (nation, segment, $1000 balance band): every
+    equivalence cell smaller than k=5 is a re-identification risk —
+    the rows a privacy-preserving release must suppress or
+    generalize.  The governance complement to
+    ``governance_masked_customers``: masking hides direct
+    identifiers; THIS finds the indirect ones.
+
+    Exact integers: the balance band is floor cents/100000 (exact
+    DECIMAL→BIGINT, no float bucketing), so cell membership is
+    bit-identical cross-engine.
+
+    Scale shape: one equi-join + one map-side-combinable hash agg on
+    the QI tuple, then a size filter — the audit costs one groupBy at
+    any SF."""
+    cust = lake.load_table(spark, "customer", sf_dir)
+    nat = lake.load_table(spark, "nation", sf_dir)
+    qi = cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"]).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "CAST(CAST(CAST(c_acctbal AS DECIMAL(13,2)) * 100 AS BIGINT)"
+            " DIV 100000 AS BIGINT)"
+        ).alias("balance_band"),
+    )
+    return (
+        qi.groupBy("nation", "segment", "balance_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_size"))
+        .filter(F.col("cell_size") < 5)
+        .orderBy("nation", "segment", "balance_band")
+    )

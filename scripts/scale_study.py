@@ -56,6 +56,8 @@ R06_WAVE = [
     "ml_conformal_threshold",
     "robust_weighted_median_value",
     "growth_mom_yoy_revenue",
+    "corpus_vocab_growth_curve",
+    "privacy_k_anonymity_audit",
 ]
 
 THIRD_WAVE = [

@@ -1155,3 +1155,67 @@ def test_kmv_jaccard_vs_python_sketch(spark):
     assert row["matches"] == matches
     if len(merged) == 128:
         assert row["est_union_distinct"] == 127 * 4294967296 // merged[-1][0]
+
+
+def test_vocab_growth_curve_vs_python(spark):
+    """The one-pass min-doc trick must equal ten literal prefix
+    distinct-counts; the curve is nondecreasing and ends at the full
+    vocabulary."""
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_all()["corpus_vocab_growth_curve"].fn(spark, SF_SMOKE).collect()
+    )
+    docs = _doc_tokens()
+    n_docs = max(did for did, _, _ in docs) + 1
+
+    def shingles(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    for r in rows:
+        cutoff = r["decile"] * n_docs // 10
+        assert r["n_docs_prefix"] == cutoff
+        vocab = set()
+        for did, _, toks in docs:
+            if did < cutoff:
+                vocab |= shingles(toks)
+        assert r["vocab_size"] == len(vocab), r["decile"]
+    sizes = [r["vocab_size"] for r in rows]
+    assert sizes == sorted(sizes)
+
+
+def test_k_anonymity_audit_vs_python(spark):
+    """Risk cells must match a dict-count replay, and every reported
+    cell is genuinely below k."""
+    import duckdb
+    from collections import Counter
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r["nation"], r["segment"], r["balance_band"]): r["cell_size"]
+        for r in load_all()["privacy_k_anonymity_audit"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    pdf = duckdb.sql(
+        "SELECT n.n_name AS nation, c.c_mktsegment AS segment,"
+        " CAST(CAST(c.c_acctbal AS DECIMAL(13,2)) * 100 AS BIGINT) AS cents"
+        f" FROM '{SF_SMOKE}/customer.parquet' c"
+        f" JOIN '{SF_SMOKE}/nation.parquet' n ON c.c_nationkey = n.n_nationkey"
+    ).df()
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    cells = Counter(
+        (r.nation, r.segment, tdiv(int(r.cents), 100000))
+        for r in pdf.itertuples()
+    )
+    want = {k: v for k, v in cells.items() if v < 5}
+    assert got == want
+    assert all(v < 5 for v in got.values())

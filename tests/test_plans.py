@@ -41,6 +41,14 @@ BNLJ_OK = {
     "corpus_semantic_dedup",
     # groups x top-1000-vocab grid: a bounded broadcast cross by design
     "corpus_source_drift",
+    # 1-row broadcast scalar attaches (lit-key join constant-folds to
+    # a trivially-true condition): den / W / threshold-grid frames
+    "timeseries_acf_lags",
+    "text_pmi_collocations",
+    "corpus_vocab_growth_curve",
+    # sources x sources pair grid (s1 < s2): bounded at n_sources²,
+    # joined against bottom-k SKETCHES only — by design
+    "sketch_kmv_jaccard",
 }
 
 EXPENSIVE_IN_SCAN = re.compile(
