@@ -2204,6 +2204,7 @@ _IV_SQL = """
         ORDER BY s_suppkey
     """,
     survey_ids=("J7", "J3", "A3"),
+    bench=True,  # reports as a bench EXTRA (outside the pinned-12 ratchet)
 )
 def interval_overlap_concurrent_shipments(
     spark: SparkSession, sf_dir: str
