@@ -177,6 +177,7 @@ _PRIORITY: tuple[str, ...] = (
     "growth_mom_yoy_revenue",
     "corpus_vocab_growth_curve",
     "privacy_k_anonymity_audit",
+    "graph_link_prediction_jaccard",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

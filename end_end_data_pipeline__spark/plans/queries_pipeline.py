@@ -1650,3 +1650,127 @@ def graph_cheapest_transfer_4hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("node")
     )
     return cheapest_paths_khop(edges, sources, k=4)
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbors / Jaccard scores for non-edges
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_link_prediction_jaccard",
+    oracle="""
+        WITH raw AS (
+            SELECT o_custkey AS src,
+                   (o_orderkey % (SELECT MAX(c_custkey) FROM customer)) + 1
+                     AS dst
+            FROM orders WHERE o_orderkey % 23 = 0
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        ),
+        adj AS (
+            SELECT u AS n, v AS x FROM und
+            UNION ALL
+            SELECT v AS n, u AS x FROM und
+        ),
+        deg AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n
+        ),
+        cand AS (
+            SELECT a.x AS u, b.x AS v, CAST(COUNT(*) AS BIGINT) AS cn
+            FROM adj a JOIN adj b ON a.n = b.n AND a.x < b.x
+            GROUP BY a.x, b.x
+        ),
+        nonedge AS (
+            SELECT c.u, c.v, c.cn
+            FROM cand c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM und e WHERE e.u = c.u AND e.v = c.v
+            )
+        )
+        SELECT ne.u, ne.v, ne.cn AS common_neighbors,
+               du.d AS deg_u, dv.d AS deg_v,
+               CAST(ne.cn * 1000000 // (du.d + dv.d - ne.cn) AS BIGINT)
+                 AS jaccard_ppm
+        FROM nonedge ne
+        JOIN deg du ON ne.u = du.n
+        JOIN deg dv ON ne.v = dv.n
+        ORDER BY jaccard_ppm DESC, common_neighbors DESC, ne.u, ne.v
+        LIMIT 50
+    """,
+    survey_ids=("J3", "J6", "O2"),
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the transfer graph: the 50 most likely
+    missing edges by neighborhood Jaccard — common neighbors over
+    union of neighborhoods, the triangle-closing signal behind
+    "people you may know" / fraud-ring completion.  Scores only node
+    pairs that share ≥1 neighbor (the wedge join generates candidates;
+    all-pairs never materializes), anti-joined against existing edges.
+
+    Exact integers: cn and degrees are exact counts; the score is the
+    fixed-point floor cn·10⁶/(deg_u + deg_v − cn); the final cut is a
+    total order (score, cn, u, v).
+
+    Scale shape: the wedge self-join on the shared neighbor is the
+    classic Σdeg² candidate generator (same bound class as triangle
+    counting's oriented wedges); hub nodes are the skew knob — cap or
+    salt the hot neighbor like the n-gram df-cap.  Everything after
+    candidates is hash aggs and broadcastable degree joins."""
+    cust = lake.load_table(spark, "customer", sf_dir)
+    orders = lake.load_table(spark, "orders", sf_dir)
+    max_ck = cust.agg(F.max("c_custkey").alias("mx")).withColumn(
+        "k", F.lit(1)
+    )
+    raw = (
+        orders.filter(F.col("o_orderkey") % 23 == 0)
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(max_ck), "k")
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") % F.col("mx") + 1).alias("dst"),
+        )
+    )
+    und = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("n"), F.col("v").alias("x")).unionByName(
+        und.select(F.col("v").alias("n"), F.col("u").alias("x"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    b = adj.select(F.col("n").alias("bn"), F.col("x").alias("bx"))
+    cand = (
+        adj.join(b, (F.col("n") == F.col("bn")) & (F.col("x") < F.col("bx")))
+        .groupBy(F.col("x").alias("u"), F.col("bx").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    nonedge = cand.join(und, ["u", "v"], "left_anti")
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("deg_v"))
+    return (
+        nonedge.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("cn").alias("common_neighbors"),
+            "deg_u",
+            "deg_v",
+            F.expr(
+                "CAST(cn * 1000000 DIV (deg_u + deg_v - cn) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(
+            F.col("jaccard_ppm").desc(),
+            F.col("common_neighbors").desc(),
+            "u",
+            "v",
+        )
+        .limit(50)
+    )

@@ -58,6 +58,7 @@ R06_WAVE = [
     "growth_mom_yoy_revenue",
     "corpus_vocab_growth_curve",
     "privacy_k_anonymity_audit",
+    "graph_link_prediction_jaccard",
 ]
 
 THIRD_WAVE = [

@@ -884,3 +884,46 @@ def test_growth_mom_yoy_vs_python(spark):
         mom = tdiv(c - p1, p1) if p1 else None
         yoy = tdiv(c - p12, p12) if p12 else None
         assert got[month] == (c, mom, yoy), month
+
+
+def test_link_prediction_vs_python(spark):
+    """Top-50 predicted links must match a dict-based wedge count."""
+    from collections import defaultdict
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = [
+        (r["u"], r["v"], r["common_neighbors"], r["deg_u"], r["deg_v"],
+         r["jaccard_ppm"])
+        for r in load_all()["graph_link_prediction_jaccard"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    ]
+    orders = _fixture_df("orders", "o_orderkey, o_custkey")
+    cust = _fixture_df("customer", "c_custkey")
+    mx = int(cust.c_custkey.max())
+    edges = set()
+    for r in orders.itertuples():
+        if int(r.o_orderkey) % 23 == 0:
+            s, d = int(r.o_custkey), int(r.o_orderkey) % mx + 1
+            if s != d:
+                edges.add((min(s, d), max(s, d)))
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    cand = defaultdict(int)
+    for n, xs in nbrs.items():
+        xs = sorted(xs)
+        for i in range(len(xs)):
+            for j in range(i + 1, len(xs)):
+                cand[(xs[i], xs[j])] += 1
+    scored = [
+        (u, v, cn, len(nbrs[u]), len(nbrs[v]),
+         cn * 1_000_000 // (len(nbrs[u]) + len(nbrs[v]) - cn))
+        for (u, v), cn in cand.items()
+        if (u, v) not in edges
+    ]
+    want = sorted(scored, key=lambda t: (-t[5], -t[2], t[0], t[1]))[:50]
+    assert got == want
