@@ -178,6 +178,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_vocab_growth_curve",
     "privacy_k_anonymity_audit",
     "graph_link_prediction_jaccard",
+    "text_rake_keyphrases",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

@@ -2948,3 +2948,142 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cell_size") < 5)
         .orderBy("nation", "segment", "balance_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (degree/frequency scores, stopword islands)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = "', '".join(w.lower() for w in text.LANG_STOPWORDS["en"])
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(t) AS w,
+                   unnest(range(1, len(t) + 1)) AS pos
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        ),
+        nonstop AS (
+            SELECT doc_id, w, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS island
+            FROM toks WHERE lower(w) NOT IN ('{_RAKE_STOPS}')
+        ),
+        phrases AS (
+            SELECT doc_id, island,
+                   list_aggregate(list(w ORDER BY pos), 'string_agg', ' ')
+                     AS phrase,
+                   CAST(COUNT(*) AS BIGINT) AS plen
+            FROM nonstop GROUP BY doc_id, island
+            HAVING COUNT(*) <= 3
+        ),
+        words AS (
+            SELECT n.w, p.plen
+            FROM nonstop n JOIN phrases p
+              ON n.doc_id = p.doc_id AND n.island = p.island
+        ),
+        wstats AS (
+            SELECT w,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(plen) AS BIGINT) AS degree
+            FROM words GROUP BY w
+        ),
+        wscore AS (
+            SELECT w, CAST(degree * 1000000 // freq AS BIGINT) AS score
+            FROM wstats
+        ),
+        pscore AS (
+            SELECT p.phrase,
+                   CAST(SUM(s.score) AS BIGINT) AS phrase_score
+            FROM phrases p
+            JOIN nonstop n ON n.doc_id = p.doc_id AND n.island = p.island
+            JOIN wscore s ON n.w = s.w
+            GROUP BY p.doc_id, p.island, p.phrase
+        )
+        SELECT phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MAX(phrase_score) AS BIGINT) AS rake_score
+        FROM pscore
+        GROUP BY phrase
+        ORDER BY rake_score DESC, phrase ASC
+        LIMIT 25
+    """,
+    survey_ids=("UD5", "W2", "A3"),
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction: candidate phrases are the maximal
+    stopword-free token runs (capped at 3 words), each word scored by
+    degree/frequency over the candidate corpus, each phrase by the
+    sum of its word scores — the classic unsupervised keyword miner,
+    complementing tf-idf (which favors rare single terms) with
+    multi-word phrases.  Top 25 phrases with occurrence counts.
+
+    The phrase segmentation is the gaps-and-islands pattern applied
+    to text: non-stopword positions minus their per-document rank is
+    constant exactly within a run, so ONE window turns tokens into
+    phrase ids — no regex surgery on reconstructed strings (which
+    breaks on adjacent stopwords).  Scores are fixed-point floors
+    (degree·10⁶/freq summed per phrase) — deterministic cross-engine;
+    identical phrases always tie at the same score (word scores are
+    corpus-global), so MAX per phrase text is exact, not a choice.
+
+    Scale shape: posexplode → one per-doc window → three hash aggs
+    (phrases, word stats, phrase scores) + a word-score join keyed on
+    the bounded vocabulary.  The per-doc window partitions by doc —
+    embarrassingly parallel."""
+    from pyspark.sql import Window
+
+    docs = lake.load_table(spark, "documents", sf_dir)
+    sw = [w.lower() for w in text.LANG_STOPWORDS["en"]]
+    toks = docs.select(
+        "doc_id", F.posexplode(text.tokens("text")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    nonstop = toks.filter(~F.lower("w").isin(sw)).select(
+        "doc_id",
+        "w",
+        "pos",
+        (F.col("pos") - F.row_number().over(wd)).alias("island"),
+    )
+    phrases = (
+        nonstop.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .filter(F.col("plen") <= 3)
+    )
+    words = nonstop.join(phrases, ["doc_id", "island"]).select("w", "plen")
+    wscore = (
+        words.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+        .select("w", F.expr("CAST(degree * 1000000 DIV freq AS BIGINT)").alias("score"))
+    )
+    pscore = (
+        nonstop.join(phrases, ["doc_id", "island"])
+        .join(wscore, "w")
+        .groupBy("doc_id", "island", "phrase")
+        .agg(F.sum("score").cast("long").alias("phrase_score"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("phrase_score").cast("long").alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), F.col("phrase").asc())
+        .limit(25)
+    )

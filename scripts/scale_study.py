@@ -59,6 +59,7 @@ R06_WAVE = [
     "corpus_vocab_growth_curve",
     "privacy_k_anonymity_audit",
     "graph_link_prediction_jaccard",
+    "text_rake_keyphrases",
 ]
 
 THIRD_WAVE = [

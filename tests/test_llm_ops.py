@@ -1219,3 +1219,47 @@ def test_k_anonymity_audit_vs_python(spark):
     want = {k: v for k, v in cells.items() if v < 5}
     assert got == want
     assert all(v < 5 for v in got.values())
+
+
+def test_rake_keyphrases_vs_python(spark):
+    """Top-25 RAKE phrases must match a pure-Python replay of the
+    stopword-run segmentation and degree/frequency scoring."""
+    from collections import Counter, defaultdict
+
+    from end_end_data_pipeline__spark.operators.text import LANG_STOPWORDS
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = [
+        (r["phrase"], r["n_occurrences"], r["rake_score"])
+        for r in load_all()["text_rake_keyphrases"].fn(spark, SF_SMOKE).collect()
+    ]
+    sw = {w.lower() for w in LANG_STOPWORDS["en"]}
+    phrase_occ = []
+    for _, _, toks in _doc_tokens():
+        run = []
+        for w in toks + ["<STOP>"]:
+            if w.lower() in sw or w == "<STOP>":
+                if run and len(run) <= 3:
+                    phrase_occ.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+    freq: Counter = Counter()
+    degree: Counter = Counter()
+    for ph in phrase_occ:
+        for w in ph:
+            freq[w] += 1
+            degree[w] += len(ph)
+    wscore = {w: degree[w] * 1_000_000 // freq[w] for w in freq}
+    by_phrase = defaultdict(int)
+    score = {}
+    for ph in phrase_occ:
+        key = " ".join(ph)
+        by_phrase[key] += 1
+        score[key] = sum(wscore[w] for w in ph)
+    want = sorted(
+        ((p, n, score[p]) for p, n in by_phrase.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:25]
+    assert got == want
