@@ -78,7 +78,7 @@ def register(
 # it at positions 51-87 and are the r07 window's backlog.  The whole
 # catalog — window, backlog, and all — is swept against the driver's
 # own sf0.01 DuckDB gate each round (scripts/driver_gate.py --all →
-# GATE_r06.json, 231/231 green).
+# GATE_r06.json, 233/233 green).
 # Names not listed here sort after the listed ones in registration
 # order.
 _PRIORITY: tuple[str, ...] = (
