@@ -71,11 +71,11 @@ def register(
 # plus one r05-green sentinel (``flagship_monthly_segment_volume``)
 # to detect driver drift.  47 + 2 + 1 = 50: after this window every
 # query that existed at rotation time (194) has a hash-verified driver
-# row in r01 ∪ … ∪ r06; the 37 round-6 additions registered AFTER the
+# row in r01 ∪ … ∪ r06; the 39 round-6 additions registered AFTER the
 # rotation (the sketches/PQ/phash/bootstrap/KS/deletion-join/audio-
 # fingerprint wave, then the ML-eval/timeseries/retrieval/feature-
 # engineering/interval-algebra/SPC/governance waves) sort just behind
-# it at positions 51-87 and are the r07 window's backlog.  The whole
+# it at positions 51-89 and are the r07 window's backlog.  The whole
 # catalog — window, backlog, and all — is swept against the driver's
 # own sf0.01 DuckDB gate each round (scripts/driver_gate.py --all →
 # GATE_r06.json, 233/233 green).
