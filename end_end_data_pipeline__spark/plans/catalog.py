@@ -71,14 +71,14 @@ def register(
 # plus one r05-green sentinel (``flagship_monthly_segment_volume``)
 # to detect driver drift.  47 + 2 + 1 = 50: after this window every
 # query that existed at rotation time (194) has a hash-verified driver
-# row in r01 ∪ … ∪ r06; the 39 round-6 additions registered AFTER the
+# row in r01 ∪ … ∪ r06; the 41 round-6 additions registered AFTER the
 # rotation (the sketches/PQ/phash/bootstrap/KS/deletion-join/audio-
 # fingerprint wave, then the ML-eval/timeseries/retrieval/feature-
 # engineering/interval-algebra/SPC/governance waves) sort just behind
-# it at positions 51-89 and are the r07 window's backlog.  The whole
+# it at positions 51-91 and are the r07 window's backlog.  The whole
 # catalog — window, backlog, and all — is swept against the driver's
 # own sf0.01 DuckDB gate each round (scripts/driver_gate.py --all →
-# GATE_r06.json, 233/233 green).
+# GATE_r06.json, 235/235 green).
 # Names not listed here sort after the listed ones in registration
 # order.
 _PRIORITY: tuple[str, ...] = (
@@ -179,6 +179,8 @@ _PRIORITY: tuple[str, ...] = (
     "privacy_k_anonymity_audit",
     "graph_link_prediction_jaccard",
     "text_rake_keyphrases",
+    "cohort_ltv_curve",
+    "behavior_interarrival_burstiness",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

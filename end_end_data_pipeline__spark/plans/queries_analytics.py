@@ -2436,3 +2436,198 @@ def corpus_groupwise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_wk
+            FROM events GROUP BY user_id
+        ),
+        cohort_size AS (
+            SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM firsts GROUP BY cohort_wk
+        ),
+        rev AS (
+            SELECT f.cohort_wk,
+                   CAST(date_diff('day', f.cohort_wk,
+                                  date_trunc('week', e.ts)) / 7 AS INT)
+                     AS age_wk,
+                   CAST(SUM(CAST(CAST(e.value AS DECIMAL(13,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT cohort_wk, age_wk, cents,
+                   CAST(SUM(cents) OVER (PARTITION BY cohort_wk
+                                         ORDER BY age_wk) AS BIGINT)
+                     AS cum_cents
+            FROM rev
+        )
+        SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+               c.age_wk, s.n_users, c.cents, c.cum_cents,
+               CAST(c.cum_cents // s.n_users AS BIGINT)
+                 AS cum_cents_per_user
+        FROM cum c JOIN cohort_size s ON c.cohort_wk = s.cohort_wk
+        ORDER BY cohort_week, age_wk
+    """,
+    survey_ids=("A6", "W1", "J1"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase revenue per signup-week
+    cohort by week-of-life, absolute and per-user — the growth-
+    accounting artifact that shows whether newer cohorts monetize
+    faster (the retention table's revenue twin).  Exact integer
+    cents; per-user LTV is a fixed-point floor.
+
+    Plan shape mirrors ``cohort_weekly_retention``: min-agg per user,
+    join back on user_id, purchase-only hash agg to the (cohort, age)
+    grid, then ONE cumulative window over the bounded grid (cohorts ×
+    ages — weeks, not rows) and a broadcast cohort-size join."""
+    events = lake.load_table(spark, "events", sf_dir)
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    cohort_size = firsts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rev = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_wk"))
+                / 7
+            )
+            .cast("int")
+            .alias("age_wk"),
+        )
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(13,2)") * 100).cast("bigint")
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    wc = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.select(
+        "cohort_wk",
+        "age_wk",
+        "cents",
+        F.sum("cents").over(wc).cast("long").alias("cum_cents"),
+    )
+    return (
+        cum.join(F.broadcast(cohort_size), "cohort_wk")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "age_wk",
+            "n_users",
+            "cents",
+            "cum_cents",
+            F.expr("CAST(cum_cents DIV n_users AS BIGINT)").alias(
+                "cum_cents_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "age_wk")
+    )
+
+
+@register(
+    "behavior_interarrival_burstiness",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_ts
+            FROM events
+        ),
+        gaps AS (
+            SELECT user_id,
+                   CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS g
+            FROM seq WHERE prev_ts IS NOT NULL
+        ),
+        st AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(g) AS BIGINT) AS s,
+                   CAST(SUM(g * g) AS BIGINT) AS s2
+            FROM gaps GROUP BY user_id
+            HAVING COUNT(*) >= 10 AND SUM(g) > 0
+        )
+        SELECT user_id, n_gaps,
+               CAST(s // n_gaps AS BIGINT) AS mean_gap_sec,
+               CAST((CAST(n_gaps AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s)
+                    * 1000000
+                    // ((n_gaps - 1) * CAST(s AS HUGEINT)) AS BIGINT)
+                 AS fano_scaled
+        FROM st
+        ORDER BY fano_scaled DESC, user_id ASC
+        LIMIT 25
+    """,
+    survey_ids=("W3", "A2", "O2"),
+)
+def behavior_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user inter-arrival burstiness: the Fano factor
+    (variance-to-mean ratio) of the gaps between consecutive events,
+    top-25 burstiest users — the bot/scripted-traffic detector (a
+    Poisson-like human stream has Fano ≈ mean gap; machine-gun bursts
+    followed by silence blow it up).
+
+    Exact multiply-through: Fano = var/mean =
+    (n·Σg² − S²)/((n−1)·S), carried in 128-bit integers (second-
+    moment sums of second-scale gaps overflow 2⁶³ once ×10⁶ enters)
+    with one fixed-point scale — no doubles, no variance
+    intermediate.  Gap order is
+    pinned by (ts, event_id) so duplicate timestamps can't flip the
+    lag pairing between engines.
+
+    Scale shape: ONE per-user lag window (partitions by the user key
+    space), one hash agg of three exact moments, TakeOrdered final
+    cut."""
+    events = lake.load_table(spark, "events", sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "ts", F.lag("ts").over(wu).alias("prev_ts")
+    )
+    gaps = seq.filter(F.col("prev_ts").isNotNull()).select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+        )
+        .cast("long")
+        .alias("g"),
+    )
+    st = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("g").cast("long").alias("s"),
+            F.sum(F.col("g") * F.col("g")).cast("long").alias("s2"),
+        )
+        .filter((F.col("n_gaps") >= 10) & (F.col("s") > 0))
+    )
+    return (
+        st.select(
+            "user_id",
+            "n_gaps",
+            F.expr("CAST(s DIV n_gaps AS BIGINT)").alias("mean_gap_sec"),
+            F.expr(
+                "CAST((CAST(n_gaps AS DECIMAL(38,0)) * s2"
+                " - CAST(s AS DECIMAL(38,0)) * s) * 1000000"
+                " DIV ((n_gaps - 1) * CAST(s AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("fano_scaled"),
+        )
+        .orderBy(F.col("fano_scaled").desc(), F.col("user_id").asc())
+        .limit(25)
+    )

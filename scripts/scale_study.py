@@ -60,6 +60,8 @@ R06_WAVE = [
     "privacy_k_anonymity_audit",
     "graph_link_prediction_jaccard",
     "text_rake_keyphrases",
+    "cohort_ltv_curve",
+    "behavior_interarrival_burstiness",
 ]
 
 THIRD_WAVE = [

@@ -927,3 +927,98 @@ def test_link_prediction_vs_python(spark):
     ]
     want = sorted(scored, key=lambda t: (-t[5], -t[2], t[0], t[1]))[:50]
     assert got == want
+
+
+def test_cohort_ltv_vs_python(spark):
+    """LTV grid must match a dict replay of weekly cohort revenue."""
+    import duckdb
+    from collections import defaultdict
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r["cohort_week"], r["age_wk"]): (
+            r["n_users"], r["cents"], r["cum_cents"], r["cum_cents_per_user"]
+        )
+        for r in load_all()["cohort_ltv_curve"].fn(spark, SF_SMOKE).collect()
+    }
+    pdf = duckdb.sql(
+        "SELECT user_id, event_type, date_trunc('week', ts) AS wk,"
+        " CAST(CAST(value AS DECIMAL(13,2)) * 100 AS BIGINT) AS cents"
+        f" FROM '{SF_SMOKE}/events.parquet'"
+    ).df()
+    first_wk = {}
+    for r in pdf.itertuples():
+        uid = int(r.user_id)
+        if uid not in first_wk or r.wk < first_wk[uid]:
+            first_wk[uid] = r.wk
+    size = defaultdict(int)
+    for wk in first_wk.values():
+        size[wk] += 1
+    rev = defaultdict(int)
+    for r in pdf.itertuples():
+        if r.event_type != "purchase":
+            continue
+        cw = first_wk[int(r.user_id)]
+        age = (r.wk - cw).days // 7
+        rev[(cw, age)] += int(r.cents)
+    cum = {}
+    for (cw, age) in sorted(rev):
+        prev = cum.get((cw, age - 1))
+        run = rev[(cw, age)] + (prev if prev is not None else 0)
+        # carry forward over gaps in age
+        back = age - 1
+        if prev is None:
+            run = rev[(cw, age)]
+            while back >= 0:
+                if (cw, back) in cum:
+                    run += cum[(cw, back)]
+                    break
+                back -= 1
+        cum[(cw, age)] = run
+    want = {}
+    for (cw, age), cents in rev.items():
+        n = size[cw]
+        want[(cw.strftime("%Y-%m-%d"), age)] = (
+            n, cents, cum[(cw, age)], cum[(cw, age)] // n
+        )
+    assert got == want
+
+
+def test_burstiness_vs_python(spark):
+    """Top-25 Fano factors must match an exact-int Python replay."""
+    import duckdb
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = [
+        (r["user_id"], r["n_gaps"], r["mean_gap_sec"], r["fano_scaled"])
+        for r in load_all()["behavior_interarrival_burstiness"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    ]
+    pdf = duckdb.sql(
+        "SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts"
+        f" FROM '{SF_SMOKE}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).df()
+    from collections import defaultdict
+
+    seq = defaultdict(list)
+    for r in pdf.itertuples():
+        # whole-second epoch per timestamp FIRST (both engines truncate
+        # each side before subtracting), then difference
+        seq[int(r.user_id)].append(int(r.ts.value) // 10**9)
+    scored = []
+    for uid, times in seq.items():
+        gaps = [b - a for a, b in zip(times, times[1:])]
+        n, s = len(gaps), sum(gaps)
+        if n < 10 or s <= 0:
+            continue
+        s2 = sum(g * g for g in gaps)
+        scored.append(
+            (uid, n, s // n, (n * s2 - s * s) * 1_000_000 // ((n - 1) * s))
+        )
+    want = sorted(scored, key=lambda t: (-t[3], t[0]))[:25]
+    assert got == want
