@@ -181,6 +181,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_rake_keyphrases",
     "cohort_ltv_curve",
     "behavior_interarrival_burstiness",
+    "multimodal_video_shot_boundaries",
     # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

@@ -62,6 +62,7 @@ R06_WAVE = [
     "text_rake_keyphrases",
     "cohort_ltv_curve",
     "behavior_interarrival_burstiness",
+    "multimodal_video_shot_boundaries",
 ]
 
 THIRD_WAVE = [

@@ -1263,3 +1263,28 @@ def test_rake_keyphrases_vs_python(spark):
         key=lambda t: (-t[2], t[0]),
     )[:25]
     assert got == want
+
+
+def test_shot_boundaries_find_planted_cuts(spark):
+    """The detector must flag EXACTLY the planted scene cut per doc
+    (frame doc_id % 5 + 2), never the drift-only transitions."""
+    from collections import defaultdict
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_all()["multimodal_video_shot_boundaries"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    flagged = defaultdict(list)
+    per_doc = defaultdict(int)
+    for r in rows:
+        per_doc[r["doc_id"]] += 1
+        if r["is_boundary"]:
+            flagged[r["doc_id"]].append(r["frame_idx"])
+    assert per_doc and all(n == 7 for n in per_doc.values())
+    for doc, cuts in flagged.items():
+        assert cuts == [doc % 5 + 2], (doc, cuts)
+    assert set(flagged) == set(per_doc)  # every clip has its one cut
