@@ -131,6 +131,7 @@ def grouped_global_rank(
     rank_name: str = "r",
     n_parts: int | None = None,
     max_driver_groups: int = 100_000,
+    n_groups_hint: int | None = None,
 ) -> DataFrame:
     """Exact per-group ``row_number`` with parallelism DECOUPLED from
     group cardinality — the scale path for rank-based statistics
@@ -186,6 +187,15 @@ def grouped_global_rank(
     many groups per-group parallelism is no longer the bottleneck (the
     window form already spreads ≥ max_driver_groups tasks), and the
     offset-map path would instead blow up the driver.
+
+    The estimate costs ONE EXTRA FULL SCAN (an eager
+    ``approx_count_distinct`` job) before the operator chooses a path,
+    and its ~2% HLL error makes the ``max_driver_groups`` cutoff fuzzy
+    near the boundary (harmless — both paths are exact; only the
+    path CHOICE is approximate).  Callers that already know their
+    group cardinality (e.g. a fixed segment/priority enum) should pass
+    ``n_groups_hint`` to skip the pre-scan entirely; the hint is
+    trusted as-is and compared against ``max_driver_groups``.
     """
     from pyspark.sql import Window
     from pyspark.sql.types import LongType, StructField, StructType
@@ -193,9 +203,12 @@ def grouped_global_rank(
     if not order_cols:
         raise ValueError("grouped_global_rank: order_cols must be non-empty")
     if group_cols:
-        est_groups = df.agg(
-            F.approx_count_distinct(F.struct(*group_cols)).alias("g")
-        ).first()["g"]
+        if n_groups_hint is not None:
+            est_groups = n_groups_hint
+        else:
+            est_groups = df.agg(
+                F.approx_count_distinct(F.struct(*group_cols)).alias("g")
+            ).first()["g"]
         if est_groups > max_driver_groups:
             # high-cardinality regime: the window form parallelizes on
             # its own (one task per group hash partition) and the

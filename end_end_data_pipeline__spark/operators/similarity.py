@@ -726,13 +726,19 @@ def pq_adc_topk(
     m = len(books)
     w = len(query) // m
     qq = [int(__import__("math").floor(x * scale)) for x in query]
-    dist_tab: dict[int, list[int]] = {}
+    dist_tab: dict[int, list[int | None]] = {}
     for s, cent in books.items():
         qs = qq[s * w:(s + 1) * w]
-        row = []
-        for _cid, cvec in sorted(cent):
-            row.append(sum((a - b) * (a - b) for a, b in zip(qs, cvec)))
-        dist_tab[s] = row
+        # Key the LUT by cid, not by position: a Lloyd round that
+        # empties a cluster drops its cid from ``cent``, so surviving
+        # cids can be NON-contiguous — a positional LUT would then map
+        # codes to the wrong slot.  Unreferenced slots hold NULL
+        # (no code carries a dropped cid, so they are never read).
+        by_cid = {
+            int(cid): sum((a - b) * (a - b) for a, b in zip(qs, cvec))
+            for cid, cvec in cent
+        }
+        dist_tab[s] = [by_cid.get(c) for c in range(max(by_cid) + 1)]
     total = None
     for s in range(m):
         lut = F.array(*[F.lit(d).cast("long") for d in dist_tab[s]])
@@ -740,7 +746,9 @@ def pq_adc_topk(
         total = term if total is None else total + term
     return (
         codes.select(F.col(id_col), total.alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        # nulls LAST as a belt-and-suspenders tie-down: an impossible
+        # NULL distance must never displace a real top-k entry
+        .orderBy(F.asc_nulls_last("adc_dist"), F.asc(id_col))
         .limit(k_top)
     )
 

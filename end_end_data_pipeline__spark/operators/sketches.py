@@ -153,13 +153,17 @@ def bloom_probe(
     The probe re-derives its positions, broadcast-joins the (<= n_bits
     row) filter, and counts hits — the explicit form of the bloom-prune
     a 100 TB join wants on its big probe side before the shuffle.
-    Output: ``keys`` columns + boolean ``bloom_member``.
+    Output: one row per DISTINCT probe key + boolean ``bloom_member``.
+    Probe keys are de-duplicated first: a repeated key would double
+    its group's row count and make ``count == n_hashes`` report a true
+    member as False — violating the no-false-negatives guarantee.
     """
     key = F.col(key_col)
     positions = F.array(
         *[_bit_pos(key, j, n_bits) for j in range(n_hashes)]
     )
-    exploded = keys.select(key_col, F.explode(positions).alias("pos"))
+    uniq = keys.select(key_col).distinct()
+    exploded = uniq.select(key_col, F.explode(positions).alias("pos"))
     marked = bloom.withColumn("__hit", F.lit(1))
     return (
         exploded.join(F.broadcast(marked), "pos", "left")

@@ -60,86 +60,27 @@ def register(
 
 # Deterministic presentation order for the registry.  The driver
 # records correctness rows for only the FIRST 50 ``load_all()``
-# entries, so the order is a rotating evidence window.  Round-6
-# rotation: the complete 47-query backlog that has never had a driver
-# row in rounds 1-5 (the pyds sink, lateral/UDTF, federated join,
-# the queries_audit.py audit/forensics suite, the queries_stats.py
-# robust-statistics wave, the finance/attribution marts, BPE apply,
-# and the sampling/histogram primitives), plus the two formerly
-# rows-only queries (``maintenance_truncate_reset`` and
-# ``banking_generator_fanout``) whose oracles are new this round,
-# plus one r05-green sentinel (``flagship_monthly_segment_volume``)
-# to detect driver drift.  47 + 2 + 1 = 50: after this window every
-# query that existed at rotation time (194) has a hash-verified driver
-# row in r01 ∪ … ∪ r06; the 41 round-6 additions registered AFTER the
-# rotation (the sketches/PQ/phash/bootstrap/KS/deletion-join/audio-
-# fingerprint wave, then the ML-eval/timeseries/retrieval/feature-
-# engineering/interval-algebra/SPC/governance waves) sort just behind
-# it at positions 51-91 and are the r07 window's backlog.  The whole
-# catalog — window, backlog, and all — is swept against the driver's
-# own sf0.01 DuckDB gate each round (scripts/driver_gate.py --all →
-# GATE_r06.json, 235/235 green).
+# entries, so the order is a rotating evidence window.  Round-7
+# rotation: the complete 42-query round-6 backlog (registered after
+# the r06 rotation, so never driver-checked — the sketch tier, ML-eval
+# tier, feature engineering, interval algebra, SPC timeseries,
+# PMI/RRF/RAKE/Heaps, PQ-ADC, phash/audio fingerprints, link
+# prediction, LTV/burstiness, streaks, k-anonymity, weighted/rolling
+# medians, MoM/YoY), plus 8 sentinels chosen as exactly the queries
+# round 7 modifies (plan rewires + perf-watch re-measures + the
+# oracle upgrade), so the driver re-verifies their hashes after the
+# change.  42 + 8 = 50: after this window EVERY catalog query has a
+# hash-verified driver row in r01 ∪ … ∪ r07, and the union stays at
+# 100% as long as per-round additions stay within the sentinel slots.
+# The whole catalog — window and all — is additionally swept against
+# the driver-identical sf0.01 DuckDB gate each round
+# (scripts/driver_gate.py --all → GATE_r{N}.json) and the gate's
+# freshness is asserted by tests/test_gate_freshness.py.
 # Names not listed here sort after the listed ones in registration
 # order.
 _PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked backlog (47): round-5 late additions ---
-    "pyds_writer_sink_roundtrip",
-    "lateral_top2_orders_per_customer",
-    "udtf_props_fanout",
-    "scd2_point_in_time_join",
-    "approx_percentile_error_bound",
-    "federated_jdbc_parquet_join",
-    "dedup_incremental_batch",
-    "embedding_mmr_rerank",
-    "governance_masked_customers",
-    "integrity_table_checksums",
-    "retention_dau_wau_stickiness",
-    "setop_except_all_multiset",
-    "join_null_safe_equality",
-    "multimodal_augment_images",
-    "currency_asof_conversion",
-    "fulfillment_latency_percentiles",
-    "quality_event_disorder_rate",
-    # --- audit/diagnostics (queries_audit.py) ---
-    "fraud_benford_digit_audit",
-    "market_hhi_concentration",
-    "timeseries_seasonal_decompose",
-    "timeseries_cusum_changepoint",
-    "text_token_frequency_quality",
-    "assoc_rules_brand_confidence",
-    "robust_median_mad_by_priority",
-    "inequality_gini_by_nation",
-    "robust_trimmed_mean_order_value",
-    "robust_iqr_fence_outliers",
-    "corpus_weighted_sample_priority",
-    "histogram_equidepth_order_value",
-    "integrity_sequence_gaps",
-    "fraud_duplicate_payments",
-    "fraud_round_number_bias",
-    "text_bpe_tokenize_stats",
-    "supplier_lead_time_stats",
-    "clv_by_segment",
-    "attribution_linear_credit",
-    "supplier_return_rate",
-    # --- statistical / ML operators (queries_stats.py) ---
-    "stats_linear_trend_by_segment",
-    "market_basket_brand_pairs",
-    "graph_bfs_transfer_hops",
-    "timeseries_ewma_daily_volume",
-    "heavy_hitters_brand_lineitems",
-    "embedding_covariance_matrix",
-    "pareto_abc_revenue",
-    "embedding_dim_feature_stats",
-    "corpus_source_lang_chisq",
-    "ab_conversion_ztest",
-    # --- formerly rows-only, oracle-ized this round ---
-    "maintenance_truncate_reset",
-    "banking_generator_fanout",
-    # --- r05-green sentinel (driver-drift canary) ---
-    "flagship_monthly_segment_volume",
-    # --- window boundary (50) ---
-    # --- new in r06 (post-window; swept via scripts/driver_gate.py;
-    # r07 window candidates) ---
+    # --- r07 window: the 42-query round-6 backlog (never driver-
+    # checked; all green in GATE_r06 / builder sf0.01 sweeps) ---
     "skyline_part_price_size",
     "sketch_countmin_user_counts",
     "embedding_pq_adc_topk",
@@ -182,7 +123,69 @@ _PRIORITY: tuple[str, ...] = (
     "cohort_ltv_curve",
     "behavior_interarrival_burstiness",
     "multimodal_video_shot_boundaries",
-    # --- r05 greens (evidence fresh in CORRECTNESS_r05.json) ---
+    # --- r07 sentinels (8): exactly the queries round 7 touches --
+    # flagship = driver-drift canary; histogram_equidepth +
+    # agg_pricing + minhash + heavy_hitters + q18 = the rewire/
+    # perf-watch set (re-verify hashes after plan changes);
+    # banking_generator_fanout = oracle upgraded to independent
+    # replay this round; cdc_roundtrip = headline CDC family.
+    "flagship_monthly_segment_volume",
+    "histogram_equidepth_order_value",
+    "agg_pricing_summary",
+    "banking_generator_fanout",
+    "dedup_minhash_lsh_pairs",
+    "heavy_hitters_brand_lineitems",
+    "tpch_q18_large_volume_customers",
+    "cdc_roundtrip_latest_state",
+    # --- window boundary (50) ---
+    # --- r01-r06 greens (hash-verified driver row in some round;
+    # re-swept every round by scripts/driver_gate.py --all) ---
+    "pyds_writer_sink_roundtrip",
+    "lateral_top2_orders_per_customer",
+    "udtf_props_fanout",
+    "scd2_point_in_time_join",
+    "approx_percentile_error_bound",
+    "federated_jdbc_parquet_join",
+    "dedup_incremental_batch",
+    "embedding_mmr_rerank",
+    "governance_masked_customers",
+    "integrity_table_checksums",
+    "retention_dau_wau_stickiness",
+    "setop_except_all_multiset",
+    "join_null_safe_equality",
+    "multimodal_augment_images",
+    "currency_asof_conversion",
+    "fulfillment_latency_percentiles",
+    "quality_event_disorder_rate",
+    "fraud_benford_digit_audit",
+    "market_hhi_concentration",
+    "timeseries_seasonal_decompose",
+    "timeseries_cusum_changepoint",
+    "text_token_frequency_quality",
+    "assoc_rules_brand_confidence",
+    "robust_median_mad_by_priority",
+    "inequality_gini_by_nation",
+    "robust_trimmed_mean_order_value",
+    "robust_iqr_fence_outliers",
+    "corpus_weighted_sample_priority",
+    "integrity_sequence_gaps",
+    "fraud_duplicate_payments",
+    "fraud_round_number_bias",
+    "text_bpe_tokenize_stats",
+    "supplier_lead_time_stats",
+    "clv_by_segment",
+    "attribution_linear_credit",
+    "supplier_return_rate",
+    "stats_linear_trend_by_segment",
+    "market_basket_brand_pairs",
+    "graph_bfs_transfer_hops",
+    "timeseries_ewma_daily_volume",
+    "embedding_covariance_matrix",
+    "pareto_abc_revenue",
+    "embedding_dim_feature_stats",
+    "corpus_source_lang_chisq",
+    "ab_conversion_ztest",
+    "maintenance_truncate_reset",
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
     "tpch_q16_supplier_part_count",
@@ -233,7 +236,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_learn_merges",
     "pyds_generator_source",
     "pyds_stream_source_replay",
-    # --- r01-r04 greens ---
     "functions_string_battery",
     "functions_datetime_battery",
     "tpch_q6_forecast_revenue",
@@ -291,7 +293,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
     "tpch_q19_discounted_revenue",
     "tpch_q22_global_sales_opportunity",
     "tpch_q8_national_market_share",
@@ -322,10 +323,7 @@ _PRIORITY: tuple[str, ...] = (
     "pandas_grouped_agg_money_sum",
     "join_order_lineitem_detail",
     "join_geo_rollup",
-    "agg_pricing_summary",
-    "cdc_roundtrip_latest_state",
     "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
     "dedup_simhash_neardup",
     "embedding_cosine_topk",
 )

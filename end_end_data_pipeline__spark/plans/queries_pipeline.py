@@ -1720,17 +1720,13 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     candidates is hash aggs and broadcastable degree joins."""
     cust = lake.load_table(spark, "customer", sf_dir)
     orders = lake.load_table(spark, "orders", sf_dir)
-    max_ck = cust.agg(F.max("c_custkey").alias("mx")).withColumn(
-        "k", F.lit(1)
-    )
-    raw = (
-        orders.filter(F.col("o_orderkey") % 23 == 0)
-        .withColumn("k", F.lit(1))
-        .join(F.broadcast(max_ck), "k")
-        .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("o_orderkey") % F.col("mx") + 1).alias("dst"),
-        )
+    # Scalar max key collected once and embedded as a plan literal
+    # (same pattern as graph_cheapest_transfer_4hop) — avoids the
+    # 1-row broadcast-nested-loop scalar attach.
+    max_ck = cust.agg(F.max("c_custkey")).collect()[0][0]
+    raw = orders.filter(F.col("o_orderkey") % 23 == 0).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % F.lit(max_ck) + 1).alias("dst"),
     )
     und = (
         raw.filter(F.col("src") != F.col("dst"))
