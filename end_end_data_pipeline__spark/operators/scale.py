@@ -25,7 +25,7 @@ cases AQE can't rewrite:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -282,6 +282,174 @@ def grouped_global_rank(
             F.col("__off") + F.row_number().over(w_local).cast("long"),
         )
         .drop("__pid", "__off")
+    )
+
+
+def _range_parted_with_offsets(
+    df: DataFrame,
+    order_cols: list,
+    sum_exprs: dict[str, "F.Column"],
+    n_parts: int | None,
+) -> tuple[DataFrame, dict[str, list[int]], dict[str, int]]:
+    """Shared step 1+2 of the distributed-order family: range-partition
+    ``df`` on ``order_cols`` (stable pids via eager ``localCheckpoint``
+    — the partial pass and the final pass MUST observe identical
+    partition ids), aggregate ``sum_exprs`` per partition, and collect
+    the tiny ``n_parts``-row partial frame to the driver.
+
+    Returns ``(parted, offsets, totals)`` where ``offsets[name][pid]``
+    is the EXCLUSIVE prefix (sum over all earlier partitions) and
+    ``totals[name]`` the grand total — both exact BIGINT.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        conf_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            n_parts = int(conf_parts)
+        except ValueError:
+            n_parts = spark.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    partials = (
+        parted.groupBy("__pid")
+        .agg(*[e.cast("long").alias(n) for n, e in sum_exprs.items()])
+        .collect()
+    )
+    by_pid = {row["__pid"]: row for row in partials}
+    max_pid = max(by_pid) if by_pid else -1
+    offsets: dict[str, list[int]] = {n: [] for n in sum_exprs}
+    totals: dict[str, int] = {}
+    for name in sum_exprs:
+        acc = 0
+        for pid in range(max_pid + 1):
+            offsets[name].append(acc)
+            row = by_pid.get(pid)
+            acc += (row[name] or 0) if row is not None else 0
+        totals[name] = acc
+    return parted, offsets, totals
+
+
+def ordered_prefix_sums(
+    df: DataFrame,
+    order_cols: list,
+    sum_cols: list[str],
+    n_parts: int | None = None,
+    with_totals: bool = False,
+) -> DataFrame:
+    """Distributed EXACT inclusive prefix sums over a total order — the
+    scale form of ``SUM(c) OVER (ORDER BY ...)``, which Spark plans as
+    an ``Exchange SinglePartition`` + one-task WindowExec no matter the
+    cluster size (the scale-killer class called out for the KS /
+    Mann-Whitney / CDF family in VERDICT r06 "What's wrong" #2).
+
+    Three fully-parallel steps (the ``grouped_global_rank`` scheme
+    specialized to measures): range-partition on ``order_cols``;
+    per-partition partial sums → a tiny ``n_parts``-row frame on the
+    driver, prefix-summed into per-partition START OFFSETS shipped
+    back as plan literals (a ``__pid`` → offset CASE ladder — no join,
+    no broadcast exchange); per-partition cumulative window + offset.
+    Sums are exact BIGINT (the repo-wide integer-cents contract);
+    ``order_cols`` must be a TOTAL order (unique keys — equal keys can
+    straddle a range split, making per-row cumulative values ambiguous
+    there, exactly as in the window form).
+
+    Output: input columns + ``__cum_<c>`` per sum column, plus (when
+    ``with_totals``) ``__tot_<c>`` grand-total LITERAL columns — free
+    for the caller (KS needs n1/n2 inside its max expression; they
+    fall out of the collected partials without another scan).
+    """
+    sum_exprs = {c: F.sum(F.col(c)) for c in sum_cols}
+    parted, offsets, totals = _range_parted_with_offsets(
+        df, order_cols, sum_exprs, n_parts
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = parted
+    for c in sum_cols:
+        off = offsets[c]
+        expr = None
+        for pid, o in enumerate(off):
+            if expr is None:
+                expr = F.when(F.col("__pid") == pid, F.lit(o))
+            else:
+                expr = expr.when(F.col("__pid") == pid, F.lit(o))
+        off_col = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+        out = out.withColumn(
+            f"__cum_{c}",
+            (off_col.cast("long") + F.sum(F.col(c)).over(w_local)).cast(
+                "long"
+            ),
+        )
+        if with_totals:
+            out = out.withColumn(
+                f"__tot_{c}", F.lit(totals[c]).cast("long")
+            )
+    return out.drop("__pid")
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list,
+    n_buckets: int,
+    bucket_name: str = "bucket",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Distributed EXACT ``ntile(n_buckets) OVER (ORDER BY ...)`` — the
+    scale form of the global population cut behind equi-depth
+    histograms and decile-lift tables.  The plain window form sorts the
+    ENTIRE input in one task; this computes the identical buckets via
+    the exact global rank (range-partition → per-partition counts →
+    driver prefix offsets → local ``row_number`` + offset) and then
+    derives the bucket ARITHMETICALLY from (rank, n): with
+    ``q = n div b`` and ``rem = n mod b``, both Spark and DuckDB fill
+    the first ``rem`` buckets one row larger, so
+
+        bucket(r) = (r-1) div (q+1) + 1                  if r ≤ rem·(q+1)
+                    rem + (r - rem·(q+1) - 1) div q + 1   otherwise
+
+    reproduces ``ntile`` bit-for-bit (asserted in tests/test_scale.py).
+    ``order_cols`` must be a total order (include a unique tie-break),
+    same contract as ``ntile`` determinism itself.  The grand total
+    ``n`` falls out of the collected per-partition counts — no extra
+    scan.  Output: input columns + INT ``bucket_name``.
+    """
+    parted, offsets, totals = _range_parted_with_offsets(
+        df, order_cols, {"__n": F.count(F.lit(1))}, n_parts
+    )
+    off = offsets["__n"]
+    n = totals["__n"]
+    q, rem = divmod(n, n_buckets)
+    expr = None
+    for pid, o in enumerate(off):
+        if expr is None:
+            expr = F.when(F.col("__pid") == pid, F.lit(o))
+        else:
+            expr = expr.when(F.col("__pid") == pid, F.lit(o))
+    off_col = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    r = off_col.cast("long") + F.row_number().over(w_local).cast("long")
+    ranked = parted.withColumn("__r", r)
+    big = rem * (q + 1)  # rows living in the one-larger buckets
+    # integer DIV, never double division: at rank ~1e12 a correctly-
+    # rounded double quotient can land a half-ulp ABOVE the true
+    # value and floor() then misassigns the bucket boundary row.
+    # q == 0 ⇒ n < b ⇒ every rank takes the first branch, so the
+    # max(q, 1) divisor is never evaluated then.
+    bucket = (
+        F.when(
+            F.col("__r") <= big,
+            F.expr(f"(__r - 1) DIV {q + 1}"),
+        ).otherwise(F.expr(f"{rem} + (__r - {big} - 1) DIV {max(q, 1)}"))
+        + 1
+    )
+    return ranked.withColumn(bucket_name, bucket.cast("int")).drop(
+        "__pid", "__r"
     )
 
 

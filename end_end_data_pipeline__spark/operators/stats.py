@@ -88,7 +88,12 @@ def misra_gries_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
     )
 
 
-def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    n_keys_hint: int | None = None,
+) -> DataFrame:
     """Exact keys with frequency·k > total rows, found without a
     full-key-space shuffle: MG candidates (superset guarantee), then
     an exact count restricted to candidates via broadcast semi-join.
@@ -97,7 +102,26 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
     ``GROUP BY key HAVING count(*)·k > n`` by the superset argument in
     the module docstring.  The threshold compare is kept in integer
     arithmetic (freq·k > n) so no engine rounds a division.
+
+    ``n_keys_hint``: callers that KNOW the key domain is small (an
+    enum-like column — brands, statuses, currencies) should pass its
+    cardinality.  Below 100k keys the two-pass MG shape is strictly
+    worse than one exact pass — the sketch scan reads the input once
+    just to learn candidates the hint already names, and the exact
+    pass reads it AGAIN — so the operator switches to a single
+    partial-agg ``GROUP BY`` (map-side combine bounds the shuffle at
+    hint × partitions rows) plus a scalar total, halving the scan
+    count.  Identical output either way; the MG path remains the
+    billion-key scale shape (r07, VERDICT r06 task 6).
     """
+    if n_keys_hint is not None and n_keys_hint <= 100_000:
+        keyed = df.select(F.col(key_col).cast("string").alias("key"))
+        exact = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("freq"))
+        exact = exact.localCheckpoint(eager=True)
+        n_total = exact.agg(F.sum("freq").alias("n")).collect()[0]["n"] or 0
+        return exact.filter(
+            F.col("freq") * F.lit(k) > F.lit(n_total)
+        ).select(F.col("key"), F.col("freq"))
     sk = misra_gries_candidates(df, key_col, k).localCheckpoint(eager=True)
     n_total = sk.agg(F.sum("part_rows").alias("n")).collect()[0]["n"] or 0
     cands = sk.filter(F.col("key").isNotNull()).select("key").distinct()

@@ -533,3 +533,115 @@ def test_cheapest_paths_khop_prefers_cheaper_long_path(spark):
     d3 = {r["node"]: r["cost"]
           for r in cheapest_paths_khop(edges, sources, k=3, undirected=False).collect()}
     assert d3[4] == 7  # 1->3->2->4
+
+
+def test_ordered_prefix_sums_equals_window(spark):
+    """Distributed prefix sums are bit-identical to the single-task
+    ``SUM(c) OVER (ORDER BY ...)`` form, for several partition counts
+    (including n_parts > distinct keys, which leaves empty splits)."""
+    from pyspark.sql import Window
+
+    orders = lake.load_table(spark, "orders", SF_SMOKE).limit(500)
+    per_v = (
+        orders.select(
+            (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+            .cast("bigint")
+            .alias("xc"),
+            (F.col("o_orderkey") % 3).alias("s"),
+        )
+        .groupBy("xc")
+        .agg(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("d1"),
+            F.sum(F.when(F.col("s") != 0, 1).otherwise(0))
+            .cast("long")
+            .alias("d2"),
+        )
+    )
+    w = Window.orderBy("xc").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["xc"]: (r["c1"], r["c2"])
+        for r in per_v.select(
+            "xc",
+            F.sum("d1").over(w).alias("c1"),
+            F.sum("d2").over(w).alias("c2"),
+        ).collect()
+    }
+    totals = per_v.agg(
+        F.sum("d1").alias("t1"), F.sum("d2").alias("t2")
+    ).first()
+    for n_parts in (1, 4, 1000):
+        out = scale.ordered_prefix_sums(
+            per_v, ["xc"], ["d1", "d2"], n_parts=n_parts, with_totals=True
+        )
+        rows = out.collect()
+        got = {r["xc"]: (r["__cum_d1"], r["__cum_d2"]) for r in rows}
+        assert got == want, f"n_parts={n_parts}"
+        assert all(
+            r["__tot_d1"] == totals["t1"] and r["__tot_d2"] == totals["t2"]
+            for r in rows
+        )
+
+
+def test_global_ntile_equals_window_ntile(spark):
+    """The arithmetic (rank, n) → bucket formula reproduces
+    ``ntile(b) OVER (ORDER BY ...)`` bit-for-bit: uneven n mod b
+    remainders, b that divides n, n < b, descending order via negated
+    key, and several partition counts."""
+    from pyspark.sql import Window
+
+    orders = lake.load_table(spark, "orders", SF_SMOKE)
+    scored = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(13,2)") * 100)
+        .cast("bigint")
+        .alias("xc"),
+    )
+    for b, limit in ((10, 497), (7, 490), (10, 6)):
+        sub = scored.limit(limit)
+        w = Window.orderBy("xc", "o_orderkey")
+        want = {
+            r["o_orderkey"]: r["bucket"]
+            for r in sub.select(
+                "o_orderkey", F.ntile(b).over(w).alias("bucket")
+            ).collect()
+        }
+        for n_parts in (1, 5):
+            got = {
+                r["o_orderkey"]: r["bucket"]
+                for r in scale.global_ntile(
+                    sub, ["xc", "o_orderkey"], b, n_parts=n_parts
+                ).collect()
+            }
+            assert got == want, f"b={b} limit={limit} n_parts={n_parts}"
+    # descending order carried as a negated key must equal ntile DESC
+    sub = scored.limit(253)
+    wd = Window.orderBy(F.col("xc").desc(), "o_orderkey")
+    want = {
+        r["o_orderkey"]: r["bucket"]
+        for r in sub.select(
+            "o_orderkey", F.ntile(10).over(wd).alias("bucket")
+        ).collect()
+    }
+    got = {
+        r["o_orderkey"]: r["bucket"]
+        for r in scale.global_ntile(
+            sub.withColumn("negxc", -F.col("xc")),
+            ["negxc", "o_orderkey"],
+            10,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_and_prefix_sums_empty_input(spark):
+    """Empty frames flow through without error (no partials collected
+    ⇒ zero offsets) and come back empty with the added columns."""
+    empty = spark.createDataFrame([], "xc long, d1 long")
+    out = scale.ordered_prefix_sums(empty, ["xc"], ["d1"], with_totals=True)
+    assert out.count() == 0
+    assert {"__cum_d1", "__tot_d1"} <= set(out.columns)
+    out2 = scale.global_ntile(empty, ["xc"], 10)
+    assert out2.count() == 0
+    assert "bucket" in out2.columns
