@@ -12,7 +12,10 @@ across copies like real dims.  Document text is word-salted per copy
 instead of a pathological 10-way duplicate corpus that would measure
 the duplicate explosion, not the scale trend.
 
-    python scripts/make_sf1_derived.py [out_dir]
+    python scripts/make_sf1_derived.py [out_dir] [copies]
+
+``copies`` defaults to 10 (the sf1 decade); ``30`` derives the sf3
+fourth-decade set for the worst-scaler watch (VERDICT r06 task 8).
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1-derived"
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 OFF = 1_000_000_000
 
 # per-table key columns to shift per copy (dims omitted = shared)
