@@ -290,7 +290,8 @@ def _range_parted_with_offsets(
     order_cols: list,
     sum_exprs: dict[str, "F.Column"],
     n_parts: int | None,
-) -> tuple[DataFrame, dict[str, list[int]], dict[str, int]]:
+    sum_type: str = "long",
+) -> tuple[DataFrame, dict[str, list], dict[str, object]]:
     """Shared step 1+2 of the distributed-order family: range-partition
     ``df`` on ``order_cols`` (stable pids via eager ``localCheckpoint``
     — the partial pass and the final pass MUST observe identical
@@ -313,21 +314,28 @@ def _range_parted_with_offsets(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    from decimal import Decimal
+
     partials = (
         parted.groupBy("__pid")
-        .agg(*[e.cast("long").alias(n) for n, e in sum_exprs.items()])
+        .agg(*[e.cast(sum_type).alias(n) for n, e in sum_exprs.items()])
         .collect()
     )
     by_pid = {row["__pid"]: row for row in partials}
     max_pid = max(by_pid) if by_pid else -1
-    offsets: dict[str, list[int]] = {n: [] for n in sum_exprs}
-    totals: dict[str, int] = {}
+    # Python int and decimal.Decimal addition are both EXACT, so the
+    # driver-side prefix fold never rounds — the literal offsets are
+    # bit-identical to what a single-task cumulative window would carry
+    zero = Decimal(0) if sum_type.startswith("decimal") else 0
+    offsets: dict[str, list] = {n: [] for n in sum_exprs}
+    totals: dict[str, object] = {}
     for name in sum_exprs:
-        acc = 0
+        acc = zero
         for pid in range(max_pid + 1):
             offsets[name].append(acc)
             row = by_pid.get(pid)
-            acc += (row[name] or 0) if row is not None else 0
+            v = row[name] if row is not None else None
+            acc += v if v is not None else zero
         totals[name] = acc
     return parted, offsets, totals
 
@@ -338,6 +346,7 @@ def ordered_prefix_sums(
     sum_cols: list[str],
     n_parts: int | None = None,
     with_totals: bool = False,
+    sum_type: str = "long",
 ) -> DataFrame:
     """Distributed EXACT inclusive prefix sums over a total order — the
     scale form of ``SUM(c) OVER (ORDER BY ...)``, which Spark plans as
@@ -360,10 +369,24 @@ def ordered_prefix_sums(
     ``with_totals``) ``__tot_<c>`` grand-total LITERAL columns — free
     for the caller (KS needs n1/n2 inside its max expression; they
     fall out of the collected partials without another scan).
+
+    ``sum_type``: the exact carrier for partials/offsets/cums —
+    ``"long"`` (default, the integer-cents contract) or a
+    ``"decimal(p,s)"`` wide enough for the grand total (e.g. Pareto's
+    exact-decimal revenue).  Python int and ``decimal.Decimal`` both
+    fold exactly on the driver, so either way the cumulative values
+    are bit-identical to the window form; floats are refused (their
+    sums are partition-order dependent — the repo-wide determinism
+    rule).
     """
+    if sum_type != "long" and not sum_type.startswith("decimal"):
+        raise ValueError(
+            f"ordered_prefix_sums: sum_type={sum_type!r} must be 'long' "
+            "or 'decimal(p,s)' — float sums are order-dependent"
+        )
     sum_exprs = {c: F.sum(F.col(c)) for c in sum_cols}
     parted, offsets, totals = _range_parted_with_offsets(
-        df, order_cols, sum_exprs, n_parts
+        df, order_cols, sum_exprs, n_parts, sum_type
     )
     w_local = (
         Window.partitionBy("__pid")
@@ -379,16 +402,18 @@ def ordered_prefix_sums(
                 expr = F.when(F.col("__pid") == pid, F.lit(o))
             else:
                 expr = expr.when(F.col("__pid") == pid, F.lit(o))
-        off_col = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+        zero = F.lit(offsets[c][0] * 0 if off else 0)  # typed zero
+        off_col = expr.otherwise(zero) if expr is not None else zero
         out = out.withColumn(
             f"__cum_{c}",
-            (off_col.cast("long") + F.sum(F.col(c)).over(w_local)).cast(
-                "long"
-            ),
+            (
+                off_col.cast(sum_type)
+                + F.sum(F.col(c)).over(w_local).cast(sum_type)
+            ).cast(sum_type),
         )
         if with_totals:
             out = out.withColumn(
-                f"__tot_{c}", F.lit(totals[c]).cast("long")
+                f"__tot_{c}", F.lit(totals[c]).cast(sum_type)
             )
     return out.drop("__pid")
 

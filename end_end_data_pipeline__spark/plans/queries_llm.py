@@ -1836,13 +1836,19 @@ def corpus_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.col("t")).alias("token")
     )
     counted = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    # top-k FIRST (TakeOrderedAndProject — per-partition heaps, never
+    # the full vocabulary on one node), THEN rank the 50 survivors:
+    # the rank over a k-row frame equals the global position because
+    # (freq desc, token) is a total order.  Pre-r07 the row_number
+    # window ranked the ENTIRE vocabulary in one task before the
+    # limit — exactly the single-partition shape the docstring
+    # claimed to avoid.
+    top = counted.orderBy(F.col("freq").desc(), "token").limit(50)
     w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
         F.col("freq").desc(), F.col("token")
     )
-    return (
-        counted.withColumn("rank", F.row_number().over(w).cast("long"))
-        .orderBy(F.col("freq").desc(), "token")
-        .limit(50)
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "token", "freq", "rank"
     )
 
 

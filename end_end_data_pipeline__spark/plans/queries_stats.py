@@ -508,14 +508,25 @@ def pareto_abc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     covering the first 80% of revenue, B to 95%, C the tail) — the
     inventory-prioritization mart.
 
-    Plan: the fact scan collapses to one exact-decimal revenue per
-    part FIRST (hash agg, map-side combinable), so the global ranking
-    window runs over the part DIMENSION (|parts| rows — millions at
-    most, never fact-table-sized); Spark executes it as a range
-    partition + per-partition running sum.  Revenue stays DECIMAL
-    through the cumulative and class sums (order-independent), doubles
-    appear only in the share division — same tree as the oracle.
+    Plan (rewired in r07): the fact scan collapses to one
+    exact-decimal revenue per part FIRST (hash agg, map-side
+    combinable); the cumulative revenue then runs through
+    ``operators/scale.ordered_prefix_sums`` with a DECIMAL carrier —
+    range-partition the part spine on (rev desc, partkey),
+    per-partition decimal partials, driver-prefix-summed offsets as
+    exact decimal literals, per-partition cumsum — so the |parts|-row
+    spine (millions at 100 TB) never serializes into one task (the
+    pre-r07 global window DID — a one-task sort, whatever the old
+    docstring hoped).  The grand total rides the collected partials
+    as a literal.  Revenue stays DECIMAL through the cumulative and
+    class sums (order-independent, bit-identical to the window form);
+    doubles appear only in the share division — same tree as the
+    oracle.
     """
+    from end_end_data_pipeline__spark.operators.scale import (
+        ordered_prefix_sums,
+    )
+
     lineitem = lake.load_table(spark, "lineitem", sf_dir)
     rev = lineitem.groupBy("l_partkey").agg(
         F.sum(
@@ -524,16 +535,17 @@ def pareto_abc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev")
     )
-    w_cum = (
-        Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
+    ranked = ordered_prefix_sums(
+        rev,
+        [F.col("rev").desc(), F.col("l_partkey")],
+        ["rev"],
+        with_totals=True,
+        sum_type="decimal(35,6)",
+    ).select(
         "l_partkey",
         "rev",
-        F.sum("rev").over(w_cum).alias("cum"),
-        F.sum("rev").over(w_all).alias("total"),
+        F.col("__cum_rev").alias("cum"),
+        F.col("__tot_rev").alias("total"),
     )
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     classed = ranked.select(

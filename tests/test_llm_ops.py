@@ -1288,3 +1288,56 @@ def test_shot_boundaries_find_planted_cuts(spark):
     for doc, cuts in flagged.items():
         assert cuts == [doc % 5 + 2], (doc, cuts)
     assert set(flagged) == set(per_doc)  # every clip has its one cut
+
+
+def test_pq_adc_non_contiguous_codebook(spark):
+    """r07 ADVICE regression: a Lloyd round that EMPTIES a cluster
+    drops its cid from the codebook, leaving non-contiguous ids (e.g.
+    {0, 2, 3}).  The cid-keyed LUT must still map every code to its
+    own centroid's distance — a positional LUT would shift codes past
+    the gap onto wrong slots (and the old element_at could read NULL,
+    which sorted FIRST and corrupted the top-k)."""
+    from end_end_data_pipeline__spark.operators.similarity import pq_adc_topk
+
+    # hand-built frame of (id, code_0, code_1) over a gapped codebook
+    codes = spark.createDataFrame(
+        [(1, 0, 0), (2, 2, 3), (3, 3, 2), (4, 2, 0)],
+        "vec_id long, code_0 int, code_1 int",
+    )
+    # subspace width 2; cid 1 "emptied" during training in BOTH books
+    books = {
+        0: [(0, [0, 0]), (2, [10, 0]), (3, [0, 10])],
+        1: [(0, [5, 5]), (2, [0, 0]), (3, [20, 20])],
+    }
+    query = [0.0, 0.0, 0.0, 0.0]
+    got = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_adc_topk(codes, books, query, k_top=4).collect()
+    }
+    want = {
+        1: (0 + 0) + (25 + 25),     # code (0,0)
+        2: (100 + 0) + (400 + 400),  # code (2,3)
+        3: (0 + 100) + (0 + 0),      # code (3,2)
+        4: (100 + 0) + (25 + 25),    # code (2,0)
+    }
+    assert got == want
+
+
+def test_bloom_probe_duplicate_keys(spark):
+    """r07 ADVICE regression: duplicated probe keys must NOT break the
+    no-false-negatives guarantee (a repeated member key used to count
+    2×n_hashes hits against an n_hashes threshold → reported False).
+    Output is one row per DISTINCT probe key."""
+    from end_end_data_pipeline__spark.operators import sketches
+
+    build = spark.createDataFrame([(7,), (8,), (9,)], "k long")
+    bloom = sketches.bloom_build(build, "k", n_bits=512, n_hashes=4)
+    probe = spark.createDataFrame(
+        [(7,), (7,), (7,), (8,), (1000001,), (1000001,)], "k long"
+    )
+    rows = sketches.bloom_probe(
+        bloom, probe, "k", n_bits=512, n_hashes=4
+    ).collect()
+    got = {r["k"]: r["bloom_member"] for r in rows}
+    assert len(rows) == 3  # distinct keys only
+    assert got[7] is True and got[8] is True

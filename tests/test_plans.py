@@ -78,6 +78,60 @@ def test_bnlj_only_by_design(spark):
     assert not bad, bad
 
 
+# Queries allowed to feed a Sort/Window from an Exchange
+# SinglePartition: every entry's single-task input is PROVABLY BOUNDED
+# (a k-row cut, an enum grid, or a per-bucket summary frame) — never
+# fact-scaled or spine-scaled.  The fact-scaled offenders (VERDICT r06
+# "wrong" #2: ml_decile_lift's population ntile, the equi-depth
+# histogram, the KS/MWU CDF spines, plus pareto's part spine and the
+# vocabulary ranking found by the r07 sweep) were rewired through
+# operators/scale.{ordered_prefix_sums,global_ntile} and rank-after-
+# limit and must stay out of this list.
+GLOBAL_SP_OK = {
+    # pruned skyline survivor set (dominance-filtered, ≪ input)
+    "skyline_part_price_size",
+    # bootstrap replicate grid: B × strata rows (fixed B)
+    "stats_bootstrap_ci_order_value",
+    # 10-row decile summary cum/lift window (post-global_ntile)
+    "ml_decile_lift",
+    # daily-series spines: ≤ |days| rows by construction
+    "timeseries_acf_lags",
+    "control_chart_xmr_signals",
+    "timeseries_rolling_median_7d",
+    # 9-digit Benford frame
+    "fraud_benford_digit_audit",
+    # per-100k-id-bucket bounds frame (n / 100_000 rows)
+    "integrity_sequence_gaps",
+    # source × language chi-square grid
+    "corpus_source_lang_chisq",
+}
+
+
+def test_global_single_partition_only_by_design(spark):
+    """No Sort/Window may consume an ``Exchange SinglePartition``
+    unless the query is allowlisted with a boundedness argument above.
+    This is the guard that keeps the exact-rank family on the
+    distributed schemes: a reintroduced global ORDER BY window over
+    fact- or spine-scaled input fails here instead of shipping.
+    (Scalar/final aggregates over SinglePartition exchanges are fine —
+    their inputs are partial-agg rows — and are not matched.)"""
+    bad = []
+    for n, p in _plans(spark):
+        lines = p.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            # the consumer sits just above the exchange in the tree
+            # rendering; scan a short upward window for Sort/Window
+            for j in range(i - 1, max(-1, i - 6), -1):
+                s = lines[j].strip("+-*: ")
+                if s.startswith(("Sort [", "Window [", "WindowGroupLimit")):
+                    if n not in GLOBAL_SP_OK:
+                        bad.append((n, s[:60]))
+                    break
+    assert not bad, bad
+
+
 def test_no_expensive_exprs_in_scan_filters(spark):
     bad = [
         n

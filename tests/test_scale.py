@@ -645,3 +645,45 @@ def test_global_ntile_and_prefix_sums_empty_input(spark):
     out2 = scale.global_ntile(empty, ["xc"], 10)
     assert out2.count() == 0
     assert "bucket" in out2.columns
+
+
+def test_ordered_prefix_sums_decimal_carrier(spark):
+    """DECIMAL sum_type: distributed cumulative decimal sums are
+    bit-identical to the window form (exact Decimal folding on the
+    driver), including descending order via Column sort exprs; float
+    carriers are refused."""
+    import pytest
+    from pyspark.sql import Window
+
+    lineitem = lake.load_table(spark, "lineitem", SF_SMOKE).limit(800)
+    rev = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(25,6)"
+            )
+        ).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r["l_partkey"]: r["cum"]
+        for r in rev.select(
+            "l_partkey", F.sum("rev").over(w).alias("cum")
+        ).collect()
+    }
+    tot = rev.agg(F.sum("rev").alias("t")).first()["t"]
+    out = scale.ordered_prefix_sums(
+        rev,
+        [F.col("rev").desc(), F.col("l_partkey")],
+        ["rev"],
+        n_parts=5,
+        with_totals=True,
+        sum_type="decimal(35,6)",
+    ).collect()
+    got = {r["l_partkey"]: r["__cum_rev"] for r in out}
+    assert got == want
+    assert all(r["__tot_rev"] == tot for r in out)
+    with pytest.raises(ValueError, match="order-dependent"):
+        scale.ordered_prefix_sums(rev, ["l_partkey"], ["rev"],
+                                  sum_type="double")
