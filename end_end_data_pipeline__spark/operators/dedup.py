@@ -231,6 +231,36 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_md5_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Per-function (P_i, Q_i) XOR masks for the md5 hash family —
+    Python-md5-derived (stable across interpreter versions, unlike
+    ``random``), shared VERBATIM by the Spark plan and the DuckDB
+    oracle so both engines evaluate identical literals.
+
+    Each is a 32-bit mask; hash_i(shingle) =
+    ``((ha XOR P_i) << 31) + ((hb XOR Q_i) >> 1)`` over the two 32-bit
+    digest slices — a per-i NONLINEAR scramble.  A linear family
+    (Kirsch–Mitzenmacher ``h1 + i·h2``, or affine ``A·ha + C·hb + B``)
+    is the wrong tool for minhash: the argmin of any linear functional
+    over the doc's (ha, hb) point set lies on its lower convex hull,
+    so a handful of hull shingles own every signature position and
+    documents sharing one collide on whole bands (measured 61×/30×
+    candidate excess for the two linear families).  XOR translation
+    re-ranks the point set per i with no geometric structure; measured
+    candidates match the xxhash64 family exactly (256 for 249 true
+    pairs at sf0.1 — scripts/minhash_retune.py).
+
+    Overflow: ``(2^32−1)·2^31 + (2^31−1) = 2^63 − 1`` — the maximum
+    value EXACTLY fills signed 64-bit in both engines, never over.
+    """
+    import hashlib
+
+    def _h(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+
+    return [(_h(f"P{i}"), _h(f"Q{i}")) for i in range(num_hashes)]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -244,35 +274,49 @@ def minhash_signatures(
     min() columns — map-side combinable, no UDF.
 
     ``hash_family``: 'xxhash64' (JVM-intrinsic longs — the scale
-    default) or 'md5' (two 52-bit longs sliced from ONE md5 digest per
-    shingle — hex digits 1-13 and 14-26 — expanded to ``num_hashes``
-    functions via Kirsch–Mitzenmacher double hashing ``h1 + i·h2`` —
-    exact integer arithmetic that is bit-identical in DuckDB, so the
-    operator's output is oracle-checkable across engines at the cost
-    of a single md5 call; 13 hex digits give 52-bit h1/h2, so
-    ``h1 + (num_hashes−1)·h2 < 2^52 + 127·2^52 = 2^59``, overflow-free
-    in signed 64-bit on both engines)."""
+    default) or 'md5' (two 32-bit longs sliced from ONE md5 digest per
+    shingle — hex digits 1-8 and 9-16 — expanded to ``num_hashes``
+    functions by per-i XOR scrambles
+    ``((ha XOR P_i) << 31) + ((hb XOR Q_i) >> 1)`` with md5-derived
+    literal masks (:func:`minhash_md5_constants`) — exact integer
+    arithmetic that is bit-identical in DuckDB, so the operator's
+    output is oracle-checkable across engines at the cost of a single
+    md5 call per shingle).
+
+    r07 NOTE — why not Kirsch–Mitzenmacher: the original md5 family
+    used K-M double hashing ``h1 + i·h2``, which is sound for Bloom
+    filters but WRONG for minhash — min-wise use needs ~independent
+    permutations, and under ANY linear family the argmin lives on the
+    (ha, hb) lower convex hull, shared across i (for K-M, large i is
+    always the min-``h2`` shingle); documents sharing one hull
+    shingle agreed on whole bands.  Measured at sf0.1: 15,190 LSH
+    candidates (K-M) / 7,890 (affine trial) for 249 true pairs vs 256
+    with the XOR family — the candidate excess collapsed 61× → ~1×
+    (scripts/minhash_retune.py tracks it per round)."""
     inv = explode_safe(
         _doc_shingles(df, text_col, id_col, n), ["doc"], F.col("sh"), "shingle"
     )
     if hash_family == "md5":
         if num_hashes > 128:
-            raise ValueError("md5 family caps num_hashes at 128 (overflow bound)")
+            raise ValueError("md5 family caps num_hashes at 128")
         digest = F.md5(F.col("shingle").cast("binary"))
-        h52 = lambda start: F.conv(  # noqa: E731
-            F.substring(digest, start, 13), 16, 10
+        h32 = lambda start: F.conv(  # noqa: E731
+            F.substring(digest, start, 8), 16, 10
         ).cast("long")
         # Generate barrier: evaluate the md5 ONCE per index row —
         # inlined it would re-run inside all num_hashes min() exprs
         inv = explode_safe(
             inv,
             ["doc"],
-            F.array(F.struct(h52(1).alias("h1"), h52(14).alias("h2"))),
+            F.array(F.struct(h32(1).alias("ha"), h32(9).alias("hb"))),
             "hh",
-        ).select("doc", F.col("hh.h1").alias("h1"), F.col("hh.h2").alias("h2"))
+        ).select("doc", F.col("hh.ha").alias("ha"), F.col("hh.hb").alias("hb"))
         mins = [
-            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min(
+                F.shiftleft(F.col("ha").bitwiseXOR(F.lit(p)), 31)
+                + F.shiftright(F.col("hb").bitwiseXOR(F.lit(q)), 1)
+            ).alias(f"h{i}")
+            for i, (p, q) in enumerate(minhash_md5_constants(num_hashes))
         ]
     elif hash_family == "xxhash64":
         mins = [

@@ -124,29 +124,32 @@ _PRIORITY: tuple[str, ...] = (
     "behavior_interarrival_burstiness",
     "multimodal_video_shot_boundaries",
     # --- r07 sentinels (8): exactly the queries round 7 touches --
-    # flagship = driver-drift canary; histogram_equidepth +
-    # agg_pricing + minhash + heavy_hitters + q18 = the rewire/
-    # perf-watch set (re-verify hashes after plan changes);
-    # banking_generator_fanout = oracle upgraded to independent
-    # replay this round; cdc_roundtrip = headline CDC family.
+    # flagship = driver-drift canary; histogram_equidepth + minhash +
+    # canonical_corpus + incremental_batch + heavy_hitters = the
+    # rewire set (plan or value changes this round — the three
+    # md5-family queries changed RESULTS with the XOR hash-family
+    # fix, so their older driver rows are superseded and these slots
+    # re-verify them); agg_pricing + q18 = the perf-watch re-measure
+    # pair.
     "flagship_monthly_segment_volume",
     "histogram_equidepth_order_value",
     "agg_pricing_summary",
-    "banking_generator_fanout",
     "dedup_minhash_lsh_pairs",
+    "dedup_canonical_corpus",
+    "dedup_incremental_batch",
     "heavy_hitters_brand_lineitems",
     "tpch_q18_large_volume_customers",
-    "cdc_roundtrip_latest_state",
     # --- window boundary (50) ---
     # --- r01-r06 greens (hash-verified driver row in some round;
     # re-swept every round by scripts/driver_gate.py --all) ---
+    "banking_generator_fanout",
+    "cdc_roundtrip_latest_state",
     "pyds_writer_sink_roundtrip",
     "lateral_top2_orders_per_customer",
     "udtf_props_fanout",
     "scd2_point_in_time_join",
     "approx_percentile_error_bound",
     "federated_jdbc_parquet_join",
-    "dedup_incremental_batch",
     "embedding_mmr_rerank",
     "governance_masked_customers",
     "integrity_table_checksums",
@@ -303,7 +306,6 @@ _PRIORITY: tuple[str, ...] = (
     "skew_salted_join_segment_counts",
     "skew_salted_two_phase_agg",
     "nested_address_country_rollup",
-    "dedup_canonical_corpus",
     "curation_pipeline_end_to_end",
     "embedding_neardup_pairs",
     "text_winnow_fingerprints",

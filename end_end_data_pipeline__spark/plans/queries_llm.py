@@ -518,15 +518,33 @@ _SHINGLE_CTE = """
         )"""
 
 
+def _minhash_mins_sql(num_hashes: int) -> str:
+    """The md5-family min-signature expressions, shared by both minhash
+    oracles: the SAME per-i XOR scrambles
+    ``((ha XOR P_i) << 31) + ((hb XOR Q_i) >> 1)`` the Spark side
+    evaluates, with the masks imported from
+    :func:`operators.dedup.minhash_md5_constants` so the two plans can
+    never drift (r07 — replaces the Kirsch–Mitzenmacher ``h1 + i·h2``
+    family whose hull-correlated argmins caused a 61× candidate
+    excess; see the operator docstring for the geometry)."""
+    from end_end_data_pipeline__spark.operators.dedup import (
+        minhash_md5_constants,
+    )
+
+    return ",\n                   ".join(
+        f"min((xor(ha, {p}) << 31) + (xor(hb, {q}) >> 1)) AS h{i}"
+        for i, (p, q) in enumerate(minhash_md5_constants(num_hashes))
+    )
+
+
+
 def _minhash_oracle(num_hashes: int = 32, bands: int = 8, thr: float = 0.5) -> str:
     """DuckDB replica of ``dedup.minhash_lsh_pairs(hash_family='md5')``:
     identical seeded-md5 min-signatures, identical '|'-joined band
     keys, identical exact-Jaccard verification — so even the
     probabilistic candidate set is deterministic and hash-checkable."""
     r = num_hashes // bands
-    mins = ",\n                   ".join(
-        f"min(h1 + {i} * h2) AS h{i}" for i in range(num_hashes)
-    )
+    mins = _minhash_mins_sql(num_hashes)
     band_rows = "\n            UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {key} AS bh FROM sig".format(
             b=b,
@@ -541,8 +559,8 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, thr: float = 0.5) -> s
         inv AS (SELECT doc_id, unnest(sh) AS s FROM ds),
         hh AS (
             SELECT doc_id,
-                   ('0x' || substr(md5(s), 1, 13))::BIGINT AS h1,
-                   ('0x' || substr(md5(s), 14, 13))::BIGINT AS h2
+                   ('0x' || substr(md5(s), 1, 8))::BIGINT AS ha,
+                   ('0x' || substr(md5(s), 9, 8))::BIGINT AS hb
             FROM inv
         ),
         sig AS (
@@ -1884,9 +1902,7 @@ def _minhash_incr_oracle(num_hashes: int = 32, bands: int = 8, thr: float = 0.5)
     whichever frame computes them), so the oracle builds one signature
     table and applies the batch/corpus constraint at the band join."""
     r = num_hashes // bands
-    mins = ",\n                   ".join(
-        f"min(h1 + {i} * h2) AS h{i}" for i in range(num_hashes)
-    )
+    mins = _minhash_mins_sql(num_hashes)
     band_rows = "\n            UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {key} AS bh FROM sig".format(
             b=b,
@@ -1901,8 +1917,8 @@ def _minhash_incr_oracle(num_hashes: int = 32, bands: int = 8, thr: float = 0.5)
         inv AS (SELECT doc_id, unnest(sh) AS s FROM ds),
         hh AS (
             SELECT doc_id,
-                   ('0x' || substr(md5(s), 1, 13))::BIGINT AS h1,
-                   ('0x' || substr(md5(s), 14, 13))::BIGINT AS h2
+                   ('0x' || substr(md5(s), 1, 8))::BIGINT AS ha,
+                   ('0x' || substr(md5(s), 9, 8))::BIGINT AS hb
             FROM inv
         ),
         sig AS (
