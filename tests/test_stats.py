@@ -1022,3 +1022,25 @@ def test_burstiness_vs_python(spark):
         )
     want = sorted(scored, key=lambda t: (-t[3], t[0]))[:25]
     assert got == want
+
+
+@pytest.mark.parametrize("seed,k", [(7, 10), (11, 5)])
+def test_heavy_hitters_hint_path_equals_mg_path(spark, seed, k):
+    """r07: the n_keys_hint single-pass path must return the exact
+    same heavy-hitter set as the two-pass MG path (and as exact
+    GROUP BY/HAVING); a hint above the 100k cutoff falls through to
+    the MG shape."""
+    data = _zipf_keys(2000, seed)
+    df = spark.createDataFrame([(x,) for x in data], "key string").repartition(4)
+    cnt = Counter(data)
+    want = {(key, c) for key, c in cnt.items() if c * k > len(data)}
+    hinted = {
+        (r["key"], r["freq"])
+        for r in heavy_hitters(df, "key", k, n_keys_hint=50).collect()
+    }
+    assert hinted == want
+    big_hint = {
+        (r["key"], r["freq"])
+        for r in heavy_hitters(df, "key", k, n_keys_hint=200_000).collect()
+    }
+    assert big_hint == want
