@@ -50,13 +50,28 @@ def main() -> int:
                     help="check only these query names")
     ap.add_argument("--out", default=None,
                     help="write a CORRECTNESS-style JSON report here")
+    ap.add_argument("--master", default="local[8]",
+                    help="spark master (vary core count for invariance sweeps)")
+    ap.add_argument("--conf", action="append", default=None, metavar="K=V",
+                    help="extra spark conf (repeatable) — e.g. "
+                         "--conf spark.sql.shuffle.partitions=7 for a "
+                         "hostile-config invariance sweep; combine with a "
+                         "TZ=Pacific/Kiritimati env var to start the JVM in "
+                         "a non-UTC zone (every query must pin its own)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    # vanilla session on purpose: the driver brings its own (no engine
-    # conf), so any query that NEEDS special conf must set it itself
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    # vanilla session BY DEFAULT: the driver brings its own (no engine
+    # conf), so any query that NEEDS special conf must set it itself.
+    # --conf/--master exist to make the sweep HOSTILE instead (odd
+    # shuffle-partition counts, AQE off, skewed core counts): every
+    # query's hash must be invariant to all of them.
+    builder = SparkSession.builder.master(args.master)
+    for kv in args.conf or []:
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
 
     import __spark_entry__ as entry
     from tests.oracle import compare, duck_run

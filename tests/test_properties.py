@@ -336,3 +336,91 @@ def test_grouped_global_rank_property(spark, rows, n_parts):
         ).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# ordered_prefix_sums / global_ntile vs the single-task window forms
+# --------------------------------------------------------------------------
+
+cum_frame_strategy = st.lists(
+    st.integers(min_value=-1_000_000, max_value=1_000_000),  # measure
+    min_size=1,
+    max_size=40,
+)
+
+
+@PROP
+@given(
+    vals=cum_frame_strategy,
+    n_parts=st.integers(min_value=1, max_value=7),
+    dup_every=st.integers(min_value=1, max_value=3),
+)
+def test_ordered_prefix_sums_property(spark, vals, n_parts, dup_every):
+    """For ANY measure sequence — negatives, zeros, duplicate sort keys
+    straddling range splits (key = id DIV dup_every with the unique id
+    as tie-break), any partition count — the range-partitioned prefix
+    sum and its grand-total literal equal the window form exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from end_end_data_pipeline__spark.operators import scale
+
+    data = [(i // dup_every, i, v) for i, v in enumerate(vals)]
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("id", LongType(), False),
+            StructField("v", LongType(), False),
+        ]
+    )
+    df = spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["c"]
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    out = scale.ordered_prefix_sums(
+        df, ["k", "id"], ["v"], n_parts=n_parts, with_totals=True
+    ).collect()
+    got = {r["id"]: r["__cum_v"] for r in out}
+    assert got == want
+    total = sum(vals)
+    assert all(r["__tot_v"] == total for r in out)
+
+
+@PROP
+@given(
+    vals=cum_frame_strategy,
+    n_parts=st.integers(min_value=1, max_value=7),
+    n_buckets=st.integers(min_value=1, max_value=13),
+)
+def test_global_ntile_property(spark, vals, n_parts, n_buckets):
+    """For ANY population — n smaller/larger than the bucket count,
+    duplicate values with a unique tie-break, any partition count —
+    the arithmetic bucket from the distributed rank is bit-identical
+    to ``ntile`` (whose own determinism needs the same total order)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from end_end_data_pipeline__spark.operators import scale
+
+    data = [(v, i) for i, v in enumerate(vals)]
+    schema = StructType(
+        [
+            StructField("v", LongType(), False),
+            StructField("id", LongType(), False),
+        ]
+    )
+    df = spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["b"]
+        for r in df.withColumn("b", F.ntile(n_buckets).over(w)).collect()
+    }
+    got = {
+        r["id"]: r["bucket"]
+        for r in scale.global_ntile(
+            df, ["v", "id"], n_buckets, n_parts=n_parts
+        ).collect()
+    }
+    assert got == want
