@@ -575,9 +575,14 @@ def window_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_sliding_10m_5m",
     oracle=f"""
         WITH hopped AS (
-            SELECT e.*, CAST(to_timestamp(
+            -- naive arithmetic on purpose: to_timestamp() returns
+            -- TIMESTAMPTZ, whose cast back to naive goes through the
+            -- DuckDB session zone — under a non-UTC TZ env every
+            -- win_start would shift (caught by the r07 hostile-TZ
+            -- invariance sweep: 0 oracle rows under Kiritimati)
+            SELECT e.*, TIMESTAMP '1970-01-01' + CAST(
                      (floor(epoch(ts) / 300) * 300) - h.hop * 300
-                   ) AS TIMESTAMP) AS win_start
+                     AS BIGINT) * INTERVAL 1 SECOND AS win_start
             FROM events e, (SELECT unnest([0, 1]) AS hop) h
         )
         SELECT win_start, win_start + INTERVAL 10 MINUTE AS win_end,

@@ -73,6 +73,7 @@ from pyspark.sql.types import (
     BooleanType,
     DecimalType,
     StructType,
+    TimestampType,
 )
 
 from end_end_data_pipeline__spark.sources import cdc
@@ -322,12 +323,20 @@ def _stats_eligible(dtype) -> bool:
 
 def _enc_stat(v):
     """JSON-native, ORDER-PRESERVING encoding of a stat or predicate
-    value: numbers stay numbers; strings stay strings; date/timestamp
-    become fixed-width ISO-8601 strings (lexicographic == temporal
-    order, both sides encoded identically so mixed precision never
-    mis-compares)."""
+    value: numbers stay numbers; strings stay strings; dates become
+    ISO-8601 strings (ordinal-based, timezone-free); TIMESTAMPS become
+    epoch-MICROSECOND integers — the absolute instant, immune to the
+    JVM/Python local zone.  A NAIVE datetime is interpreted as UTC
+    wall time (the repo-wide pin): ``datetime.isoformat()`` or a
+    Python-side ``.collect()`` round-trip would both shift with the
+    process ``TZ`` (PySpark converts TimestampType through the LOCAL
+    calendar, not the session zone), which the round-7 hostile-TZ
+    invariance sweep caught live (``versioned_stats_skipping`` read a
+    band shifted by +14 h under TZ=Pacific/Kiritimati)."""
     if isinstance(v, _dt.datetime):
-        return v.isoformat(sep=" ", timespec="microseconds")
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
     if isinstance(v, _dt.date):
         return v.isoformat()
     return v
@@ -352,10 +361,23 @@ def _collect_stats(
     df = spark.read.parquet(data_dir).drop(BUCKET_COL)
     cols = [f.name for f in df.schema.fields if _stats_eligible(f.dataType)]
     null_cols = [f.name for f in df.schema.fields]  # null counts: ALL cols
+    # timestamp bounds leave the JVM as epoch-micros (unix_micros), never
+    # as Python datetimes: a ``.collect()`` of TimestampType converts
+    # through the PROCESS-LOCAL zone, so the ISO string it encodes to
+    # would shift with TZ — the manifest must store the absolute instant
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+    def _bound(c: str, fn) -> Column:
+        a = fn(c)
+        return F.unix_micros(a) if isinstance(dtypes[c], TimestampType) else a
+
     aggs = [
         a
         for c in cols
-        for a in (F.min(c).alias(f"mn__{c}"), F.max(c).alias(f"mx__{c}"))
+        for a in (
+            _bound(c, F.min).alias(f"mn__{c}"),
+            _bound(c, F.max).alias(f"mx__{c}"),
+        )
     ]
     aggs += [F.count(F.lit(1)).alias("rows__")]
     aggs += [
@@ -414,6 +436,12 @@ def _file_matches(stats: dict[str, list] | None, col: str, op: str, v) -> bool:
     if any(isinstance(b, float) and b != b for b in (lo, hi)):
         return True  # NaN bound (Spark max treats NaN as +inf) — keep
     ev = _enc_stat(v)
+    # encoding-generation guard: a manifest written before the
+    # epoch-micros timestamp encoding stores ISO strings; comparing
+    # those against a micros predicate would be meaningless — keep the
+    # file (pruning is only ever an optimization)
+    if isinstance(ev, str) != isinstance(lo, str):
+        return True
     if op == "=":
         return lo <= ev <= hi
     if op == "<":
@@ -484,6 +512,13 @@ def read_where(
         preds: list[Column] = []
         for c, op, val in conjuncts:
             col = F.col(c)
+            if isinstance(val, _dt.datetime):
+                # absolute-instant literal: a bare datetime converts to
+                # internal micros through the PROCESS-LOCAL calendar, so
+                # the selected band would shift with the TZ env var
+                # (naive datetime == UTC wall time, the _enc_stat
+                # contract — same instant the pruning compared against)
+                val = F.timestamp_micros(F.lit(_enc_stat(val)))
             preds.append(
                 {
                     "=": col == val,

@@ -18,6 +18,12 @@ TABLES = (
 
 def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
+    # the oracle is the FIXED reference: pin its session zone so a
+    # hostile TZ env var exercises only the engine side (DuckDB's
+    # TIMESTAMPTZ↔naive casts and epoch conversions follow the session
+    # zone, which defaults to the environment's) — mirrors the Spark
+    # side's own UTC pin in session.get_spark / lake.load_table
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con.execute(sql).fetchdf()

@@ -630,23 +630,35 @@ def test_stats_carry_forward_for_untouched_buckets(spark, tmp_path):
 
 
 def test_read_where_timestamp_predicates(spark, tmp_path):
-    """Timestamp stats round-trip through the ISO-8601 order-preserving
-    encoding: datetime predicate values prune and filter correctly."""
+    """Timestamp stats round-trip as epoch-MICROSECOND integers (the
+    absolute instant — never a local-calendar datetime or ISO string,
+    which shift with the TZ env var); naive datetime predicates mean
+    UTC wall time and prune + filter correctly.  Data is built in-plan
+    via timestamp_seconds (TZ-free), not Python datetimes (whose
+    createDataFrame conversion goes through the local calendar)."""
     import datetime as dt
 
     target = str(tmp_path / "t")
-    base = dt.datetime(2024, 1, 1)
-    df = spark.createDataFrame(
-        [(i, base + dt.timedelta(days=i), "c", 1) for i in range(1, 31)],
-        "id long, created timestamp, op string, ts_ms long",
-    ).select(
-        "id", "op", "ts_ms",
-        F.when(F.col("op") != "d", F.struct("id", "created")).alias("after"),
+    epoch_2024 = 1704067200  # 2024-01-01 UTC
+    df = (
+        spark.range(1, 31)
+        .select(
+            F.col("id"),
+            F.lit("c").alias("op"),
+            F.lit(1).cast("long").alias("ts_ms"),
+            F.timestamp_seconds(
+                F.lit(epoch_2024) + F.col("id") * 86400
+            ).alias("created"),
+        )
+        .select(
+            "id", "op", "ts_ms",
+            F.when(F.col("op") != "d", F.struct("id", "created")).alias("after"),
+        )
     )
     mt.merge_versioned(df, target, ["id"], n_buckets=2)
     manifest = mt._read_manifest(spark, target, 1)
     some = next(iter(manifest["stats"].values()))
-    assert isinstance(some["created"][0], str)  # ISO-encoded
+    assert isinstance(some["created"][0], int)  # epoch-micros-encoded
     lo = dt.datetime(2024, 1, 11)
     hi = dt.datetime(2024, 1, 13)
     got = {
