@@ -197,7 +197,6 @@ def grouped_global_rank(
     ``n_groups_hint`` to skip the pre-scan entirely; the hint is
     trusted as-is and compared against ``max_driver_groups``.
     """
-    from pyspark.sql import Window
     from pyspark.sql.types import LongType, StructField, StructType
 
     if not order_cols:

@@ -157,6 +157,11 @@ def bloom_probe(
     Probe keys are de-duplicated first: a repeated key would double
     its group's row count and make ``count == n_hashes`` report a true
     member as False — violating the no-false-negatives guarantee.
+    A NULL probe key gets ``bloom_member = false`` (its row is kept):
+    ``bloom_build`` skips NULLs so NULL is never a member, and hashing
+    one here would silently drop the null from the ``concat_ws`` salt
+    (probing the bare salt strings — a bogus verdict that could read
+    true, diverging from a NULL-propagating SQL replica).
     """
     key = F.col(key_col)
     positions = F.array(
@@ -169,7 +174,9 @@ def bloom_probe(
         exploded.join(F.broadcast(marked), "pos", "left")
         .groupBy(key_col)
         .agg(
-            (F.count("__hit") == F.lit(n_hashes)).alias("bloom_member")
+            (key.isNotNull() & (F.count("__hit") == F.lit(n_hashes))).alias(
+                "bloom_member"
+            )
         )
     )
 

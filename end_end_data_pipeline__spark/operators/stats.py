@@ -113,6 +113,12 @@ def heavy_hitters(
     hint × partitions rows) plus a scalar total, halving the scan
     count.  Identical output either way; the MG path remains the
     billion-key scale shape (r07, VERDICT r06 task 6).
+
+    NULL keys count toward the row total on BOTH paths but are never
+    reported as heavy hitters (the MG sketch string-casts them into a
+    candidate that can't match a NULL key in the verification
+    semi-join, so the hint path filters them from its result
+    explicitly to keep the two paths output-identical).
     """
     if n_keys_hint is not None and n_keys_hint <= 100_000:
         keyed = df.select(F.col(key_col).cast("string").alias("key"))
@@ -120,7 +126,8 @@ def heavy_hitters(
         exact = exact.localCheckpoint(eager=True)
         n_total = exact.agg(F.sum("freq").alias("n")).collect()[0]["n"] or 0
         return exact.filter(
-            F.col("freq") * F.lit(k) > F.lit(n_total)
+            (F.col("freq") * F.lit(k) > F.lit(n_total))
+            & F.col("key").isNotNull()
         ).select(F.col("key"), F.col("freq"))
     sk = misra_gries_candidates(df, key_col, k).localCheckpoint(eager=True)
     n_total = sk.agg(F.sum("part_rows").alias("n")).collect()[0]["n"] or 0

@@ -53,15 +53,18 @@ def test_gate_covers_catalog():
 
 def test_gate_all_green():
     newest, gate = _newest_gate()
-    red = sorted(
-        name
-        for name, row in gate.items()
-        if not (
-            row.get("rows_match")
-            and row.get("schema_match")
-            # rows-only queries record hash_match=None; required when set
-            and row.get("hash_match") is not False
-            and row.get("err") is None
-        )
-    )
+    oracled = {n for n, q in load_all().items() if q.oracle}
+    def green(name: str, row: dict) -> bool:
+        if not (row.get("rows_match") and row.get("schema_match")):
+            return False
+        if name in oracled:
+            # an oracle-backed query must have a VERIFIED hash —
+            # hash_match=None would mean the hash was never computed,
+            # not that it verified
+            return row.get("err") is None and row.get("hash_match") is True
+        # genuinely rows-only (no oracle in the catalog): the gate
+        # records err="no_oracle" and no hash
+        return row.get("err") in (None, "no_oracle")
+
+    red = sorted(name for name, row in gate.items() if not green(name, row))
     assert not red, f"{os.path.basename(newest)} has red rows: {red}"

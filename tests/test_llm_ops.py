@@ -1341,3 +1341,25 @@ def test_bloom_probe_duplicate_keys(spark):
     got = {r["k"]: r["bloom_member"] for r in rows}
     assert len(rows) == 3  # distinct keys only
     assert got[7] is True and got[8] is True
+
+
+def test_bloom_probe_null_key_is_nonmember(spark):
+    """r07 review regression: a NULL probe key must report
+    bloom_member=false (bloom_build skips NULLs, so NULL is never a
+    member) — hashing it would drop the null from the concat_ws salt
+    and probe the bare salt strings, a bogus verdict that could read
+    true and diverge from a NULL-propagating SQL replica."""
+    from end_end_data_pipeline__spark.operators import sketches
+
+    build = spark.createDataFrame([(7,), (8,), (9,)], "k long")
+    # tiny dense filter: salt-only positions are very likely set, which
+    # is exactly the configuration where the unguarded NULL hashed true
+    bloom = sketches.bloom_build(build, "k", n_bits=8, n_hashes=4)
+    probe = spark.createDataFrame([(7,), (None,), (None,)], "k long")
+    rows = sketches.bloom_probe(
+        bloom, probe, "k", n_bits=8, n_hashes=4
+    ).collect()
+    got = {r["k"]: r["bloom_member"] for r in rows}
+    assert len(rows) == 2  # NULL de-duplicates like any key
+    assert got[7] is True
+    assert got[None] is False

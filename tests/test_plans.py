@@ -115,19 +115,35 @@ def test_global_single_partition_only_by_design(spark):
     fact- or spine-scaled input fails here instead of shipping.
     (Scalar/final aggregates over SinglePartition exchanges are fine —
     their inputs are partial-agg rows — and are not matched.)"""
+    def depth(ln: str) -> int:
+        # tree-prefix length: ':  ' / '+- ' nesting chars only — the
+        # codegen star '*(2) ' sits AFTER the prefix and must not count
+        return len(ln) - len(ln.lstrip(":+- "))
+
+    def op(ln: str) -> str:
+        # operator name with any '*(N) ' codegen marker stripped, so a
+        # codegen'd '*(2) Sort [...]' is still recognized as a Sort
+        return re.sub(r"^\*?\(\d+\)\s*", "", ln.lstrip(":+- "))
+
     bad = []
     for n, p in _plans(spark):
         lines = p.splitlines()
         for i, ln in enumerate(lines):
             if "Exchange SinglePartition" not in ln:
                 continue
-            # the consumer sits just above the exchange in the tree
-            # rendering; scan a short upward window for Sort/Window
-            for j in range(i - 1, max(-1, i - 6), -1):
-                s = lines[j].strip("+-*: ")
-                if s.startswith(("Sort [", "Window [", "WindowGroupLimit")):
-                    if n not in GLOBAL_SP_OK:
-                        bad.append((n, s[:60]))
+            # the exchange's CONSUMER is its direct parent: the nearest
+            # line above at strictly shallower tree depth (a fixed-size
+            # upward window could cross into a sibling subtree and
+            # misattribute a sibling's Sort to this exchange)
+            d = depth(ln)
+            for j in range(i - 1, -1, -1):
+                if not lines[j].strip():
+                    continue
+                if depth(lines[j]) < d:
+                    s = op(lines[j])
+                    if s.startswith(("Sort [", "Window [", "WindowGroupLimit")):
+                        if n not in GLOBAL_SP_OK:
+                            bad.append((n, s[:60]))
                     break
     assert not bad, bad
 

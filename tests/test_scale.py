@@ -687,3 +687,40 @@ def test_ordered_prefix_sums_decimal_carrier(spark):
     with pytest.raises(ValueError, match="order-dependent"):
         scale.ordered_prefix_sums(rev, ["l_partkey"], ["rev"],
                                   sum_type="double")
+
+
+def test_grouped_global_rank_n_groups_hint_paths(spark):
+    """r07 review: both hint branches must be exercised — a hint under
+    the cutoff runs the distributed offset scheme WITHOUT the
+    approx_count_distinct pre-scan, a hint over it falls back to the
+    plain window — and both match the no-hint result exactly."""
+    from pyspark.sql import Window
+
+    from end_end_data_pipeline__spark.operators.scale import grouped_global_rank
+
+    df = (
+        spark.range(0, 500)
+        .select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * 37 % 101).alias("v"),
+            F.col("id"),
+        )
+        .repartition(5)
+    )
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        r["id"]: r["r"]
+        for r in df.withColumn("r", F.row_number().over(w).cast("long")).collect()
+    }
+    for kwargs in (
+        {"n_groups_hint": 3},          # trusted hint → offset scheme
+        {"n_groups_hint": 10_000_000}, # over max_driver_groups → window
+        {},                            # pre-scan estimate → offset scheme
+    ):
+        got = {
+            r["id"]: r["r"]
+            for r in grouped_global_rank(
+                df, ["g"], ["v", "id"], **kwargs
+            ).collect()
+        }
+        assert got == want, kwargs

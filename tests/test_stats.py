@@ -1044,3 +1044,30 @@ def test_heavy_hitters_hint_path_equals_mg_path(spark, seed, k):
         for r in heavy_hitters(df, "key", k, n_keys_hint=200_000).collect()
     }
     assert big_hint == want
+
+
+def test_heavy_hitters_null_keys_both_paths(spark):
+    """NULL keys count toward the row total on both paths but are
+    never reported as heavy hitters — without the hint path's explicit
+    NULL filter, a NULL-majority frame returned (NULL, freq) from one
+    path and nothing from the other (review r07)."""
+    # 12 NULLs, 6 'a', 2 'b' → with k=3 the threshold is freq·3 > 20:
+    # NULL (36>20) would qualify if reportable; 'a' (18>20) must NOT
+    # qualify — proving NULLs still inflate the denominator
+    data = [(None,)] * 12 + [("a",)] * 6 + [("b",)] * 2
+    df = spark.createDataFrame(data, "key string").repartition(3)
+    for kwargs in ({"n_keys_hint": 3}, {}):
+        got = {
+            (r["key"], r["freq"])
+            for r in heavy_hitters(df, "key", 3, **kwargs).collect()
+        }
+        assert got == set(), (kwargs, got)
+    # sanity: a non-null key over the NULL-inflated threshold reports
+    data2 = [(None,)] * 4 + [("a",)] * 12 + [("b",)] * 4
+    df2 = spark.createDataFrame(data2, "key string").repartition(3)
+    for kwargs in ({"n_keys_hint": 3}, {}):
+        got = {
+            (r["key"], r["freq"])
+            for r in heavy_hitters(df2, "key", 3, **kwargs).collect()
+        }
+        assert got == {("a", 12)}, (kwargs, got)
