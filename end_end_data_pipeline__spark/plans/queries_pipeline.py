@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from end_end_data_pipeline__spark.functions.scalar import dec_sum
 from end_end_data_pipeline__spark.plans.catalog import register
 from end_end_data_pipeline__spark.plans.sqlgen import dsum
+from end_end_data_pipeline__spark.session import bounded_stream_shuffle
 from end_end_data_pipeline__spark.sources import cdc, connectors, lake
 
 # ---------------------------------------------------------------------------
@@ -368,14 +369,15 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"), dec_sum("value", "total_value")
     )
     name = "stream_static_enrichment_sink"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -437,15 +439,16 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total",
             )
         )
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with bounded_stream_shuffle(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     base = "2024-01-01 "
     try:
@@ -584,14 +587,15 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     )
     name = "stream_stream_click_purchase_sink"
-    q = (
-        pairs.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_stream_shuffle(spark):
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -630,14 +634,15 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = running_user_stats(stream)
     name = "stream_stateful_user_stats_sink"
-    q = (
-        stats.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_stream_shuffle(spark):
+        q = (
+            stats.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # one emission per user per micro-batch; totals are monotone, so the
     # final state is the row-wise max per user
     return (
@@ -699,14 +704,15 @@ def stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = sessionize(stream, gap_ms=1_800_000)
     name = "stream_custom_sessionize_sink"
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_stream_shuffle(spark):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("user_id", "session_start_ms")
 
 
@@ -1096,14 +1102,15 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     agg = deduped.groupBy().agg(F.count("*").alias("n_after_dedup"))
     name = "stream_dedup_sink"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

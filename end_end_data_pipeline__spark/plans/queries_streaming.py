@@ -22,6 +22,7 @@ from end_end_data_pipeline__spark.functions.scalar import dec_sum
 from end_end_data_pipeline__spark.operators import sketches
 from end_end_data_pipeline__spark.plans.catalog import register
 from end_end_data_pipeline__spark.plans.sqlgen import dsum
+from end_end_data_pipeline__spark.session import bounded_stream_shuffle
 from end_end_data_pipeline__spark.sources import cdc, datagen, lake
 
 
@@ -190,10 +191,11 @@ def stream_jdbc_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc.encode_envelope(changes, "op", "ts_ms", "orders").coalesce(
         1
     ).write.mode("append").text(src)
-    U.stream_cdc_file_source_jdbc(
-        spark, src, base.schema, ["o_orderkey"], url, "orders_live", ckpt,
-        driver=driver,
-    ).awaitTermination()
+    with bounded_stream_shuffle(spark):
+        U.stream_cdc_file_source_jdbc(
+            spark, src, base.schema, ["o_orderkey"], url, "orders_live", ckpt,
+            driver=driver,
+        ).awaitTermination()
     return lake.read_jdbc(
         spark, url, "orders_live",
         partition_column="o_orderkey", num_partitions=4,
@@ -672,14 +674,15 @@ def stream_daily_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("event_date")
     ).agg(F.count("*").alias("n_events"), dec_sum("value", "total_value"))
     name = "stream_daily_event_agg_sink"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -764,11 +767,12 @@ def stream_cdc_upsert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             1
         ).write.mode("append").text(src)
 
-    q = stream_cdc_file_source_versioned(
-        spark, src, schemas.cdc_row_schema("accounts"), ["id"], target, ckpt,
-        max_files_per_trigger=1, n_buckets=8,
-    )
-    q.awaitTermination()
+    with bounded_stream_shuffle(spark):
+        q = stream_cdc_file_source_versioned(
+            spark, src, schemas.cdc_row_schema("accounts"), ["id"], target,
+            ckpt, max_files_per_trigger=1, n_buckets=8,
+        )
+        q.awaitTermination()
     silver = cdc.silver_banking(mt.read_snapshot(spark, target), "accounts")
     return silver.select(
         "id", "customer_id", "account_type",
@@ -1184,13 +1188,14 @@ def stream_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "batch_id", F.lit(batch_id)
         ).write.mode("append").parquet(regs_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     appended = spark.read.parquet(regs_dir)
     n_batches = appended.select("batch_id").distinct().count()

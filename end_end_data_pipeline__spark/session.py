@@ -18,10 +18,39 @@ gracefully on ``local[N]``:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+
+
+@contextmanager
+def bounded_stream_shuffle(spark: SparkSession, n: int = 32):
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of a
+    micro-batch stream execution, then restore the caller's value.
+
+    A streaming stateful operator materializes ONE STATE STORE PER
+    SHUFFLE PARTITION at query start, and AQE never re-plans a stream —
+    so a fixture-scale stream under a vanilla 200-partition session
+    pays 200 state-store checkpoint round-trips per micro-batch
+    (measured: the sf0.01 stream-stream join runs 26.8 s at 200
+    partitions vs 2.5 s at 8; the work is per-store fixed cost, not
+    data).  Batch queries never need this — AQE coalesces their
+    shuffles — and results are partition-count-invariant either way
+    (INVARIANCE_r07 ran the whole catalog at 7).  On a real cluster
+    raise ``n`` toward the executor-core count: state-store
+    parallelism is the scale-out axis for high-throughput streams, and
+    the fixed per-store cost amortizes once micro-batches carry real
+    data volume.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def get_spark(
