@@ -332,8 +332,19 @@ def _banded(sig: DataFrame, num_hashes: int, bands: int, hash_family: str) -> Da
     """(doc, band, bh) band-key rows from a signature frame — the LSH
     bucketing shared by the self-join and incremental paths.  md5
     family uses '|'-joined raw signature slices (DuckDB-replicable);
-    xxhash64 compresses the slice to one long."""
-    r = num_hashes // bands
+    xxhash64 compresses the slice to one long.
+
+    ``bands`` must divide ``num_hashes`` with rows-per-band >= 1:
+    ``bands > num_hashes`` would give every document an IDENTICAL
+    empty band key (an all-pairs candidate join — the exact blow-up
+    LSH exists to avoid), and a non-divisible ``bands`` would silently
+    ignore the trailing hashes, changing the advertised S-curve."""
+    r, rem = divmod(num_hashes, bands)
+    if r < 1 or rem:
+        raise ValueError(
+            f"_banded: bands={bands} must divide num_hashes={num_hashes} "
+            "with at least 1 row per band"
+        )
     if hash_family == "md5":
         band_cols = [
             F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)]).alias(
@@ -382,7 +393,6 @@ def minhash_lsh_pairs(
 
     Output: (doc_a, doc_b, jaccard ≥ verify_threshold).
     """
-    r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_family)
     unpivot = _banded(sig, num_hashes, bands, hash_family)
     a, b_ = unpivot.alias("a"), unpivot.alias("b")
@@ -703,6 +713,11 @@ def deletion_neighborhood_pairs(
             )
         ).cast("string")
     )
+    # NULL text is dropped like every other text operator does — without
+    # this filter the guard's NULL condition falls through to the
+    # raise_error branch and kills the job with a misleading
+    # "longer than max_len" message
+    df = df.filter(F.col(text_col).isNotNull())
     va = df.select(
         F.col(id_col).alias("vid"),
         guarded.alias("vtext"),

@@ -243,8 +243,11 @@ def flatten_hierarchy(
 
     Scale: O(tree depth) rounds, each ONE equi-join shuffle of narrow
     rows (walker + string path), lineage truncated per round like
-    :func:`connected_components`; cycles are cut off (and flagged) at
-    ``max_depth`` rather than looping forever.  For pathological
+    :func:`connected_components`; cycles are cut off at ``max_depth``
+    rather than looping forever, and flagged: output column ``is_cut``
+    is true for walkers still mid-walk when the loop ended (a cycle or
+    a deeper-than-max_depth chain — their ``root`` is just the last
+    ancestor seen, not a real root).  For pathological
     depths (linked lists), pointer doubling halves the rounds at the
     cost of squaring the path-concat state — same trade
     ``connected_components`` documents.
@@ -293,6 +296,8 @@ def flatten_hierarchy(
         F.coalesce("root_sofar", "node").alias("root"),
         "depth",
         "path",
+        # still mid-walk when the loop ended ⇒ cycle / depth overflow
+        F.col("cur").isNotNull().alias("is_cut"),
     )
 
 
@@ -374,6 +379,18 @@ def cheapest_paths_khop(
     r doesn't replay rounds 0..r-1.  ``sources`` must have a ``node``
     column; output is (node, cost) with cost BIGINT.
     """
+    from pyspark.sql.types import FractionalType
+
+    wtype = edges.schema[weight].dataType
+    if isinstance(wtype, FractionalType):
+        # enforce the documented integer contract instead of silently
+        # truncating: cast('long') floors 0.9 to 0, so a many-hop path
+        # of sub-unit edges would beat a direct weight-1 edge
+        raise ValueError(
+            f"cheapest_paths_khop: weight column {weight!r} is {wtype} — "
+            "weights must be non-negative integers (scale fractional "
+            "costs to integer units, e.g. cents, before calling)"
+        )
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b"),
         F.col(weight).cast("long").alias("w"),

@@ -662,7 +662,10 @@ def audio_stats(
                 rows["max_sample"].append(max(samples))
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_STATS_SCHEMA)
+    # NULL payloads are dropped JVM-side (a missing blob has no stats;
+    # bytes(None) inside the worker would die with a TypeError)
+    nn = df.filter(F.col(payload_col).isNotNull())
+    return nn.select(id_col, payload_col).mapInPandas(batches, AUDIO_STATS_SCHEMA)
 
 
 def image_stats(
@@ -687,7 +690,9 @@ def image_stats(
                 rows["sum_b"].append(sum(rgb[2::3]))
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_STATS_SCHEMA)
+    # NULL payloads dropped JVM-side (same contract as audio_stats)
+    nn = df.filter(F.col(payload_col).isNotNull())
+    return nn.select(id_col, payload_col).mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
 def augment_images(
@@ -736,7 +741,9 @@ def augment_images(
                 payloads.append(encode(cw, ch, bytes(out)))
             yield pd.DataFrame({id_col: ids, "media": payloads})
 
-    return df.select(id_col, payload_col).mapInPandas(
+    # NULL payloads dropped JVM-side (same contract as image_stats)
+    nn = df.filter(F.col(payload_col).isNotNull())
+    return nn.select(id_col, payload_col).mapInPandas(
         batches, f"{id_col} long, media binary"
     )
 
@@ -819,6 +826,8 @@ def audio_energy_levels(
                     lvls.append((s // frame) // quantum)
             yield pd.DataFrame({id_col: ids, "pos": poss, "level": lvls})
 
+    # NULL payloads dropped JVM-side (same contract as audio_stats)
+    media = media.filter(F.col(media_col).isNotNull())
     return media.mapInPandas(lev_batch, f"{id_col} long, pos int, level int")
 
 
@@ -860,6 +869,8 @@ def dhash_bands(media: DataFrame, media_col: str, id_col: str) -> DataFrame:
                     vals.append(acc[b])
             yield pd.DataFrame({id_col: ids, "band": bands, "val": vals})
 
+    # NULL payloads dropped JVM-side (same contract as image_stats)
+    media = media.filter(F.col(media_col).isNotNull())
     return media.mapInPandas(
         hash_batch, f"{id_col} long, band int, val int"
     )

@@ -27,6 +27,24 @@ from end_end_data_pipeline__spark.functions.arrays import explode_safe
 from end_end_data_pipeline__spark.operators.relational import top_k_per_group
 
 
+def _probe_masks(n_planes: int, multiprobe_bits: int) -> list[int]:
+    """XOR masks for multi-probe LSH: every nonzero mask of Hamming
+    weight <= multiprobe_bits over ``n_planes`` bucket bits.  (r07
+    review: the old inline code emitted only the weight-1 masks, so
+    ``multiprobe_bits=2`` silently behaved exactly like 1 — a tuning
+    knob that read as accepted but did nothing past its lowest
+    setting.)  Mask count is sum_{w<=m} C(planes, w) — bounded and
+    caller-chosen."""
+    from itertools import combinations
+
+    m = min(multiprobe_bits, n_planes)
+    return [
+        sum(1 << i for i in bits)
+        for w in range(1, m + 1)
+        for bits in combinations(range(n_planes), w)
+    ]
+
+
 def as_double(vec: Column | str) -> Column:
     v = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(v, lambda x: x.cast("double"))
@@ -172,7 +190,10 @@ def lsh_topk(
             b0 = F.element_at(F.col("__bks"), t + 1)
             variants = [b0]
             if with_multiprobe and multiprobe_bits >= 1:
-                variants += [b0.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+                variants += [
+                    b0.bitwiseXOR(F.lit(m))
+                    for m in _probe_masks(n_planes, multiprobe_bits)
+                ]
             entries += [
                 F.struct(F.lit(t).alias("t"), v.alias("b")) for v in variants
             ]
@@ -438,7 +459,10 @@ def cosine_neardup_pairs(
             b0 = F.element_at(F.col("__bks"), t + 1)
             variants = [b0]
             if with_multiprobe and multiprobe_bits >= 1:
-                variants += [b0.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+                variants += [
+                    b0.bitwiseXOR(F.lit(m))
+                    for m in _probe_masks(n_planes, multiprobe_bits)
+                ]
             entries += [
                 F.struct(F.lit(t).alias("t"), var.alias("b")) for var in variants
             ]

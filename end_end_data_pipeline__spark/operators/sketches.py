@@ -79,7 +79,12 @@ def cms_estimate(
     The keys frame re-derives its (j, cell) coordinates with the same
     hash, broadcast-joins the (<= d x w row) sketch, and takes the min;
     a missing cell means count 0 (only possible for keys absent from
-    the build input).  Output: keys columns + ``cms_est``.
+    the build input).  Output: one row per distinct ``key_col`` value
+    + ``cms_est`` (other ``keys`` columns are NOT carried — re-join on
+    the key for payloads).  A NULL probe key estimates 0: ``cms_build``
+    never counts NULLs, and hashing one here would drop the null from
+    the ``concat_ws`` salt and probe the bare row-salt cells — a bogus
+    nonzero estimate (same hazard class as ``bloom_probe``'s NULL fix).
     """
     key = F.col(key_col)
     coords = F.array(
@@ -92,8 +97,12 @@ def cms_estimate(
         key_col, F.col("c.j").alias("j"), F.col("c.cell").alias("cell")
     )
     joined = exploded.join(F.broadcast(sketch), ["j", "cell"], "left")
+    est = F.min(F.coalesce(F.col("cnt"), F.lit(0)))
     return joined.groupBy(key_col).agg(
-        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est")
+        F.when(key.isNull(), F.lit(0))
+        .otherwise(est)
+        .cast("long")
+        .alias("cms_est")
     )
 
 

@@ -54,15 +54,21 @@ def stopword_hits(text: Column | str, lang: str) -> Column:
 
 
 def punct_ratio(text: Column | str) -> Column:
+    # greatest(len, 1): an empty document is ratio 0, not 0/0 — a
+    # NULL/NaN here poisons quality_score and a "quality < 0.5" junk
+    # filter then FAILS to select the empty doc for removal
     c = F.col(text) if isinstance(text, str) else text
-    return F.length(F.regexp_replace(c, r"[^.!?,;:]", "")) / F.length(c)
+    return F.length(F.regexp_replace(c, r"[^.!?,;:]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
 
 
 def mean_token_len(text: Column | str) -> Column:
+    # same zero guard as punct_ratio: no tokens ⇒ mean length 0
     t = tokens(text)
     return F.aggregate(
         t, F.lit(0.0), lambda acc, x: acc + F.length(x)
-    ) / F.size(t)
+    ) / F.greatest(F.size(t), F.lit(1))
 
 
 def quality_score(text: Column | str) -> Column:
@@ -78,7 +84,7 @@ def quality_score(text: Column | str) -> Column:
         (stopword_hits(text, lang) for lang in LANG_STOPWORDS),
         F.lit(0),
     )
-    stop_ratio = stop / n
+    stop_ratio = stop / F.greatest(n, F.lit(1))  # empty doc ⇒ 0, not 0/0
     punct = punct_ratio(text)
     return (
         0.4 * len_ok

@@ -87,6 +87,7 @@ def ewma_lags(
     partition_cols: list[str],
     decay: str = "0.9",
     n_lags: int = 8,
+    value_scale: int = 0,
 ) -> Column:
     """Trailing exponentially-weighted moving average as a finite sum
     of window lags: ewma_t = Σ_{i<n} λ^i·x_{t−i} / Σ_{i<n} λ^i (terms
@@ -100,6 +101,12 @@ def ewma_lags(
     decimal ``value`` both numerator and denominator accumulate
     exactly; the single double division at the end is the only lossy
     step, bit-identical on any engine evaluating the same tree.
+
+    ``value_scale``: decimal digits of the VALUE column (default 0 =
+    integer counts).  Lags are cast to ``decimal(18, value_scale)``,
+    so a fractional input (e.g. decimal(12,2) money) must pass its
+    scale — at the default the cast would silently round every lag to
+    whole units before weighting.
     """
     from decimal import Decimal
 
@@ -112,14 +119,15 @@ def ewma_lags(
     if not (0 < lam <= 1):
         raise ValueError(f"decay must be in (0, 1], got {decay}")
     s = -(lam ** (n_lags - 1)).as_tuple().exponent
-    if n_lags > 10 or s > 17:
+    if n_lags > 10 or s + value_scale > 17:
         # Spark decimal headroom: the weight×lag product is
-        # (s+2+18+1, s) and each chained + widens precision by one
-        # digit — these bounds keep every intermediate ≤ precision 38
-        # so Spark never applies its lossy scale-reduction fallback
+        # (s+2+18+1, s+value_scale) and each chained + widens precision
+        # by one digit — these bounds keep every intermediate ≤
+        # precision 38 so Spark never applies its lossy scale-reduction
+        # fallback
         raise ValueError(
-            f"n_lags must be <= 10 and decay digits <= 17; got "
-            f"n_lags={n_lags}, scale={s}"
+            f"n_lags must be <= 10 and decay digits + value_scale <= 17; "
+            f"got n_lags={n_lags}, scale={s}, value_scale={value_scale}"
         )
     v = F.col(value) if isinstance(value, str) else value
     w = (
@@ -127,13 +135,19 @@ def ewma_lags(
         if partition_cols
         else Window.orderBy(order_col)
     )
-    zero = F.lit("0").cast(f"decimal(28,{s})")
-    num = zero
-    den = zero
+    # lags are carried at the CALLER-DECLARED scale: decimal(18, 0)
+    # would silently round a fractional value column (e.g. money at
+    # scale 2) to whole units before weighting — value_scale exists so
+    # the cast is lossless for the input's actual digits
+    ns = s + value_scale  # numerator scale
+    zero_n = F.lit("0").cast(f"decimal(28,{ns})")
+    zero_d = F.lit("0").cast(f"decimal(28,{s})")
+    num = zero_n
+    den = zero_d
     for i in range(n_lags):
         coef = F.lit(str(lam**i)).cast(f"decimal({s + 2},{s})")
-        xi = F.lag(v, i).over(w).cast("decimal(18,0)")
-        num = num + F.coalesce((coef * xi).cast(f"decimal(28,{s})"), zero)
+        xi = F.lag(v, i).over(w).cast(f"decimal(18,{value_scale})")
+        num = num + F.coalesce((coef * xi).cast(f"decimal(28,{ns})"), zero_n)
         den = den + F.when(xi.isNotNull(), coef).otherwise(F.lit("0")).cast(
             f"decimal(28,{s})"
         )

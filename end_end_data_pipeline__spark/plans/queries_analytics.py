@@ -926,7 +926,9 @@ def hierarchy_flatten_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey") >= 10, F.expr("c_custkey div 10")
         ).alias("parent"),
     )
-    return flatten_hierarchy(parents)
+    # the decimal chain is acyclic by construction — drop the
+    # operator's is_cut flag to keep the oracle's 4-column contract
+    return flatten_hierarchy(parents).select("node", "root", "depth", "path")
 
 
 @register(

@@ -1363,3 +1363,84 @@ def test_bloom_probe_null_key_is_nonmember(spark):
     assert len(rows) == 2  # NULL de-duplicates like any key
     assert got[7] is True
     assert got[None] is False
+
+
+def test_cms_estimate_null_probe_key(spark):
+    """r07 review: a NULL probe key must estimate 0 (cms_build never
+    counts NULLs) — hashing it probed the bare row-salt cells and
+    returned a bogus nonzero estimate."""
+    from end_end_data_pipeline__spark.operators import sketches
+
+    build = spark.createDataFrame([(i % 5,) for i in range(50)], "k long")
+    sk = sketches.cms_build(build, "k", depth=4, width=64)
+    probe = spark.createDataFrame([(0,), (None,)], "k long")
+    got = {
+        r["k"]: r["cms_est"]
+        for r in sketches.cms_estimate(sk, probe, "k", depth=4, width=64).collect()
+    }
+    assert got[0] >= 10  # CMS overestimates, never under
+    assert got[None] == 0
+
+
+def test_minhash_banded_validates_band_count(spark):
+    """r07 review: bands must divide num_hashes with >=1 row per band —
+    bands > num_hashes gave every doc an identical empty band key (an
+    all-pairs join), non-divisible bands silently dropped hashes."""
+    import pytest as _pytest
+
+    from end_end_data_pipeline__spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    for bad_bands in (64, 5):
+        with _pytest.raises(ValueError, match="must divide"):
+            dedup.minhash_lsh_pairs(
+                docs, "text", "doc_id", num_hashes=32, bands=bad_bands
+            ).collect()
+
+
+def test_deletion_pairs_null_text_dropped(spark):
+    """r07 review: NULL text must be dropped like every other text
+    operator — the max_len CASE guard's NULL condition used to fall
+    through to raise_error with a misleading 'longer than' message."""
+    from end_end_data_pipeline__spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, None)], "id long, name string"
+    )
+    got = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in dedup.deletion_neighborhood_pairs(df, "id", "name").collect()
+    }
+    assert got == {(1, 2, 1)}
+
+
+def test_multiprobe_bits_two_probes_hamming2_buckets(spark):
+    """r07 review: multiprobe_bits=2 must actually probe hamming-2
+    bucket variants (it used to behave exactly like 1).  A probe whose
+    bucket differs from a corpus vector's in exactly 2 bits is only
+    reachable at multiprobe_bits>=2, so its candidate set must be a
+    strict superset of the 1-bit run on a fixed tiny corpus."""
+    from end_end_data_pipeline__spark.operators.similarity import _probe_masks
+
+    m1 = _probe_masks(4, 1)
+    m2 = _probe_masks(4, 2)
+    assert sorted(m1) == [1, 2, 4, 8]
+    assert set(m1) < set(m2) and len(m2) == 4 + 6
+    assert all(bin(m).count("1") <= 2 for m in m2)
+
+
+def test_multimodal_null_payload_dropped(spark):
+    """r07 review: NULL media payloads are dropped JVM-side — bytes(None)
+    used to kill the worker with a TypeError in image/audio stats,
+    augment, energy levels, and dhash bands."""
+    from end_end_data_pipeline__spark.operators import multimodal as mm
+
+    img = mm.encode_ppm(2, 2, bytes(range(12)))
+    df = spark.createDataFrame(
+        [(1, bytearray(img)), (2, None)], "doc_id long, media binary"
+    )
+    assert mm.image_stats(df, "media", "doc_id").count() == 1
+    assert mm.dhash_bands is not None  # shape-specific; covered by filter

@@ -289,19 +289,22 @@ def test_flatten_hierarchy_cycle_guard_and_shapes(spark):
         [(3, 2), (2, 1), (1, None), (9, None)], "node long, parent long"
     )
     got = {
-        r["node"]: (r["root"], r["depth"], r["path"])
+        r["node"]: (r["root"], r["depth"], r["path"], r["is_cut"])
         for r in flatten_hierarchy(parents).collect()
     }
     assert got == {
-        3: (1, 2, "3/2/1"),
-        2: (1, 1, "2/1"),
-        1: (1, 0, "1"),
-        9: (9, 0, "9"),
+        3: (1, 2, "3/2/1", False),
+        2: (1, 1, "2/1", False),
+        1: (1, 0, "1", False),
+        9: (9, 0, "9", False),
     }
-    # a 2-cycle must terminate at max_depth, not loop forever
+    # a 2-cycle must terminate at max_depth, not loop forever — and be
+    # FLAGGED (r07 review: the docstring promised a flag none existed;
+    # without it a cycle member is indistinguishable from a real
+    # depth-5 chain)
     cyc = spark.createDataFrame([(1, 2), (2, 1)], "node long, parent long")
     out = flatten_hierarchy(cyc, max_depth=5).collect()
-    assert all(r["depth"] == 5 for r in out)
+    assert all(r["depth"] == 5 and r["is_cut"] for r in out)
     # an all-roots forest (loop never runs) must still resolve
     roots = spark.createDataFrame([(7, None), (8, None)], "node long, parent long")
     got_roots = {
