@@ -118,6 +118,29 @@ def decode(parsed: DataFrame, key_cols: list[str]) -> DataFrame:
     return out
 
 
+def latest_change_per_key(
+    changes: DataFrame, key_cols: list[str], version_col: str = "ts_ms"
+) -> DataFrame:
+    """The ONE latest-wins collapse: newest change row per key
+    (``version_col``, then op-rank for same-version ties: d > u > c),
+    DELETES KEPT — sinks that need the delete set (the JDBC upsert)
+    and sinks that drop it (:func:`apply_latest_state`) both derive
+    from this, so the tie-break semantics live in exactly one place."""
+    op_rank = (
+        F.when(F.col("op") == "d", 3)
+        .when(F.col("op") == "u", 2)
+        .otherwise(1)
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), op_rank.desc()
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def apply_latest_state(
     changes: DataFrame, key_cols: list[str], version_col: str = "ts_ms"
 ) -> DataFrame:
@@ -129,19 +152,7 @@ def apply_latest_state(
     streaming rank-only window, no driver involvement — works
     identically in ``foreachBatch`` (vs. accumulated state) and in a
     batch replay over the full change log."""
-    op_rank = (
-        F.when(F.col("op") == "d", 3)
-        .when(F.col("op") == "u", 2)
-        .otherwise(1)
-    )
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc(), op_rank.desc()
-    )
-    latest = (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    latest = latest_change_per_key(changes, key_cols, version_col)
     return (
         latest.filter(F.col("op") != "d")
         .select("after.*")
@@ -198,18 +209,14 @@ def scd2_history(changes: DataFrame, key_cols: list[str]) -> DataFrame:
         .otherwise(1)
     )
     w = Window.partitionBy(*key_cols).orderBy(F.col("ts_ms"), op_rank)
-    versioned = changes.withColumn("__next_ts", F.lead("ts_ms").over(w)).withColumn(
-        "__next_op", F.lead("op").over(w)
-    )
+    versioned = changes.withColumn("__next_ts", F.lead("ts_ms").over(w))
     return (
         versioned.filter(F.col("op") != "d")
         .select(
             *key_cols,
             F.col("after").alias("image"),
             F.col("ts_ms").alias("valid_from_ms"),
-            F.coalesce(F.col("__next_ts"), F.lit(None).cast("long")).alias(
-                "valid_to_ms"
-            ),
+            F.col("__next_ts").alias("valid_to_ms"),
             F.col("__next_ts").isNull().alias("is_current"),
         )
     )

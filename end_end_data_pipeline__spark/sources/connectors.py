@@ -209,10 +209,15 @@ def debezium_connector_config(
     }
 
 
-def register_connector(connect_url: str, config: dict[str, Any]) -> int:
+def register_connector(
+    connect_url: str, config: dict[str, Any], timeout: float = 30.0
+) -> int:
     """Idempotent POST to Kafka Connect REST; 409 (already exists) is
     success, like the reference (``Connector_post_and_generate.py:44-47``).
-    Returns the HTTP status."""
+    Returns the HTTP status.  ``timeout`` bounds the request — urlopen's
+    default is NO timeout, so a half-open Connect endpoint (container
+    still starting, proxy black-hole) would hang the pipeline bootstrap
+    forever with no exception."""
     import json
     import urllib.error
     import urllib.request
@@ -224,7 +229,9 @@ def register_connector(connect_url: str, config: dict[str, Any]) -> int:
         method="POST",
     )
     try:
-        with urllib.request.urlopen(req) as resp:  # noqa: S310 — caller supplies url
+        with urllib.request.urlopen(  # noqa: S310 — caller supplies url
+            req, timeout=timeout
+        ) as resp:
             return resp.status
     except urllib.error.HTTPError as e:
         if e.code == 409:

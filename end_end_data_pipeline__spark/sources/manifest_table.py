@@ -471,6 +471,35 @@ def prune_files(
     ]
 
 
+def _conjunct_pred(conjuncts: list[tuple[str, str, object]]) -> Column:
+    """Row-level predicate for ``(col, op, value)`` conjuncts — the ONE
+    builder shared by ``read_where``'s residual filter and the DML
+    rewrite, so pruning and filtering always compare the same instant.
+    Naive datetime values mean UTC wall time (the ``_enc_stat``
+    contract) and enter the plan as ``timestamp_micros`` literals: a
+    bare datetime converts to internal micros through the
+    PROCESS-LOCAL calendar, which would shift the selected band with
+    the TZ env var — for DML that meant a partially-applied,
+    TZ-dependent DELETE/UPDATE (pruning on UTC, row filter on local)."""
+    preds: list[Column] = []
+    for c, op, val in conjuncts:
+        col = F.col(c)
+        if isinstance(val, _dt.datetime):
+            val = F.timestamp_micros(F.lit(_enc_stat(val)))
+        preds.append(
+            {
+                "=": col == val,
+                "<": col < val,
+                "<=": col <= val,
+                ">": col > val,
+                ">=": col >= val,
+                "isnull": col.isNull(),
+                "notnull": col.isNotNull(),
+            }[op]
+        )
+    return reduce(lambda a, b: a & b, preds) if preds else F.lit(True)
+
+
 def _pin_schema(df: DataFrame, schema: StructType) -> DataFrame:
     return df.select(
         *[
@@ -509,28 +538,7 @@ def read_where(
     kept = prune_files(manifest, conjuncts)
 
     def residual(df: DataFrame) -> DataFrame:
-        preds: list[Column] = []
-        for c, op, val in conjuncts:
-            col = F.col(c)
-            if isinstance(val, _dt.datetime):
-                # absolute-instant literal: a bare datetime converts to
-                # internal micros through the PROCESS-LOCAL calendar, so
-                # the selected band would shift with the TZ env var
-                # (naive datetime == UTC wall time, the _enc_stat
-                # contract — same instant the pruning compared against)
-                val = F.timestamp_micros(F.lit(_enc_stat(val)))
-            preds.append(
-                {
-                    "=": col == val,
-                    "<": col < val,
-                    "<=": col <= val,
-                    ">": col > val,
-                    ">=": col >= val,
-                    "isnull": col.isNull(),
-                    "notnull": col.isNotNull(),
-                }[op]
-            )
-        return df.filter(reduce(lambda a, b: a & b, preds)) if preds else df
+        return df.filter(_conjunct_pred(conjuncts))
 
     if not kept:
         if schema is None:
@@ -1007,6 +1015,22 @@ def merge_into(
             if isinstance(when_matched_update, dict)
             else {}
         )
+        # unresolvable assignment columns must RAISE (Delta semantics):
+        # a typo'd key would otherwise be a silent no-op — every matched
+        # row keeps its target values while the caller believes the
+        # update applied
+        unknown = set(upd_map) - set(non_keys)
+        if unknown:
+            bad_keys = unknown & set(key_cols)
+            if bad_keys:
+                raise ValueError(
+                    f"merge_into: key columns {sorted(bad_keys)} cannot be "
+                    "updated — their hash is the bucket layout"
+                )
+            raise ValueError(
+                f"merge_into: unknown update columns {sorted(unknown)} "
+                f"(table columns: {sorted(non_keys)})"
+            )
         types = {f.name: f.dataType for f in out_fields}
         row = [
             F.when(F.col("__act") == "keep", F.col(f"t.{c}"))
@@ -1301,11 +1325,19 @@ def vacuum(spark: SparkSession, target: str, keep_last: int = 2) -> list[int]:
         }  # data/<vdir>/... → vdir
     for v in drop:
         fs.delete(_jpath(jvm, f"{target}/manifest-v{v}.json"), False)
+    newest = keep[-1]
     data_root = _jpath(jvm, f"{target}/data")
     if fs.exists(data_root):
         for st in fs.listStatus(data_root):
             name = st.getPath().getName()
-            if name not in referenced:
+            # an unreferenced dir AT OR BELOW the newest committed
+            # version is garbage (old version or lost-race leftover);
+            # one ABOVE it belongs to an IN-FLIGHT writer whose commit
+            # rename hasn't landed — deleting it would let that commit
+            # succeed pointing at vanished files (multi-writer safety)
+            m = re.match(r"v(\d+)-", name)
+            in_flight = m is not None and int(m.group(1)) > newest
+            if name not in referenced and not in_flight:
                 fs.delete(st.getPath(), True)
     return drop
 
@@ -1348,21 +1380,7 @@ def _dml_rewrite(
         b: fl for b, fl in manifest["buckets"].items() if b not in affected
     }
 
-    preds: list[Column] = []
-    for c, op, val in conjuncts:
-        col = F.col(c)
-        preds.append(
-            {
-                "=": col == val,
-                "<": col < val,
-                "<=": col <= val,
-                ">": col > val,
-                ">=": col >= val,
-                "isnull": col.isNull(),
-                "notnull": col.isNotNull(),
-            }[op]
-        )
-    pred = reduce(lambda a, b: a & b, preds) if preds else F.lit(True)
+    pred = _conjunct_pred(conjuncts)
 
     # per-bucket read with the bucket id pinned back on (keys are
     # unchanged by DML, so rows stay in their committed buckets)
@@ -1441,16 +1459,24 @@ def update_where(
             )
 
     def do_update(df: DataFrame, pred: Column) -> DataFrame:
-        out = df
-        for c, expr in set_exprs.items():
-            out = out.withColumn(
-                c,
-                F.when(
-                    F.coalesce(pred, F.lit(False)),
-                    F.expr(expr).cast(types[c]),
-                ).otherwise(F.col(c)),
-            )
-        return out
+        # ONE projection, not chained withColumn: every SET expression
+        # must read the PRE-update row (SQL UPDATE semantics) — chained
+        # withColumn would let {"a": "b", "b": "a"} evaluate the second
+        # assignment against the already-updated a, leaving both
+        # columns equal to the old b instead of swapping
+        p = F.coalesce(pred, F.lit(False))
+        return df.select(
+            *[
+                (
+                    F.when(p, F.expr(set_exprs[f.name]).cast(types[f.name]))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                )
+                for f in df.schema.fields
+            ]
+        )
 
     return _dml_rewrite(spark, target, conjuncts, do_update, "update_where")
 

@@ -230,12 +230,28 @@ class JsonlAtomicWriter(DataSourceWriter):
     writes lake files with NO commit protocol — a crash mid-flush
     leaves a torn file readers trip over (reference
     ``consumer/consumer.py:44-49``); this sink is the corrected
-    design at connector level."""
+    design at connector level.
+
+    SINGLE-FILESYSTEM CONTRACT: tasks stage with ``open()`` on the
+    executor's local filesystem and the driver renames with
+    ``os.replace`` — correct only when driver and executors share one
+    local filesystem (local mode, NFS).  On a multi-node cluster or an
+    object-store path the staged files would not exist where the
+    driver looks (the ``_hadoop_fs`` pitfall ``streaming/upsert.py``
+    documents), so non-local paths are REFUSED up front rather than
+    failing after the job's tasks all succeeded — the cluster-grade
+    path for this protocol is the manifest table's Hadoop-FS commit."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_atomic requires a 'path' option")
+        if "://" in self.path and not self.path.startswith("file://"):
+            raise ValueError(
+                "jsonl_atomic stages via the LOCAL filesystem (os.replace "
+                f"on the driver) — remote path {self.path!r} is not "
+                "supported; use the manifest table for cluster targets"
+            )
         self.overwrite = overwrite
 
     def write(self, iterator) -> _JsonlCommit:

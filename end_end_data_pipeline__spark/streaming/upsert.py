@@ -190,10 +190,21 @@ def merge_batch(
 
 def _overwrite_buckets(materialized: DataFrame, target_path: str) -> None:
     """The dynamic-partition overwrite itself — a seam so crash-injection
-    tests can fail it mid-commit and prove the refusal path fires."""
+    tests can fail it mid-commit and prove the refusal path fires.
+
+    ``marksuccessfuljobs=false`` is load-bearing: FileOutputCommitter
+    otherwise re-creates the root ``_SUCCESS`` during commitJob, which
+    Spark's commit protocol runs BEFORE the dynamic-partition
+    delete+rename swap — a crash inside that window would leave marker
+    present with a bucket's data gone, and the next merge would read
+    the half-replaced bucket back as committed state (the exact silent
+    re-seed the marker protocol exists to refuse).  With it disabled,
+    the ONLY ``_SUCCESS`` creator is ``merge_batch``'s explicit create
+    after overwrite AND dead-bucket cleanup."""
     (
         materialized.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .partitionBy(BUCKET_COL)
         .parquet(target_path)
     )
@@ -394,8 +405,6 @@ def jdbc_upsert_batch(
     its stack never had).  Identifier casing: table names are passed
     unquoted (DB-normalized), column names quoted exactly as Spark's
     JDBC writer created them."""
-    from pyspark.sql import Window
-
     spark = batch.sparkSession
     _check_ident(table)
     for k in key_cols:
@@ -409,17 +418,10 @@ def jdbc_upsert_batch(
     finally:
         conn.close()
 
-    op_rank = (
-        F.when(F.col("op") == "d", 3).when(F.col("op") == "u", 2).otherwise(1)
-    )
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc(), op_rank.desc()
-    )
-    latest = (
-        batch.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    # the latest-wins collapse is cdc.latest_change_per_key — ONE home
+    # for the d>u>c tie-break so the JDBC sink and the lake sink can
+    # never resolve the same batch to different states
+    latest = cdc.latest_change_per_key(batch, key_cols, version_col)
     ups = latest.filter(F.col("op") != "d").select("after.*")
     dels = latest.filter(F.col("op") == "d").select(*key_cols)
     stage_u, stage_d = f"{table}_stage_u", f"{table}_stage_d"

@@ -442,3 +442,19 @@ def test_pyds_jsonl_atomic_sink_manifest_protocol(spark, tmp_path):
     # superseded COMMITTED files are gone; the planted never-committed
     # orphan is not the overwrite's to delete (vacuum territory)
     assert on_disk == set(m2["files"]) | {"task-9-deadbeef.jsonl"}
+
+
+def test_jsonl_atomic_refuses_remote_paths(spark):
+    """r07 review: the sink stages on the executor-local filesystem and
+    commits with driver-side os.replace — a remote path would fail (or
+    mis-commit) only AFTER every task succeeded, so it is refused up
+    front."""
+    from end_end_data_pipeline__spark.sources.pyds import JsonlAtomicWriter
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="LOCAL filesystem"):
+        JsonlAtomicWriter({"path": "s3a://bucket/out"}, overwrite=True)
+    # local paths (bare and file://) are accepted
+    JsonlAtomicWriter({"path": "/tmp/x"}, overwrite=True)
+    JsonlAtomicWriter({"path": "file:///tmp/x"}, overwrite=True)

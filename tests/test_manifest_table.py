@@ -1284,3 +1284,101 @@ def test_dml_retry_exhaustion_raises(spark, tmp_path, monkeypatch):
         mt.dml_retry(
             mt.delete_where, spark, target, [("id", "=", 1)], max_attempts=2
         )
+
+
+# ------------------------------------------------ r07 review regressions
+
+
+def test_update_where_set_exprs_read_pre_image(spark, tmp_path):
+    """SQL UPDATE semantics: every SET expression evaluates against the
+    PRE-update row.  The old chained-withColumn apply let a swap
+    {"amount": "ts_copy", "ts_copy": "amount"} read the already-updated
+    first column, leaving both equal."""
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0, 99.0, "c", 1)],
+        "id long, amount double, other double, op string, ts_ms long",
+    ).select(
+        "id", "op", "ts_ms",
+        F.when(F.col("op") != "d", F.struct("id", "amount", "other")).alias(
+            "after"
+        ),
+    )
+    mt.merge_versioned(df, target, ["id"], n_buckets=2)
+    mt.update_where(
+        spark, target, [("id", "=", 1)],
+        {"amount": "other", "other": "amount"},
+    )
+    row = mt.read_snapshot(spark, target).collect()[0]
+    assert (row["amount"], row["other"]) == (99.0, 10.0)  # a real swap
+
+
+def test_merge_into_rejects_unknown_update_columns(spark, tmp_path):
+    """A typo'd when_matched_update key must raise, not silently no-op."""
+    import pytest as _pytest
+
+    target = str(tmp_path / "t")
+    mt.merge_into(
+        _state_df(spark, [(1, 10.0, "a")]), target, ["id"], n_buckets=2
+    )
+    with _pytest.raises(ValueError, match="unknown update columns"):
+        mt.merge_into(
+            _state_df(spark, [(1, 11.0, "b")]), target, ["id"],
+            when_matched_update={"amuont": "s.amount"},
+        )
+
+
+def test_vacuum_preserves_in_flight_writer_dirs(spark, tmp_path):
+    """vacuum must not delete a version dir ABOVE the newest committed
+    version: it belongs to an in-flight writer whose manifest rename
+    hasn't landed — deleting it would let that commit succeed pointing
+    at vanished files."""
+    import os
+
+    target = str(tmp_path / "t")
+    for i in range(3):
+        mt.merge_versioned(
+            _batch(spark, [(1, float(i), "u" if i else "c", i + 1)]),
+            target, ["id"], n_buckets=2,
+        )
+    # simulate an in-flight writer: staged data for v4, no manifest yet
+    inflight = os.path.join(target, "data", "v4-deadbeef", "p_bucket=0")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "w") as f:
+        f.write("staged")
+    # and a lost-race leftover BELOW the newest committed version
+    lost = os.path.join(target, "data", "v2-cafebabe")
+    os.makedirs(lost)
+    mt.vacuum(spark, target, keep_last=1)
+    assert os.path.exists(inflight)          # in-flight: preserved
+    assert not os.path.exists(lost)          # lost race garbage: gone
+
+
+def test_dml_datetime_predicates_match_read_where(spark, tmp_path):
+    """DML predicates share read_where's _conjunct_pred builder, so a
+    naive datetime means UTC wall time in BOTH pruning and the row
+    filter — the old inline builder converted through the local
+    calendar (a partially-applied TZ-dependent DELETE)."""
+    import datetime as dt
+
+    target = str(tmp_path / "t")
+    epoch_2024 = 1704067200  # 2024-01-01 UTC
+    df = (
+        spark.range(1, 21)
+        .select(
+            F.col("id"),
+            F.lit("c").alias("op"),
+            F.lit(1).cast("long").alias("ts_ms"),
+            F.timestamp_seconds(
+                F.lit(epoch_2024) + F.col("id") * 86400
+            ).alias("created"),
+        )
+        .select(
+            "id", "op", "ts_ms",
+            F.when(F.col("op") != "d", F.struct("id", "created")).alias("after"),
+        )
+    )
+    mt.merge_versioned(df, target, ["id"], n_buckets=2)
+    mt.delete_where(spark, target, [("created", "<", dt.datetime(2024, 1, 11))])
+    left = {r["id"] for r in mt.read_snapshot(spark, target).collect()}
+    assert left == set(range(10, 21))  # ids 1..9 (before Jan 11 UTC) gone

@@ -577,3 +577,33 @@ def test_stream_hll_incremental_equals_batch_sketch(spark):
     ).collect()[0]
     assert row["hll_estimate"] == direct["hll_estimate"]
     assert row["n_zero_registers"] == direct["n_zero_registers"]
+
+
+def test_overwrite_never_creates_success_marker(spark, tmp_path):
+    """r07 review: Spark's commit protocol writes the committer's
+    _SUCCESS BEFORE the dynamic-partition delete+rename swap, so the
+    auto-marker must be suppressed — otherwise a crash inside that
+    window leaves marker-present with a bucket's data gone and the next
+    merge silently re-seeds from the half-replaced state.  The ONLY
+    _SUCCESS creator must be merge_batch's explicit create after
+    overwrite AND cleanup."""
+    import os
+
+    from end_end_data_pipeline__spark.streaming import upsert as U
+
+    target = str(tmp_path / "t")
+    df = spark.range(10).select(
+        "id", F.pmod(F.xxhash64("id"), F.lit(4)).alias(U.BUCKET_COL)
+    )
+    U._overwrite_buckets(df, target)
+    assert not os.path.exists(os.path.join(target, "_SUCCESS"))
+    # the full merge DOES end committed (explicit marker)
+    batch = spark.createDataFrame(
+        [(1, "c", 1)], "id long, op string, ts_ms long"
+    ).select(
+        "id", "op", "ts_ms",
+        F.when(F.col("op") != "d", F.struct("id")).alias("after"),
+    )
+    target2 = str(tmp_path / "t2")
+    U.merge_batch(batch, target2, ["id"], n_buckets=2)
+    assert os.path.exists(os.path.join(target2, "_SUCCESS"))
