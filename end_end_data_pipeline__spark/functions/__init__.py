@@ -3,6 +3,5 @@ from end_end_data_pipeline__spark.functions.scalar import (  # noqa: F401
     dec_sum,
     micros_to_ts,
     round_down,
-    signed_amount,
     to_money,
 )

@@ -33,7 +33,14 @@ def explode_safe(
     inferred-filter re-evaluation of ``array`` (see module docstring).
 
     Rows whose array is empty or null are dropped, matching inner
-    ``explode`` semantics."""
+    ``explode``.  DELIBERATE DIVERGENCE from inner explode: NULL
+    *elements* inside a non-empty array are ALSO dropped (the
+    post-explode ``isNotNull`` filter can't tell a null element from a
+    null/empty array) — callers rely on this (cdc decode drops
+    malformed payload entries through it), and every operator caller
+    builds arrays of non-null elements, so the extra drop is the
+    wanted semantics repo-wide.  If a future caller needs null
+    elements preserved, it must wrap them in structs first."""
     return (
         df.select(*keep, F.explode_outer(array).alias(alias))
         .filter(F.col(alias).isNotNull())

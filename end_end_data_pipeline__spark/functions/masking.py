@@ -25,7 +25,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-POLICIES = ("hash", "partial", "null")  # plus parameterized "bucket:N"
+# the supported policy set is defined by _mask_expr below ("hash",
+# "partial", "null", parameterized "bucket:N") — a separate POLICIES
+# constant drifted from it (it omitted bucket:N) and had no callers,
+# so the function stays the single source of truth (r07 review)
 
 
 def _mask_expr(col: Column, dtype: str, policy: str) -> Column:

@@ -76,11 +76,16 @@ def to_money(col: Column | str) -> Column:
 
 def round_down(col: Column | str, places: int = 2) -> Column:
     """Truncate toward zero at ``places`` decimals (ROUND_DOWN quantize,
-    reference ``generator.py:78-80``) — Spark's ``round`` is HALF_UP, so
-    this is floor(x * 10^p) / 10^p on the decimal-cast value."""
+    reference ``generator.py:78-80``) — Spark's ``round`` is HALF_UP.
+    Implemented as sign-split floor of the MAGNITUDE: a bare
+    ``floor(x·10^p)`` truncates toward −∞, which on a negative money
+    value is off by one cent vs Decimal ROUND_DOWN (floor(−123.5) =
+    −124, ROUND_DOWN gives −123).  Positive inputs take the identical
+    floor path as before."""
     c = F.col(col) if isinstance(col, str) else col
     factor = 10**places
-    return (F.floor(c.cast(ACC) * factor) / factor).cast(MONEY)
+    mag = F.floor(F.abs(c.cast(ACC)) * factor) / factor
+    return F.when(c < 0, -mag).otherwise(mag).cast(MONEY)
 
 
 def micros_to_ts(col: Column | str) -> Column:
@@ -89,16 +94,8 @@ def micros_to_ts(col: Column | str) -> Column:
     return F.timestamp_micros(c)
 
 
-# Banking semantics ----------------------------------------------------------
-
-# Sign convention for running-balance reconstruction (SURVEY.md A9):
-# credits add, debits subtract, per the generator's type ranges
-# (reference generator.py:38-46).
-_CREDIT_TYPES = ("DEPOSIT", "REFUND", "INTEREST")
-_DEBIT_TYPES = ("WITHDRAWAL", "TRANSFER", "PAYMENT", "FEE")
-
-
-def signed_amount(amount: Column | str = "amount", txn_type: Column | str = "txn_type") -> Column:
-    a = F.col(amount) if isinstance(amount, str) else amount
-    t = F.col(txn_type) if isinstance(txn_type, str) else txn_type
-    return F.when(t.isin(*_CREDIT_TYPES), a).otherwise(-a)
+# Banking sign semantics live in plans/marts.py (SIGN map +
+# signed_amount): a zero-caller duplicate here used to treat NULL /
+# unrecognized txn types as DEBITS while the marts form maps them to 0
+# — two sign conventions for the same SURVEY A9 rule was a correctness
+# trap for whichever one a future caller picked (r07 review).

@@ -37,6 +37,16 @@ def interleave_bits(a: Column, b: Column, bits: int = 16) -> Column:
 def bucketize(col: Column, lo: float, hi: float, n: int) -> Column:
     """Rank-code a numeric column into [0, n) buckets over [lo, hi] —
     the per-dimension normalization Z-ordering needs.  Clamps outliers
-    into the edge buckets."""
+    into the edge buckets.  NULL inputs bucket to 0 EXPLICITLY: Spark's
+    ``greatest``/``least`` SKIP null arguments, so an unguarded NULL
+    would silently code as the TOP bucket n-1 and corrupt the
+    clustering and per-file stats.  A degenerate range (hi == lo) also
+    collapses to bucket 0 instead of dividing by zero."""
+    if hi == lo:
+        return F.lit(0).cast("long")
     scaled = F.floor((col - F.lit(lo)) / F.lit(hi - lo) * F.lit(n))
-    return F.greatest(F.lit(0), F.least(F.lit(n - 1), scaled)).cast("long")
+    clamped = F.greatest(F.lit(0), F.least(F.lit(n - 1), scaled))
+    # the guard must test the INPUT: least(n-1, NULL) already returns
+    # n-1 (null-skipping), so a coalesce on the clamped value would
+    # never see the null
+    return F.when(col.isNull(), F.lit(0)).otherwise(clamped).cast("long")

@@ -43,8 +43,10 @@ def _register_sql(
     run.__doc__ = f"Shared-text SQL (Spark == oracle):\n{sql}"
 
 
-def _dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) AS {alias}"
+# the ONE oracle-parity decimal-sum fragment lives in sqlgen — a
+# character-identical private copy here meant a precision fix to the
+# shared fragment would silently miss the TPC-H queries (r07 review)
+from end_end_data_pipeline__spark.plans.sqlgen import dsum as _dsum  # noqa: E402
 
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"

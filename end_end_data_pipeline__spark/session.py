@@ -90,6 +90,18 @@ def get_spark(
         builder = builder.config(
             "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g")
         )
+    else:
+        # cluster mode: the static shuffle-partition count above is the
+        # SUBMITTING host's core count — a number AQE can coalesce DOWN
+        # from but never raise, so without this every 100 TB shuffle
+        # would run with a laptop's worth of reducers.  A high
+        # initialPartitionNum restores the documented "oversized static
+        # + AQE coalescing is free" posture (BASELINE shuffle study);
+        # local mode keeps the measured cores=partitions default.
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "2000"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -351,3 +351,40 @@ def test_masking_policies_semantics(spark):
         masking.apply_policy(df, {"email": "rot13"})
     with _p.raises(ValueError, match="width"):
         masking.apply_policy(df, {"bal": "bucket:0"})
+
+
+def test_round_down_truncates_toward_zero(spark):
+    """r07 review: Decimal ROUND_DOWN truncates toward ZERO; a bare
+    floor() is toward -inf, off by one cent on negative money."""
+    from end_end_data_pipeline__spark.functions.scalar import round_down
+
+    df = spark.createDataFrame(
+        [(1.239,), (-1.239,), (-1.0,), (0.0,)], "x double"
+    )
+    got = [
+        float(r["y"]) for r in df.select(round_down("x").alias("y")).collect()
+    ]
+    assert got == [1.23, -1.23, -1.0, 0.0]
+
+
+def test_bucketize_null_and_degenerate_range(spark):
+    """r07 review: a NULL input must bucket to 0, not silently to the
+    TOP bucket (Spark least/greatest skip null args); hi == lo must
+    collapse to bucket 0 instead of dividing by zero."""
+    from end_end_data_pipeline__spark.functions.zorder import bucketize
+
+    df = spark.createDataFrame([(None,), (0.0,), (100.0,)], "x double")
+    got = [
+        r["b"]
+        for r in df.select(
+            bucketize(F.col("x"), 0.0, 100.0, 16).alias("b")
+        ).collect()
+    ]
+    assert got == [0, 0, 15]
+    flat = [
+        r["b"]
+        for r in df.select(
+            bucketize(F.col("x"), 5.0, 5.0, 16).alias("b")
+        ).collect()
+    ]
+    assert flat == [0, 0, 0]
