@@ -60,27 +60,80 @@ def register(
 
 # Deterministic presentation order for the registry.  The driver
 # records correctness rows for only the FIRST 50 ``load_all()``
-# entries, so the order is a rotating evidence window.  Round-7
-# rotation: the complete 42-query round-6 backlog (registered after
-# the r06 rotation, so never driver-checked — the sketch tier, ML-eval
-# tier, feature engineering, interval algebra, SPC timeseries,
-# PMI/RRF/RAKE/Heaps, PQ-ADC, phash/audio fingerprints, link
-# prediction, LTV/burstiness, streaks, k-anonymity, weighted/rolling
-# medians, MoM/YoY), plus 8 sentinels chosen as exactly the queries
-# round 7 modifies (plan rewires + perf-watch re-measures + the
-# oracle upgrade), so the driver re-verifies their hashes after the
-# change.  42 + 8 = 50: after this window EVERY catalog query has a
-# hash-verified driver row in r01 ∪ … ∪ r07, and the union stays at
-# 100% as long as per-round additions stay within the sentinel slots.
+# entries, so the order is a rotating evidence window.  Round-8
+# rotation (VERDICT r07 task 3): with every catalog query now holding
+# a green driver row in the r01-r07 union, the window switches to
+# ROLLING RE-VERIFICATION — each round points at the 50 queries whose
+# newest driver row is OLDEST, so no row's external verification ever
+# ages past ~4 rounds even though the code under it keeps evolving.
 # The whole catalog — window and all — is additionally swept against
 # the driver-identical sf0.01 DuckDB gate each round
-# (scripts/driver_gate.py --all → GATE_r{N}.json) and the gate's
-# freshness is asserted by tests/test_gate_freshness.py.
+# (scripts/driver_gate.py --all → GATE_r{N}.json), the gate's
+# freshness is asserted by tests/test_gate_freshness.py, and round 8
+# adds a multi-JVM sweep (CLUSTER_r08.json, local-cluster[2,8,4096]).
 # Names not listed here sort after the listed ones in registration
 # order.
 _PRIORITY: tuple[str, ...] = (
-    # --- r07 window: the 42-query round-6 backlog (never driver-
-    # checked; all green in GATE_r06 / builder sf0.01 sweeps) ---
+    # --- r08 window: the 50 STALEST driver rows (VERDICT r07 task 3:
+    # rolling re-verification — window = catalog sorted by the round of
+    # each query's newest green driver row, oldest first).  Composition:
+    # 2×r01 (the function batteries) + 41×r03 (the TPC-H tier, streaming
+    # tier, skew/pipeline tier) + the 7 oldest r04 rows.  After this
+    # window no driver row is older than 4 rounds (r04).  Ties within a
+    # round keep their previous presentation order.
+    "functions_string_battery",
+    "functions_datetime_battery",
+    "cdc_roundtrip_latest_state",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q8_national_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_supplier",
+    "scd2_order_history",
+    "transfer_network_components",
+    "skew_salted_join_segment_counts",
+    "skew_salted_two_phase_agg",
+    "nested_address_country_rollup",
+    "curation_pipeline_end_to_end",
+    "embedding_neardup_pairs",
+    "text_winnow_fingerprints",
+    "corpus_shard_packing",
+    "corpus_vocabulary_topk",
+    "corpus_stratified_sample",
+    "cdc_topic_routing",
+    "connector_config_surface",
+    "quality_constraint_audit",
+    "sort_events_user_sequence",
+    "stream_static_enrichment",
+    "stream_watermark_late_drop",
+    "stream_dedup_within_watermark",
+    "stream_stateful_user_stats",
+    "stream_stream_click_purchase",
+    "pandas_grouped_minmax_scale",
+    "pandas_grouped_agg_money_sum",
+    "join_order_lineitem_detail",
+    "join_geo_rollup",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_neardup",
+    "embedding_cosine_topk",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q9_product_type_profit",
+    "tpch_q20_potential_part_promotion",
+    "corpus_chunk_documents",
+    "stream_custom_sessionize",
+    "multimodal_resize_batch",
+    # --- window boundary (50) ---
+    # --- fresher rows (r04-r07), previous presentation order; all
+    # re-swept every round by scripts/driver_gate.py --all ---
     "skyline_part_price_size",
     "sketch_countmin_user_counts",
     "embedding_pq_adc_topk",
@@ -123,14 +176,6 @@ _PRIORITY: tuple[str, ...] = (
     "cohort_ltv_curve",
     "behavior_interarrival_burstiness",
     "multimodal_video_shot_boundaries",
-    # --- r07 sentinels (8): exactly the queries round 7 touches --
-    # flagship = driver-drift canary; histogram_equidepth + minhash +
-    # canonical_corpus + incremental_batch + heavy_hitters = the
-    # rewire set (plan or value changes this round — the three
-    # md5-family queries changed RESULTS with the XOR hash-family
-    # fix, so their older driver rows are superseded and these slots
-    # re-verify them); agg_pricing + q18 = the perf-watch re-measure
-    # pair.
     "flagship_monthly_segment_volume",
     "histogram_equidepth_order_value",
     "agg_pricing_summary",
@@ -139,11 +184,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_batch",
     "heavy_hitters_brand_lineitems",
     "tpch_q18_large_volume_customers",
-    # --- window boundary (50) ---
-    # --- r01-r06 greens (hash-verified driver row in some round;
-    # re-swept every round by scripts/driver_gate.py --all) ---
     "banking_generator_fanout",
-    "cdc_roundtrip_latest_state",
     "pyds_writer_sink_roundtrip",
     "lateral_top2_orders_per_customer",
     "udtf_props_fanout",
@@ -239,15 +280,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_learn_merges",
     "pyds_generator_source",
     "pyds_stream_source_replay",
-    "functions_string_battery",
-    "functions_datetime_battery",
-    "tpch_q6_forecast_revenue",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q9_product_type_profit",
-    "tpch_q20_potential_part_promotion",
-    "corpus_chunk_documents",
-    "stream_custom_sessionize",
-    "multimodal_resize_batch",
     "multimodal_frame_sample",
     "multimodal_feature_extract",
     "embedding_ann_ivf_topk",
@@ -288,46 +320,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_session_30m",
     "text_token_stats",
     "text_quality_language",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q8_national_market_share",
-    "tpch_q15_top_supplier",
-    "tpch_q21_waiting_supplier",
-    "scd2_order_history",
-    "transfer_network_components",
-    "skew_salted_join_segment_counts",
-    "skew_salted_two_phase_agg",
-    "nested_address_country_rollup",
-    "curation_pipeline_end_to_end",
-    "embedding_neardup_pairs",
-    "text_winnow_fingerprints",
-    "corpus_shard_packing",
-    "corpus_vocabulary_topk",
-    "corpus_stratified_sample",
-    "cdc_topic_routing",
-    "connector_config_surface",
-    "quality_constraint_audit",
-    "sort_events_user_sequence",
-    "stream_static_enrichment",
-    "stream_watermark_late_drop",
-    "stream_dedup_within_watermark",
-    "stream_stateful_user_stats",
-    "stream_stream_click_purchase",
-    "pandas_grouped_minmax_scale",
-    "pandas_grouped_agg_money_sum",
-    "join_order_lineitem_detail",
-    "join_geo_rollup",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_simhash_neardup",
-    "embedding_cosine_topk",
 )
 
 
