@@ -31,6 +31,14 @@ class Query:
     survey_ids: tuple[str, ...] = ()  # SURVEY.md §2 operator ids covered
     bench: bool = False  # include in bench.py headline set
     doc: str = field(default="")
+    # True for queries whose FIXTURE can only live in one JVM: the live
+    # embedded-Derby round-trips (Spark ships derby.jar only — no
+    # derbynet/derbyclient, so the network server that would let
+    # executor JVMs share the database cannot start in this container).
+    # On a real cluster S1/S8 point at a networked RDBMS URL and the
+    # same code paths run unmodified; multi-JVM sweeps skip these three
+    # with an explicit marker instead of a misleading ERR.
+    single_jvm: bool = False
 
 
 QUERIES: dict[str, Query] = {}
@@ -41,6 +49,7 @@ def register(
     oracle: str | None = None,
     survey_ids: tuple[str, ...] = (),
     bench: bool = False,
+    single_jvm: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query to the registry."""
 
@@ -52,6 +61,7 @@ def register(
             survey_ids=survey_ids,
             bench=bench,
             doc=(fn.__doc__ or "").strip(),
+            single_jvm=single_jvm,
         )
         return fn
 

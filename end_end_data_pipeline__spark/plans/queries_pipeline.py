@@ -133,6 +133,7 @@ def connector_config_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey <= 200
     """,
     survey_ids=("S1", "S8"),
+    single_jvm=True,
 )
 def jdbc_roundtrip_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE JDBC round-trip (S1/S8) against the Derby engine bundled
@@ -142,7 +143,13 @@ def jdbc_roundtrip_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     production parallel-scan shape of ``lake.read_jdbc``).  The oracle
     states the expected table directly, so the driver hash-checks that
     the full JDBC write+read path is lossless — upgrading S1/S8 from
-    config-surface evidence to a live integration check."""
+    config-surface evidence to a live integration check.  SINGLE-JVM boundary: the embedded Derby engine is
+    bootable by one JVM only and Spark ships no derbynet/derbyclient
+    jars, so under a multi-JVM master (local-cluster/standalone) this
+    fixture cannot be shared across executors — multi-JVM sweeps skip
+    it (catalog ``single_jvm=True``); on a real cluster the same code
+    path runs against a networked RDBMS URL.
+    """
     db = os.path.join(tempfile.mkdtemp(prefix="jdbc_live_"), "db")
     url = f"jdbc:derby:{db};create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
@@ -1540,6 +1547,7 @@ def pyds_writer_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
     """,
     survey_ids=("S1", "J1", "A2"),
+    single_jvm=True,
 )
 def federated_jdbc_parquet_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FEDERATED query: the nation dimension lives in a live OLTP
@@ -1551,7 +1559,13 @@ def federated_jdbc_parquet_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     25-row dim broadcasts into the fact join, and the aggregate is
     decimal-exact.  The oracle restates the join from the parquet
     mirrors — any fidelity loss through the OLTP round-trip
-    hash-fails."""
+    hash-fails.  SINGLE-JVM boundary: the embedded Derby engine is
+    bootable by one JVM only and Spark ships no derbynet/derbyclient
+    jars, so under a multi-JVM master (local-cluster/standalone) this
+    fixture cannot be shared across executors — multi-JVM sweeps skip
+    it (catalog ``single_jvm=True``); on a real cluster the same code
+    path runs against a networked RDBMS URL.
+    """
     url = f"jdbc:derby:{tempfile.mkdtemp(prefix='fed_')}/db;create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     nation = lake.load_table(spark, "nation", sf_dir)

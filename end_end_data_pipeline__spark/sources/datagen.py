@@ -7,10 +7,22 @@ keys are pre-assigned arithmetically, so synthesis of any size is
 embarrassingly parallel (the reference's ceiling is ~275 rows/s;
 this is bounded only by cluster write bandwidth).
 
-Determinism: every "random" draw is ``xxhash64(id, salt)`` mapped to
-[0,1) — independent of partitioning, so fixtures are reproducible
-across runs and cluster layouts (unlike ``F.rand(seed)``, which
-depends on partition assignment).
+Determinism: every "random" draw is a 32-bit hash of (id, salt) —
+independent of partitioning, so fixtures are reproducible across
+runs and cluster layouts (unlike ``F.rand(seed)``, which depends on
+partition assignment).  Round 8: all draws are PURE-INTEGER closed
+forms over that u32 (threshold ladders as integer literals, index
+picks and range draws as ``(u32 * n) >> 32``, money as integer
+cents) — no double comparisons, no double→decimal casts — so a
+second engine can replay the entire synthesis bit-for-bit.  Two hash
+families plug into the same arithmetic:
+
+- ``xxhash64`` (engine default): ``pmod(xxhash64(id, salt), 2^32)``.
+- ``md5`` (verifiability twin, same pattern as the MinHash md5
+  family): the first 8 hex chars of ``md5(id || '|' || salt)`` —
+  computable in DuckDB, so ``banking_generator_fanout``'s oracle
+  independently recomputes the whole fan-out instead of pinning
+  literals.
 
 Distributions follow FIXTURES.md §B (cites into the reference):
 account types 35/35/15/15 (``generator.py:231``), currencies

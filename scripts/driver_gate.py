@@ -90,12 +90,32 @@ def main() -> int:
     else:
         picked = names[args.start:args.stop]
 
+    # Multi-JVM masters (local-cluster / standalone / yarn) cannot run
+    # the embedded-Derby live-JDBC fixtures: Spark ships derby.jar only
+    # (no derbynet/derbyclient), and an embedded database is bootable
+    # by ONE JVM — an executor task in a second JVM fails with
+    # "Failed to start database".  On a real cluster these queries
+    # point at a networked RDBMS URL and run unmodified; here they are
+    # skipped with an explicit marker (catalog field `single_jvm`).
+    multi_jvm = not args.master.startswith("local[")
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+    single_jvm_only = {n for n, q in load_all().items() if q.single_jvm}
+
     report: dict[str, dict] = {}
     n_fail = 0
     for i, name in enumerate(picked):
         t0 = time.time()
         row: dict = {"rows_match": None, "schema_match": None,
                      "hash_match": None, "err": None}
+        if multi_jvm and name in single_jvm_only:
+            row["err"] = ("SKIP single-JVM fixture: embedded Derby — no "
+                          "derbynet/derbyclient jars in container; on a "
+                          "cluster S1/S8 use a networked RDBMS URL")
+            row["sec"] = 0.0
+            report[name] = row
+            print(f"[{i + 1}/{len(picked)}] {name}: {row['err'][:60]}",
+                  flush=True)
+            continue
         try:
             sdf = queries[name](spark, args.sf)
             if name in oracles:

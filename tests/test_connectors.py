@@ -458,3 +458,30 @@ def test_jsonl_atomic_refuses_remote_paths(spark):
     # local paths (bare and file://) are accepted
     JsonlAtomicWriter({"path": "/tmp/x"}, overwrite=True)
     JsonlAtomicWriter({"path": "file:///tmp/x"}, overwrite=True)
+
+
+def test_single_jvm_boundary_markers_exact():
+    """Round-8 multi-JVM sweep (CLUSTER_r08.json) found that the live
+    embedded-Derby fixtures cannot run under a multi-JVM master (the
+    embedded engine is bootable by ONE JVM; Spark ships derby.jar only,
+    no derbynet/derbyclient to network it).  The catalog marks those
+    queries ``single_jvm=True`` and scripts/driver_gate.py skips them
+    with an explicit marker when ``--master`` is multi-JVM.  This test
+    keeps the marker set EXACT in both directions: every query whose
+    source touches an embedded-Derby URL is marked (a new Derby query
+    without the marker would ERR the next cluster sweep), and nothing
+    else is marked (the flag must never become a blanket excuse)."""
+    import inspect
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+
+    qs = load_all()
+    marked = {n for n, q in qs.items() if q.single_jvm}
+    derby = {n for n, q in qs.items() if "jdbc:derby" in inspect.getsource(q.fn)}
+    assert marked == derby == {
+        "jdbc_roundtrip_live",
+        "federated_jdbc_parquet_join",
+        "stream_jdbc_upsert_live",
+    }
+    for n in marked:
+        assert "SINGLE-JVM boundary" in qs[n].doc, n
