@@ -787,18 +787,17 @@ def stream_cdc_upsert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from end_end_data_pipeline__spark.plans.banking_oracle import fanout_oracle_sql
+
+
 @register(
     "banking_generator_fanout",
-    oracle="""
-        SELECT table_name,
-               CAST(n_rows AS BIGINT) AS n_rows,
-               CAST(id_sum AS BIGINT) AS id_sum,
-               CAST(row_checksum AS BIGINT) AS row_checksum
-        FROM (VALUES ('customers',    100,  5050,      225950921249),
-                     ('accounts',     229,  189008,    487228759596),
-                     ('transactions', 916,  774178142, 1970203759836))
-             AS t(table_name, n_rows, id_sum, row_checksum)
-    """,
+    # the oracle INDEPENDENTLY replays the whole synthesis in DuckDB
+    # from the seed string (r08, VERDICT r07 task 5 — formerly a
+    # pinned-VALUES determinism check): every u32 draw, threshold
+    # ladder, timestamp snap, and counterparty FK is recomputed with
+    # the shared integer closed forms of sources/datagen.py.
+    oracle=fanout_oracle_sql(n_customers=100, per_account=4, seed="s42"),
     survey_ids=("UD4", "S8", "F9"),
 )
 def banking_generator_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,14 +807,18 @@ def banking_generator_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns a per-table summary — (table_name, n_rows, id_sum,
     row_checksum) — over a 100-customer iteration, where row_checksum
     sums a 32-bit md5 prefix of a canonical per-row string (timestamps
-    as epoch seconds so the result is session-timezone-independent;
-    nullable columns coalesced to a sentinel so the hash sees null
-    placement).  The synthesis is pure hash-random (``_u`` draws keyed
-    on id + seed string), so the summary is bit-stable across runs,
-    machines and session configs; the oracle pins the expected values
-    as literals, turning the formerly rows-only driver row into a full
-    rows+schema+hash check of the whole generator fan-out."""
-    star = datagen.banking_star(spark, n_customers=100, txns_per_account=4)
+    as epoch seconds, money as integer cents, so every compared value
+    crosses engines as an integer or a pool string; nullable columns
+    coalesced to a sentinel so the hash sees null placement).  Runs the
+    md5 hash family — the DuckDB-replicable verifiability twin of the
+    xxhash64 engine default (same integer arithmetic, different u32
+    source; the MinHash md5-family pattern) — so the oracle
+    (plans/banking_oracle.py) re-derives all three tables from the
+    seed alone and the driver hash-checks the ENTIRE generator
+    fan-out against an independent engine."""
+    star = datagen.banking_star(
+        spark, n_customers=100, txns_per_account=4, hash_family="md5"
+    )
 
     def canon(df: DataFrame, cols: list) -> DataFrame:
         parts = [F.coalesce(c.cast("string"), F.lit("~N~")) for c in cols]
@@ -843,11 +846,13 @@ def banking_generator_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = star["accounts"]
     acct = canon(a, [
         F.col("id"), F.col("customer_id"), F.col("account_type"),
-        F.col("balance"), F.col("currency"), F.col("created_at").cast("long"),
+        (F.col("balance") * 100).cast("long"), F.col("currency"),
+        F.col("created_at").cast("long"),
     ])
     t = star["transactions"]
     txn = canon(t, [
-        F.col("id"), F.col("account_id"), F.col("txn_type"), F.col("amount"),
+        F.col("id"), F.col("account_id"), F.col("txn_type"),
+        (F.col("amount") * 100).cast("long"),
         F.col("related_account_id"), F.col("status"),
         F.col("created_at").cast("long"),
     ])

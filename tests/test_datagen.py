@@ -61,7 +61,7 @@ def test_amount_clamp_and_domains(star):
     t = star["transactions"]
     assert t.filter(F.col("amount") < 1.00).count() == 0
     types = {r[0] for r in t.select("txn_type").distinct().collect()}
-    assert types <= set(datagen._AMOUNT_RANGES)
+    assert types <= set(datagen.AMOUNT_RANGES_CENTS)
     statuses = {r[0] for r in t.select("status").distinct().collect()}
     assert statuses <= {"COMPLETED", "PENDING", "FAILED", "CANCELLED"}
 
