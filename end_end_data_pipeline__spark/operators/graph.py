@@ -379,10 +379,14 @@ def cheapest_paths_khop(
     r doesn't replay rounds 0..r-1.  ``sources`` must have a ``node``
     column; output is (node, cost) with cost BIGINT.
     """
-    from pyspark.sql.types import FractionalType
+    from pyspark.sql.types import DecimalType, FractionalType
 
     wtype = edges.schema[weight].dataType
-    if isinstance(wtype, FractionalType):
+    # DecimalType extends FractionalType, but a scale<=0 decimal is
+    # exactly integral and casts to long losslessly (r07 advice: the
+    # blanket guard rejected exact integer-valued decimal weights)
+    integral_decimal = isinstance(wtype, DecimalType) and wtype.scale <= 0
+    if isinstance(wtype, FractionalType) and not integral_decimal:
         # enforce the documented integer contract instead of silently
         # truncating: cast('long') floors 0.9 to 0, so a many-hop path
         # of sub-unit edges would beat a direct weight-1 edge

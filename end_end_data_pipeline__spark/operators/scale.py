@@ -169,6 +169,17 @@ def grouped_global_rank(
     and recompute through a sampling-based range shuffle) guarantee
     that.  The blocks are pinned while the RETURNED frame is
     referenced and freed by the ContextCleaner when it is GC'd.
+    The trade (r07 advice): ``localCheckpoint`` stores the FULL input
+    on executor local disk/memory and is NON-RELIABLE — blocks die
+    with their executor, and Spark then fails the job rather than
+    recompute (lineage was truncated).  On a long-lived cluster with
+    executor churn, prefer ``spark.sparkContext.setCheckpointDir`` +
+    reliable ``checkpoint()`` at the call site (same partition-id
+    stability, survives executor loss, costs an HDFS/object-store
+    write), or re-run the operator on failure — the job is a bounded
+    two-pass rank, not an iterative pipeline, so a retry re-derives
+    everything.  The determinism of the OUTPUT is unaffected either
+    way; only mid-job fault tolerance differs.
 
     Crossover honesty (BASELINE.md third-decade study): at the 15M-row
     derived sf1 a single task still sorts one group comfortably, so

@@ -33,16 +33,29 @@ def _probe_masks(n_planes: int, multiprobe_bits: int) -> list[int]:
     review: the old inline code emitted only the weight-1 masks, so
     ``multiprobe_bits=2`` silently behaved exactly like 1 — a tuning
     knob that read as accepted but did nothing past its lowest
-    setting.)  Mask count is sum_{w<=m} C(planes, w) — bounded and
-    caller-chosen."""
+    setting.)  Mask count is sum_{w<=m} C(planes, w); each mask adds a
+    probe-bucket struct variant to every hash table's plan, so the
+    EXPRESSION count (not data) grows with it — at 16 planes,
+    m=2 → 136 masks, m=3 → 696, m=4 → 3,060.  Capped at 1,024: past
+    that, Catalyst analysis/codegen time dominates any recall gain and
+    the right tool is more tables or more planes, not wider probing."""
     from itertools import combinations
 
     m = min(multiprobe_bits, n_planes)
-    return [
+    masks = [
         sum(1 << i for i in bits)
         for w in range(1, m + 1)
         for bits in combinations(range(n_planes), w)
     ]
+    if len(masks) > 1024:
+        raise ValueError(
+            f"multi-probe mask count {len(masks)} (n_planes={n_planes}, "
+            f"multiprobe_bits={multiprobe_bits}) exceeds 1024 — each mask "
+            "is a per-table plan expression, so this would balloon "
+            "analysis/codegen time; lower multiprobe_bits or raise "
+            "n_tables instead"
+        )
+    return masks
 
 
 def as_double(vec: Column | str) -> Column:

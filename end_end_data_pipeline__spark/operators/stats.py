@@ -114,6 +114,16 @@ def heavy_hitters(
     count.  Identical output either way; the MG path remains the
     billion-key scale shape (r07, VERDICT r06 task 6).
 
+    The hint is TRUSTED, and a WRONG hint is a perf hazard, not a
+    correctness one (r07 advice): if the column actually holds far
+    more keys than hinted (say a user-id mislabeled as an enum), the
+    single-pass ``GROUP BY`` still returns the exact answer, but its
+    shuffle carries every distinct key — the map-side-combine bound
+    the hint promised (hint × partitions) no longer holds and the
+    sketch's memory guarantee is forfeited.  Pass a hint only for
+    domains whose cardinality is structural (enums, currencies,
+    brands); when in doubt, omit it and take the two-pass MG path.
+
     NULL keys count toward the row total on BOTH paths but are never
     reported as heavy hitters (the MG sketch string-casts them into a
     candidate that can't match a NULL key in the verification

@@ -1432,6 +1432,20 @@ def test_multiprobe_bits_two_probes_hamming2_buckets(spark):
     assert all(bin(m).count("1") <= 2 for m in m2)
 
 
+def test_probe_masks_expression_count_cap():
+    """r07 advice: mask count is sum C(planes, w) and each mask is a
+    per-table PLAN expression — unbounded settings balloon Catalyst
+    analysis/codegen.  Over 1,024 masks the helper refuses with the
+    remediation in the message; at the cap boundary it still works."""
+    import pytest
+
+    from end_end_data_pipeline__spark.operators.similarity import _probe_masks
+
+    assert len(_probe_masks(16, 2)) == 16 + 120  # comfortably inside
+    with pytest.raises(ValueError, match="1024"):
+        _probe_masks(16, 4)  # 16+120+560+1820 = 2516 masks
+
+
 def test_multimodal_null_payload_dropped(spark):
     """r07 review: NULL media payloads are dropped JVM-side — bytes(None)
     used to kill the worker with a TypeError in image/audio stats,

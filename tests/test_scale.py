@@ -535,6 +535,28 @@ def test_cheapest_paths_khop_prefers_cheaper_long_path(spark):
     assert d3[4] == 7  # 1->3->2->4
 
 
+def test_cheapest_paths_khop_weight_type_guard(spark):
+    """r07 advice: scale-0 decimals are exactly integral and must pass
+    the fractional-weight guard (they cast to long losslessly);
+    positive-scale decimals and doubles stay rejected."""
+    import pytest
+
+    from end_end_data_pipeline__spark.operators.graph import cheapest_paths_khop
+
+    sources = spark.createDataFrame([(1,)], "node long")
+    dec0 = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 2, 1)], "src long, dst long, w long"
+    ).selectExpr("src", "dst", "CAST(w AS DECIMAL(10,0)) AS w")
+    d = {r["node"]: r["cost"]
+         for r in cheapest_paths_khop(dec0, sources, k=2, undirected=False).collect()}
+    assert d == {1: 0, 2: 2, 3: 1}
+
+    for cast_t in ("DECIMAL(10,2)", "DOUBLE"):
+        bad = dec0.selectExpr("src", "dst", f"CAST(w AS {cast_t}) AS w")
+        with pytest.raises(ValueError, match="integer"):
+            cheapest_paths_khop(bad, sources, k=2, undirected=False)
+
+
 def test_ordered_prefix_sums_equals_window(spark):
     """Distributed prefix sums are bit-identical to the single-task
     ``SUM(c) OVER (ORDER BY ...)`` form, for several partition counts
