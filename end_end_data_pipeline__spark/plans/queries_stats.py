@@ -2201,6 +2201,86 @@ _IV_SQL = """
 """
 
 
+def interval_overlap_rollup(iv: DataFrame, salt_factor: int = 1) -> DataFrame:
+    """Month-bucketed interval-overlap self-join with an OPT-IN salt
+    for hot (supplier, month) buckets — the reusable core behind
+    ``interval_overlap_concurrent_shipments`` (see that query's
+    docstring for the bucketing + multiplicity-compression argument).
+
+    ``salt_factor`` (r08, VERDICT r07 task 4 — the knob the docstring
+    used to only assert): the pair work inside one bucket is
+    |A|·|B| and lands in ONE shuffle task of the (sk, month) hash
+    join, so a hot supplier-month serializes the whole stage.  With
+    ``salt_factor=s``, side B's rows get a row-deterministic salt
+    (``xxhash64 % s``) and side A's rows are replicated to all s salt
+    values (``explode(sequence(...))``), making the join key
+    (sk, month, salt): each task now forms |A|·|B|/s of the bucket's
+    pairs.  Every pair still forms EXACTLY once (each B row keeps one
+    salt; the A replica with the matching salt is unique), so the
+    output is bit-identical to the unsalted plan for any s — asserted
+    by tests/test_stats.py and measured by
+    scripts/interval_skew_stress.py (BASELINE.md table).  The cost is
+    replicating the (already multiplicity-compressed) A side s×; the
+    default 1 keeps the catalog plan byte-stable."""
+    g = iv.groupBy(
+        "sk", "s", "e", (F.year("s") * 12 + F.month("s")).alias("m")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a2 = g.select("sk", "s", "e", "m", "c", F.col("m").alias("k")).unionByName(
+        g.select("sk", "s", "e", "m", "c", (F.col("m") + 1).alias("k"))
+    )
+    b = g.select(
+        F.col("sk").alias("bsk"),
+        F.col("s").alias("bs"),
+        F.col("e").alias("be"),
+        F.col("m").alias("bm"),
+        F.col("c").alias("bc"),
+    )
+    join_cond = (
+        (F.col("sk") == F.col("bsk"))
+        & (F.col("k") == F.col("bm"))
+        & (
+            (F.col("bm") > F.col("m"))
+            | (F.col("s") < F.col("bs"))
+            | ((F.col("s") == F.col("bs")) & (F.col("e") < F.col("be")))
+        )
+        & (F.col("s") < F.col("be"))
+        & (F.col("bs") < F.col("e"))
+    )
+    if salt_factor > 1:
+        b = b.withColumn(
+            "__bsalt",
+            F.pmod(F.xxhash64("bsk", "bs", "be"), F.lit(salt_factor)),
+        )
+        a2 = a2.withColumn(
+            "__asalt",
+            F.explode(F.sequence(F.lit(0).cast("long"),
+                                 F.lit(salt_factor - 1).cast("long"))),
+        )
+        join_cond = join_cond & (F.col("__asalt") == F.col("__bsalt"))
+    cross_pairs = a2.join(b, join_cond).select(
+        "sk",
+        (F.col("c") * F.col("bc")).alias("w"),
+        F.datediff(F.least("e", "be"), F.greatest("s", "bs")).alias("ov"),
+    )
+    within_pairs = g.filter(F.col("c") >= 2).select(
+        "sk",
+        F.expr("c * (c - 1) DIV 2").alias("w"),
+        F.datediff("e", "s").alias("ov"),
+    )
+    pairs = cross_pairs.unionByName(within_pairs)
+    return (
+        pairs.groupBy(F.col("sk").alias("s_suppkey"))
+        .agg(
+            F.sum("w").cast("long").alias("n_pairs"),
+            F.max("ov").cast("long").alias("max_overlap_days"),
+            F.sum(F.col("w") * F.col("ov")).cast("long").alias(
+                "total_overlap_days"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 @register(
     "interval_overlap_concurrent_shipments",
     oracle=f"""
@@ -2267,7 +2347,11 @@ def interval_overlap_concurrent_shipments(
     rows.
 
     At 100 TB the per-(supplier, month) bucket bounds the quadratic
-    fan-out; a hot supplier-month is salted like any skewed join key.
+    fan-out; a hot supplier-month is salted via
+    ``interval_overlap_rollup(iv, salt_factor=s)`` — an opt-in knob
+    measured in scripts/interval_skew_stress.py (BASELINE.md r08
+    table); the catalog entry runs unsalted (the fixture has no hot
+    bucket, and salt_factor=1 keeps the locked plan byte-stable).
     """
     li = lake.load_table(spark, "lineitem", sf_dir)
     iv = li.select(
@@ -2279,52 +2363,7 @@ def interval_overlap_concurrent_shipments(
             .cast("int"),
         ).alias("e"),
     )
-    g = iv.groupBy(
-        "sk", "s", "e", (F.year("s") * 12 + F.month("s")).alias("m")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    a2 = g.select("sk", "s", "e", "m", "c", F.col("m").alias("k")).unionByName(
-        g.select("sk", "s", "e", "m", "c", (F.col("m") + 1).alias("k"))
-    )
-    b = g.select(
-        F.col("sk").alias("bsk"),
-        F.col("s").alias("bs"),
-        F.col("e").alias("be"),
-        F.col("m").alias("bm"),
-        F.col("c").alias("bc"),
-    )
-    cross_pairs = a2.join(
-        b,
-        (F.col("sk") == F.col("bsk"))
-        & (F.col("k") == F.col("bm"))
-        & (
-            (F.col("bm") > F.col("m"))
-            | (F.col("s") < F.col("bs"))
-            | ((F.col("s") == F.col("bs")) & (F.col("e") < F.col("be")))
-        )
-        & (F.col("s") < F.col("be"))
-        & (F.col("bs") < F.col("e")),
-    ).select(
-        "sk",
-        (F.col("c") * F.col("bc")).alias("w"),
-        F.datediff(F.least("e", "be"), F.greatest("s", "bs")).alias("ov"),
-    )
-    within_pairs = g.filter(F.col("c") >= 2).select(
-        "sk",
-        F.expr("c * (c - 1) DIV 2").alias("w"),
-        F.datediff("e", "s").alias("ov"),
-    )
-    pairs = cross_pairs.unionByName(within_pairs)
-    return (
-        pairs.groupBy(F.col("sk").alias("s_suppkey"))
-        .agg(
-            F.sum("w").cast("long").alias("n_pairs"),
-            F.max("ov").cast("long").alias("max_overlap_days"),
-            F.sum(F.col("w") * F.col("ov")).cast("long").alias(
-                "total_overlap_days"
-            ),
-        )
-        .orderBy("s_suppkey")
-    )
+    return interval_overlap_rollup(iv, salt_factor=1)
 
 
 @register(

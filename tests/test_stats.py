@@ -1071,3 +1071,38 @@ def test_heavy_hitters_null_keys_both_paths(spark):
             for r in heavy_hitters(df2, "key", 3, **kwargs).collect()
         }
         assert got == {("a", 12)}, (kwargs, got)
+
+
+def test_interval_overlap_salting_bit_identical(spark):
+    """r08 (VERDICT r07 task 4): the opt-in hot-bucket salt on the
+    interval-overlap join must be a pure physical rewrite — every pair
+    still forms exactly once (each B row keeps one xxhash64%s salt and
+    exactly one of the s A-replicas matches it), so the rollup is
+    bit-identical to the unsalted plan for any salt_factor.  Covers
+    same-month, adjacent-month and within-group (multiplicity) pairs."""
+    from pyspark.sql import functions as F
+
+    from end_end_data_pipeline__spark.plans.queries_stats import (
+        interval_overlap_rollup,
+    )
+
+    iv = spark.range(600).select(
+        (F.pmod(F.col("id"), F.lit(7)) + 1).alias("sk"),
+        F.timestamp_seconds(
+            F.lit(1706745600)  # 2024-02-01
+            + F.pmod(F.col("id") * 9973, F.lit(56 * 86400))  # Feb+Mar spread
+        ).alias("s"),
+        F.timestamp_seconds(
+            F.lit(1706745600)
+            + F.pmod(F.col("id") * 9973, F.lit(56 * 86400))
+            + 3600 + F.pmod(F.col("id") * 31, F.lit(5 * 86400))
+        ).alias("e"),
+    )
+    # inject multiplicity: duplicate a slice of rows verbatim
+    iv = iv.unionByName(iv.filter(F.pmod(F.col("id"), F.lit(5)) == 0))
+
+    base = sorted(tuple(r) for r in interval_overlap_rollup(iv, 1).collect())
+    assert base, "fixture produced no overlap pairs"
+    for s in (3, 8):
+        got = sorted(tuple(r) for r in interval_overlap_rollup(iv, s).collect())
+        assert got == base, f"salt_factor={s} diverged"
