@@ -25,15 +25,29 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 LOCK_PATH = Path(__file__).resolve().parent.parent / "PLANS_LOCK.json"
 SF_DIR = "/root/testdata/sf0.001"
 
-# queries whose plan only exists at run time (streaming / side effects)
+# Queries whose INTERESTING plan only exists at run time — excluded
+# from the dry-plan lock, but covered since r08 (VERDICT r07 task 6)
+# by the ``__runtime__`` lock section below: the query fn is EXECUTED,
+# every StreamingQuery it starts is captured via a DataStreamWriter.
+# start patch, and the digest is taken from each stream's
+# ``lastExecution`` (the final micro-batch's IncrementalExecution)
+# plus the returned read-back DataFrame's executed plan.  The value
+# maps name → why the dry digest alone would be misleading.
 SKIP = {
-    "stream_daily_event_agg",
-    "stream_cdc_upsert_pipeline",
-    "stream_static_enrichment",
-    "stream_watermark_late_drop",
-    "stream_stateful_user_stats",
-    "gold_marts_build",
-    "maintenance_truncate_reset",
+    "stream_daily_event_agg":
+        "micro-batch agg plan lives in IncrementalExecution",
+    "stream_cdc_upsert_pipeline":
+        "plan is per-micro-batch merge inside foreachBatch",
+    "stream_static_enrichment":
+        "stream-static join planned per micro-batch",
+    "stream_watermark_late_drop":
+        "watermark/StateStore ops only appear in micro-batch plans",
+    "stream_stateful_user_stats":
+        "applyInPandasWithState plan is micro-batch-only",
+    "gold_marts_build":
+        "returned DF reads gold parquet back; DAG runs at call time",
+    "maintenance_truncate_reset":
+        "side-effecting truncate; returned DF is the audit read-back",
     # banking_generator_fanout joined the lock in r06: since its
     # oracle-ization it is a pure synthesis + checksum-summary query
     # (no side effects), so its plan digest is stable and lockable.
@@ -89,7 +103,59 @@ def collect() -> dict[str, dict[str, int]]:
     return out
 
 
+def runtime_digests(spark, name: str) -> dict:
+    """Execute one SKIP-listed query and digest what the dry lock
+    can't see: every started stream's final micro-batch plan
+    (``StreamExecution.lastExecution`` — the IncrementalExecution
+    holding watermark/StateStore/stream-join operators) and the
+    returned DataFrame's executed plan."""
+    import pyspark.sql.streaming.readwriter as srw
+
+    from end_end_data_pipeline__spark.plans.catalog import load_all
+
+    captured: list = []
+    orig = srw.DataStreamWriter.start
+
+    def patched(self, *a, **k):
+        sq = orig(self, *a, **k)
+        captured.append(sq)
+        return sq
+
+    srw.DataStreamWriter.start = patched
+    try:
+        df = load_all()[name].fn(spark, SF_DIR)
+    finally:
+        srw.DataStreamWriter.start = orig
+    micro = [
+        digest(sq._jsq.streamingQuery().lastExecution().executedPlan()
+               .toString())
+        for sq in captured
+    ]
+    return {
+        "result": digest(
+            df._jdf.queryExecution().executedPlan().toString()),
+        "microbatches": micro,
+    }
+
+
+def runtime_collect() -> dict[str, dict]:
+    from end_end_data_pipeline__spark.session import get_spark
+
+    spark = get_spark(
+        "plan_lock_rt", extra_conf={"spark.sql.shuffle.partitions": "8"}
+    )
+    return {
+        name: {"reason": reason, **runtime_digests(spark, name)}
+        for name, reason in sorted(SKIP.items())
+    }
+
+
 if __name__ == "__main__":
-    lock = {"__fixtures__": fixture_fingerprint(), **collect()}
+    lock = {
+        "__fixtures__": fixture_fingerprint(),
+        "__runtime__": runtime_collect(),
+        **collect(),
+    }
     LOCK_PATH.write_text(json.dumps(lock, indent=1, sort_keys=True) + "\n")
-    print(f"wrote {LOCK_PATH} ({len(lock) - 1} queries)")
+    print(f"wrote {LOCK_PATH} ({len(lock) - 2} dry + "
+          f"{len(lock['__runtime__'])} runtime queries)")

@@ -49,7 +49,14 @@ def test_lock_covers_catalog():
     a new query without a lock entry (or a renamed one leaving a stale
     entry) fails here with the regeneration command in the message."""
     missing = sorted(set(NAMES) - set(LOCK))
-    stale = sorted(set(LOCK) - set(NAMES) - {"__fixtures__"})
+    stale = sorted(
+        set(LOCK) - set(NAMES) - {"__fixtures__", "__runtime__"}
+    )
+    rt_missing = sorted(set(SKIP) - set(LOCK.get("__runtime__", {})))
+    assert not rt_missing, (
+        f"runtime lock out of date (missing={rt_missing}) — "
+        "run: python scripts/plan_lock.py"
+    )
     assert not missing and not stale, (
         f"plan lock out of date (missing={missing}, stale={stale}) — "
         "run: python scripts/plan_lock.py"
@@ -65,4 +72,22 @@ def test_plan_matches_lock(spark, name):
         f"{name}: plan digest drifted from PLANS_LOCK.json "
         f"(got {got}, locked {LOCK.get(name)}) — if intentional, "
         "run: python scripts/plan_lock.py"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SKIP))
+def test_runtime_plan_matches_lock(spark, name):
+    """r08 (VERDICT r07 task 6): the streaming / side-effecting
+    queries the dry lock skips are pinned at RUN time — each started
+    stream's final micro-batch plan (IncrementalExecution: watermark,
+    StateStore, stream-join operators) plus the returned DataFrame's
+    executed plan must match the lock's __runtime__ section."""
+    from scripts.plan_lock import runtime_digests
+
+    got = runtime_digests(spark, name)
+    locked = dict(LOCK["__runtime__"][name])
+    locked.pop("reason", None)
+    assert got == locked, (
+        f"{name}: runtime plan digest drifted (got {got}, locked "
+        f"{locked}) — if intentional, run: python scripts/plan_lock.py"
     )
