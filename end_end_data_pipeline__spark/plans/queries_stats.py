@@ -2221,7 +2221,15 @@ def interval_overlap_rollup(iv: DataFrame, salt_factor: int = 1) -> DataFrame:
     by tests/test_stats.py and measured by
     scripts/interval_skew_stress.py (BASELINE.md table).  The cost is
     replicating the (already multiplicity-compressed) A side s×; the
-    default 1 keeps the catalog plan byte-stable."""
+    default 1 keeps the catalog plan byte-stable.
+
+    TZ caution: the month bucket is ``year(s)*12 + month(s)``, which
+    for a TIMESTAMP column follows the SESSION timezone.  Pass
+    DATE-typed ``s``/``e`` (as the catalog query does via ``to_date``)
+    for timezone-invariant results, or pin
+    ``spark.sql.session.timeZone``; a timestamp input still joins
+    correctly (both sides bucket identically) but the rollup's day
+    counts move with the zone."""
     g = iv.groupBy(
         "sk", "s", "e", (F.year("s") * 12 + F.month("s")).alias("m")
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
