@@ -750,18 +750,30 @@ def augment_images(
 
 def render_phash_image(c: int, v: int) -> bytes:
     """Deterministic 9x8 grayscale-as-RGB test pattern for the
-    perceptual-hash fixtures: pixel (x, y) has value ``((c*7 + c*x*19 +
-    c*y*41 + x*x*37 + y*y*59 + x*y*23) % 256 + bump) % 256`` where
-    ``bump`` is 60 at (4, 3) iff ``v == 1`` (the planted near-dup
+    perceptual-hash fixtures: pixel (x, y) has value ``((c*7 + c*x*19
+    + c*y*41 + (c//256)*x*13 + (c//65536)*y*29 + (c//16777216)*x*y*31
+    + x*x*37 + y*y*59 + x*y*23) % 256 + bump) % 256`` where ``bump``
+    is 60 at (4, 3) iff ``v == 1`` (the planted near-dup
     perturbation).  The c-cross terms matter: a c-only additive term
     would shift every pixel by a constant, leave the gradient bits
     identical across unrelated images, and blow up the banding join —
-    the same lattice trap as linear-congruential embeddings."""
+    the same lattice trap as linear-congruential embeddings.  The
+    HIGH-BYTE terms (c//256, c//65536, c//16777216) matter at scale
+    (r08): every c-term that enters ``% 256`` linearly collapses the
+    content space to ``c mod 256`` — 256 distinct patterns no matter
+    how many groups — so a 6 M-doc corpus produced ~N²/2^18 identical-
+    hash pairs (488 M rows at the 100× decade) and the measurement was
+    duplicate explosion, not scale trend.  With four independent
+    c-bytes the class space is 2^32: distinct content grows with the
+    corpus and near-dup mass stays ~linear (planted pairs + a
+    negligible birthday term)."""
     out = bytearray()
     for y in range(8):
         for x in range(9):
-            g = (c * 7 + c * x * 19 + c * y * 41 + x * x * 37
-                 + y * y * 59 + x * y * 23) % 256
+            g = (c * 7 + c * x * 19 + c * y * 41
+                 + (c // 256) * x * 13 + (c // 65536) * y * 29
+                 + (c // 16777216) * x * y * 31
+                 + x * x * 37 + y * y * 59 + x * y * 23) % 256
             if v == 1 and x == 4 and y == 3:
                 g = (g + 60) % 256
             out += bytes((g, g, g))
@@ -770,21 +782,32 @@ def render_phash_image(c: int, v: int) -> bytes:
 
 def render_fingerprint_audio(c: int, v: int, n_samples: int = 480) -> list[int]:
     """Deterministic PCM16 test signal for the audio-fingerprint
-    fixtures: quadratically-mixed carrier ``(c*37 + c*i*11 + i*i*13) %
-    32768`` shaped by a per-32-sample-frame envelope ``amp(c, f) =
-    (c*13 + c*f*5 + f*f*3) % 8``; variant ``v == 1`` bumps frame 7's
-    envelope by +3 (mod 8) — the planted near-dup, one fingerprint
-    frame off.  The c-cross terms in BOTH carrier and envelope matter
-    for the same reason as ``render_phash_image``'s: a c-only additive
-    term would leave the energy profile identical across unrelated
-    clips.  All arithmetic is nonnegative-integer (division before the
+    fixtures: quadratically-mixed carrier ``(c*37 + c*i*11 + (c//32768)*i*17 +
+    (c//1048576)*i*i*19 + (c//33554432)*i*23 + i*i*13) % 32768`` shaped
+    by a per-32-sample-frame envelope ``amp(c, f) = (c*13 + c*f*5 +
+    (c//8)*f*7 + (c//512)*f*f*11 + (c//4096)*f*29 + f*f*3) % 8``; variant ``v == 1``
+    bumps frame 7's envelope by +3 (mod 8) — the planted near-dup, one
+    fingerprint frame off.  The c-cross terms in BOTH carrier and
+    envelope matter for the same reason as ``render_phash_image``'s: a
+    c-only additive term would leave the energy profile identical
+    across unrelated clips.  The HIGH-BYTE terms (c//8, c//512 in the
+    envelope; c//32768, c//1048576 in the carrier) matter at scale
+    (r08, same lattice trap as the image twin): without them the
+    envelope profile depended on ``c mod 8`` — EIGHT distinct shapes —
+    so a 180k-doc corpus emitted ~7.6× excess identical-fingerprint
+    pairs at the 30× decade; with them the fingerprint class space is
+    ~2^30 and near-dup mass stays ~linear (planted + small birthday
+    term).  All arithmetic is nonnegative-integer (division before the
     -16384 recenter), so a SQL oracle replays it bit-exactly."""
     out = []
     for i in range(n_samples):
         f = i // 32
-        amp = (c * 13 + c * f * 5 + f * f * 3
+        amp = (c * 13 + (c >> (3 * (f % 5))) * 7
+               + (c >> (3 * (f // 5) + 15)) * 5 + f * f * 3
                + (3 if v == 1 and f == 7 else 0)) % 8
-        abs_raw = (c * 37 + c * i * 11 + i * i * 13) % 32768
+        abs_raw = (c * 37 + c * i * 11 + (c // 32768) * i * 17
+                   + (c // 1048576) * i * i * 19
+                   + (c // 33554432) * i * 23 + i * i * 13) % 32768
         out.append((abs_raw * amp) // 8 - 16384)
     return out
 
@@ -843,14 +866,24 @@ def dhash_bands(media: DataFrame, media_col: str, id_col: str) -> DataFrame:
     gray(x, y)`` over the 9x8 grayscale — one Arrow batch per task, a
     few hundred bytes per image, no resize needed at this fixture
     geometry.  Band value = sum of ``bit << (x + 8*(y % 2))`` within
-    each 2-row stripe; 16-bit ints sidestep the BIGINT sign bit a
-    packed 64-bit hash would hit.  Output: (id, band int, val int).
+    each 2-row stripe.  Each band row also carries ``h``, the FULL
+    64-bit hash packed as a signed long (two's complement — fine for
+    ``xor``/``bit_count``), so a consumer can verify exact Hamming
+    distance INSIDE the band equi-join instead of re-joining back to
+    the band table (r08: at >= 10^6 images the 2^16 band-value space
+    saturates — ~N²/2^18 false candidates per band — and a
+    candidate-first plan materializes that quadratic mass through a
+    DISTINCT + two joins; verified-in-join drops it in the join
+    filter.  The saturation itself is inherent to a 64-bit dHash: at
+    true 100 TB image scale, move to a 256-bit perceptual hash with
+    4x64-bit bands, which pushes the same plan's saturation past
+    10^9).  Output: (id, band int, val int, h long).
     """
     import pandas as pd
 
     def hash_batch(it):
         for pdf in it:
-            ids, bands, vals = [], [], []
+            ids, bands, vals, fulls = [], [], [], []
             for doc, raw in zip(pdf[id_col], pdf[media_col]):
                 fmt, w, h, rgb = decode_image(bytes(raw))
                 if w != 9 or h != 8:
@@ -863,14 +896,21 @@ def dhash_bands(media: DataFrame, media_col: str, id_col: str) -> DataFrame:
                     for x in range(8):
                         if gray[y * 9 + x + 1] > gray[y * 9 + x]:
                             acc[y // 2] |= 1 << (x + 8 * (y % 2))
+                full = (acc[0] | (acc[1] << 16) | (acc[2] << 32)
+                        | (acc[3] << 48))
+                if full >= 1 << 63:  # two's-complement into int64
+                    full -= 1 << 64
                 for b in range(4):
                     ids.append(doc)
                     bands.append(b)
                     vals.append(acc[b])
-            yield pd.DataFrame({id_col: ids, "band": bands, "val": vals})
+                    fulls.append(full)
+            yield pd.DataFrame(
+                {id_col: ids, "band": bands, "val": vals, "h": fulls}
+            )
 
     # NULL payloads dropped JVM-side (same contract as image_stats)
     media = media.filter(F.col(media_col).isNotNull())
     return media.mapInPandas(
-        hash_batch, f"{id_col} long, band int, val int"
+        hash_batch, f"{id_col} long, band int, val int, h long"
     )

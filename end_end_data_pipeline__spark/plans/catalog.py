@@ -88,7 +88,8 @@ _PRIORITY: tuple[str, ...] = (
     # rolling re-verification — window = catalog sorted by the round of
     # each query's newest green driver row, oldest first).  Composition:
     # 2×r01 (the function batteries) + 41×r03 (the TPC-H tier, streaming
-    # tier, skew/pipeline tier) + the 7 oldest r04 rows.  After this
+    # tier, skew/pipeline tier) + the 4 oldest r04 rows + 3 sentinels
+    # for the queries whose results changed this round.  After this
     # window no driver row is older than 4 rounds (r04).  Ties within a
     # round keep their previous presentation order.
     "functions_string_battery",
@@ -138,18 +139,29 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q12_late_shipment_priority",
     "tpch_q9_product_type_profit",
     "tpch_q20_potential_part_promotion",
-    "corpus_chunk_documents",
-    "stream_custom_sessionize",
-    "multimodal_resize_batch",
+    # --- r08 sentinels (3): exactly the queries whose RESULTS changed
+    # this round — banking fan-out (independent-oracle rewrite over the
+    # new integer-closed-form md5 synthesis) and the two multimodal
+    # near-dup queries (verified-in-join rewires + the high-byte /
+    # bit-window fixture-family fixes that de-saturate their content
+    # class spaces) — so the driver re-verifies their hashes after the
+    # change; their r07 rows are superseded.  The three r04 rows they
+    # displace (corpus_chunk_documents, stream_custom_sessionize,
+    # multimodal_resize_batch) lead the r09 window instead.
+    "banking_generator_fanout",
+    "multimodal_phash_neardup",
+    "multimodal_audio_fingerprint_neardup",
     # --- window boundary (50) ---
     # --- fresher rows (r04-r07), previous presentation order; all
     # re-swept every round by scripts/driver_gate.py --all ---
+    "corpus_chunk_documents",
+    "stream_custom_sessionize",
+    "multimodal_resize_batch",
     "skyline_part_price_size",
     "sketch_countmin_user_counts",
     "embedding_pq_adc_topk",
     "text_bigram_lm_quality",
     "sketch_bloom_membership",
-    "multimodal_phash_neardup",
     "sketch_hll_distinct_by_type",
     "graph_cheapest_transfer_4hop",
     "stats_bootstrap_ci_order_value",
@@ -158,7 +170,6 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_per_source_sample",
     "stream_hll_incremental",
     "fuzzy_deletion_pairs",
-    "multimodal_audio_fingerprint_neardup",
     "stats_mannwhitney_auc",
     "ml_decile_lift",
     "interval_peak_concurrency",
@@ -194,7 +205,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_batch",
     "heavy_hitters_brand_lineitems",
     "tpch_q18_large_volume_customers",
-    "banking_generator_fanout",
     "pyds_writer_sink_roundtrip",
     "lateral_top2_orders_per_customer",
     "udtf_props_fanout",

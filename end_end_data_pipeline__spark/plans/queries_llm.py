@@ -2174,11 +2174,17 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         px AS (
             SELECT doc_id, x.x AS x, y.y AS y,
-              ((c*7 + c*x.x*19 + c*y.y*41 + x.x*x.x*37 + y.y*y.y*59
+              ((c*7 + c*x.x*19 + c*y.y*41
+                + (c // 256)*x.x*13 + (c // 65536)*y.y*29
+                + (c // 16777216)*x.x*y.y*31
+                + x.x*x.x*37 + y.y*y.y*59
                 + x.x*y.y*23) % 256
                + CASE WHEN v = 1 AND x.x = 4 AND y.y = 3
                       THEN 60 ELSE 0 END) % 256 AS g,
-              ((c*7 + c*(x.x+1)*19 + c*y.y*41 + (x.x+1)*(x.x+1)*37
+              ((c*7 + c*(x.x+1)*19 + c*y.y*41
+                + (c // 256)*(x.x+1)*13 + (c // 65536)*y.y*29
+                + (c // 16777216)*(x.x+1)*y.y*31
+                + (x.x+1)*(x.x+1)*37
                 + y.y*y.y*59 + (x.x+1)*y.y*23) % 256
                + CASE WHEN v = 1 AND x.x + 1 = 4 AND y.y = 3
                       THEN 60 ELSE 0 END) % 256 AS gn
@@ -2247,34 +2253,33 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(gen, "doc_id long, media binary")
     bands = multimodal.dhash_bands(media, "media", "doc_id")
+    # verified-in-join (r08): each band row carries the FULL 64-bit
+    # hash, so the exact Hamming check runs INSIDE the band equi-join
+    # and false candidates die in the join filter.  The previous
+    # candidate-first shape (DISTINCT pairs, then TWO joins back to
+    # bands to sum per-band xors) materialized the candidate mass —
+    # harmless at 60k docs (~1 row per (band, val) bucket) but
+    # quadratic once the 2^16 band space saturates: at the 100x decade
+    # (6M docs, ~92 rows/bucket) it spilled ~N²/2^18 candidate pairs
+    # to disk until the box ran out.  A real pair collides on <= 4
+    # bands with the same hamming, so DISTINCT after the filter
+    # touches only true near-dups.
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (hamming <= 3),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
         )
         .distinct()
-    )
-    x, y = bands.alias("x"), bands.alias("y")
-    return (
-        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("doc_b"))
-            & (F.col("y.band") == F.col("x.band")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(F.bit_count(F.col("x.val").bitwiseXOR(F.col("y.val"))))
-            .cast("long")
-            .alias("hamming")
-        )
-        .filter(F.col("hamming") <= 3)
     )
 
 
@@ -2291,8 +2296,13 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         s AS (
             SELECT doc_id, i.i // 32 AS f,
-                   (c*37 + c*i.i*11 + i.i*i.i*13) % 32768 AS abs_raw,
-                   (c*13 + c*(i.i//32)*5 + (i.i//32)*(i.i//32)*3
+                   (c*37 + c*i.i*11 + (c // 32768)*i.i*17
+                    + (c // 1048576)*i.i*i.i*19
+                    + (c // 33554432)*i.i*23
+                    + i.i*i.i*13) % 32768 AS abs_raw,
+                   (c*13 + (c >> (3*((i.i//32) % 5)))*7
+                    + (c >> (3*((i.i//32) // 5) + 15))*5
+                    + (i.i//32)*(i.i//32)*3
                     + CASE WHEN v = 1 AND i.i//32 = 7 THEN 3 ELSE 0 END
                    ) % 8 AS amp
             FROM base, (SELECT unnest(range(0, 480)) AS i) i
@@ -2367,41 +2377,51 @@ def multimodal_audio_fingerprint_neardup(
 
     media = docs.mapInPandas(gen, "doc_id long, media binary")
     lv = multimodal.audio_energy_levels(media, "media", "doc_id", quantum=128)
-    bands = lv.groupBy("doc_id", F.expr("pos div 3").alias("band")).agg(
-        F.sum(F.expr("level * shiftleft(1, (pos % 3) * 8)"))
-        .cast("int")
-        .alias("val")
+    # verified-in-join (r08, same restructure as the image twin): the
+    # full 15-level fingerprint rides each band row as an array, so
+    # exact Hamming (count of differing levels) is a zip_with/aggregate
+    # evaluated INSIDE the band equi-join — false candidates die in the
+    # join filter instead of materializing through a DISTINCT plus two
+    # verification joins back to the level table.
+    fp = lv.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "level"))),
+            lambda s: s["level"],
+        ).alias("fp")
+    )
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("band"),
+    ).withColumn(
+        "val",
+        F.element_at("fp", F.col("band") * 3 + 1)
+        + F.shiftleft(F.element_at("fp", F.col("band") * 3 + 2), 8)
+        + F.shiftleft(F.element_at("fp", F.col("band") * 3 + 3), 16),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a.fp"), F.col("b.fp"),
+            lambda u, v: F.when(u == v, 0).otherwise(1),
+        ),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (hamming <= 4),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
         )
         .distinct()
-    )
-    x, y = lv.alias("x"), lv.alias("y")
-    return (
-        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("doc_b"))
-            & (F.col("y.pos") == F.col("x.pos")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(
-                F.when(F.col("x.level") != F.col("y.level"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("hamming")
-        )
-        .filter(F.col("hamming") <= 4)
     )
 
 
