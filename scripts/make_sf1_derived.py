@@ -15,7 +15,13 @@ the duplicate explosion, not the scale trend.
     python scripts/make_sf1_derived.py [out_dir] [copies]
 
 ``copies`` defaults to 10 (the sf1 decade); ``30`` derives the sf3
-fourth-decade set for the worst-scaler watch (VERDICT r06 task 8).
+fourth-decade set for the worst-scaler watch (VERDICT r06 task 8);
+``1000`` derives the ~sf100 sixth-decade set (r08 — ~600 M lineitem
+rows).  Above 30 copies the per-copy unionByName plan (1000 branches,
+each with its own withColumns) would swamp Catalyst analysis, so the
+generator switches to a broadcast ``range(copies)`` crossJoin with the
+shift/salt applied as expressions over the copy index — identical row
+content, one small plan, fully parallel generation.
 """
 
 from __future__ import annotations
@@ -64,6 +70,37 @@ def main() -> None:
         df.coalesce(1).write.parquet(str(out / f"{name}.parquet"))
     for name, keys in SHIFT.items():
         base = lake.load_table(spark, name, SRC)
+        if COPIES > 30:
+            # sixth-decade fast path: broadcast-range crossJoin keeps
+            # the plan O(1) in COPIES and the generation embarrassingly
+            # parallel.  Repartition the BASE first so each task fans
+            # out its own slice x COPIES with no post-join shuffle.
+            n_parts = max(32, min(256, COPIES // 4))
+            idx = spark.range(COPIES).withColumnRenamed("id", "__copy")
+            c = base.repartition(n_parts).crossJoin(F.broadcast(idx))
+            cc = F.col("__copy").cast("string")
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.col("__copy") * F.lit(OFF))
+            if name == "customer":
+                c = c.withColumn(
+                    "c_name",
+                    F.concat(F.lit("Cust"), cc, cc, F.lit("er#"),
+                             F.substring("c_name", 10, 9)),
+                )
+            if name == "documents":
+                c = c.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split(F.col("text"), r"\s+"),
+                            lambda w: F.concat(w, F.lit("_"), cc),
+                        ),
+                    ),
+                )
+            c.drop("__copy").write.parquet(str(out / f"{name}.parquet"))
+            print(f"{name}: {COPIES}x shifted copies written (fast path)")
+            continue
         copies = []
         for i in range(COPIES):
             c = base
