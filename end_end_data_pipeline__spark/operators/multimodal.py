@@ -784,14 +784,16 @@ def render_fingerprint_audio(c: int, v: int, n_samples: int = 480) -> list[int]:
     """Deterministic PCM16 test signal for the audio-fingerprint
     fixtures: quadratically-mixed carrier ``(c*37 + c*i*11 + (c//32768)*i*17 +
     (c//1048576)*i*i*19 + (c//33554432)*i*23 + i*i*13) % 32768`` shaped
-    by a per-32-sample-frame envelope ``amp(c, f) = (c*13 + c*f*5 +
-    (c//8)*f*7 + (c//512)*f*f*11 + (c//4096)*f*29 + f*f*3) % 8``; variant ``v == 1``
+    by a per-32-sample-frame envelope ``amp(c, f) = (c*13 +
+    (c >> 3*(f%5))*7 + (c >> 3*(f//5)+15)*5 + f*f*3) % 8`` — each
+    frame reads its own 3-bit windows of ``c`` (low half via ``f%5``,
+    high half via ``f//5``); variant ``v == 1``
     bumps frame 7's envelope by +3 (mod 8) — the planted near-dup, one
     fingerprint frame off.  The c-cross terms in BOTH carrier and
     envelope matter for the same reason as ``render_phash_image``'s: a
     c-only additive term would leave the energy profile identical
-    across unrelated clips.  The HIGH-BYTE terms (c//8, c//512 in the
-    envelope; c//32768, c//1048576 in the carrier) matter at scale
+    across unrelated clips.  The HIGH-BIT terms (the per-frame shift
+    windows in the envelope; c//32768, c//1048576 in the carrier) matter at scale
     (r08, same lattice trap as the image twin): without them the
     envelope profile depended on ``c mod 8`` — EIGHT distinct shapes —
     so a 180k-doc corpus emitted ~7.6× excess identical-fingerprint
