@@ -68,6 +68,15 @@ def main() -> int:
     # shuffle-partition counts, AQE off, skewed core counts): every
     # query's hash must be invariant to all of them.
     builder = SparkSession.builder.master(args.master)
+    if not args.master.startswith("local["):
+        # multi-JVM masters spawn executor python workers that don't
+        # inherit this process's sys.path — without the repo root on
+        # their PYTHONPATH, any cloudpickled PACKAGE function (pandas
+        # UDFs, applyInPandasWithState) dies on deserialization with
+        # ModuleNotFoundError.  An explicit --conf wins over this.
+        if not any((kv or "").startswith("spark.executorEnv.PYTHONPATH=")
+                   for kv in args.conf or []):
+            builder = builder.config("spark.executorEnv.PYTHONPATH", REPO)
     for kv in args.conf or []:
         k, _, v = kv.partition("=")
         builder = builder.config(k, v)

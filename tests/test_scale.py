@@ -47,6 +47,39 @@ def test_salted_two_phase_agg_equals_plain(spark):
     assert _rows(salted, cols) == _rows(plain, cols)
 
 
+def test_salted_join_how_variants_equal_plain_join(spark):
+    """Every allowed ``how`` must be row-identical to the plain join —
+    including rows the small side does NOT match (the left/anti
+    families are where small-side replication bugs would surface:
+    a wrongly-salted probe would emit an unmatched row once per salt,
+    or drop a semi match whose replica landed under another salt).
+    Right/full outer must be rejected (unmatched small rows would
+    appear salt_factor times)."""
+    import pytest
+
+    big = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12), (3, 13), (None, 14)],
+        "k long, uid long",
+    )
+    small = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "z")], "k long, label string"
+    )
+    for how in ["inner", "left", "left_semi", "left_anti"]:
+        plain = big.join(small, "k", how)
+        salted = scale.salted_join(
+            big, small, "k", F.col("uid"), salt_factor=4, how=how
+        )
+        cols = plain.columns
+        assert salted.columns == cols, how
+        key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+        got = sorted((tuple(r[c] for c in cols) for r in salted.collect()), key=key)
+        want = sorted((tuple(r[c] for c in cols) for r in plain.collect()), key=key)
+        assert got == want, how
+    for how in ["right", "full", "outer", "cross"]:
+        with pytest.raises(ValueError):
+            scale.salted_join(big, small, "k", F.col("uid"), 4, how=how)
+
+
 def test_salted_join_spreads_hot_key(spark):
     """The hot key's rows must land with every salt value — the whole
     point of salting."""
