@@ -24,8 +24,16 @@ def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
     # zone, which defaults to the environment's) — mirrors the Spark
     # side's own UTC pin in session.get_spark / lake.load_table
     con.execute("SET TimeZone='UTC'")
+    import os
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # driver fixtures are single files; Spark-written sets (e.g. the
+        # derived-decade dirs from scripts/make_sf1_derived.py) are
+        # DIRECTORIES of part files — DuckDB needs the explicit glob
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con.execute(sql).fetchdf()
 
 
@@ -37,6 +45,14 @@ def _norm_cell(v: Any) -> Any:
             return "<null>"
         return repr(v)  # full precision
     if isinstance(v, pd.Timestamp):
+        # tz-aware values only arise when the parquet marks its
+        # timestamps isAdjustedToUTC (Spark-written derived fixtures);
+        # the oracle session is pinned to UTC, so converting to naive
+        # UTC is exact and makes the rendering match the Spark side's
+        # naive (session-UTC) timestamps.  Driver fixtures are naive
+        # on both sides and take the fast path.
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
