@@ -98,6 +98,24 @@ def main() -> None:
                         ),
                     ),
                 )
+            if name == "embeddings":
+                # distinct vector CONTENT per copy (same fix as names/
+                # text): a per-(copy, dim) sign flip keeps every norm
+                # and every WITHIN-copy cosine exactly (s_d^2 = 1) but
+                # decorrelates cross-copy pairs — without it the 10
+                # key-shifted clones of each vector form 10-cliques and
+                # every pair query measures a duplicate explosion
+                # (embedding_neardup_pairs: 68x at 10x data), not scale
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, i: F.when(
+                            F.pmod(F.xxhash64(F.col("__copy"), i), F.lit(2))
+                            == 0, x
+                        ).otherwise(-x),
+                    ),
+                )
             c.drop("__copy").write.parquet(str(out / f"{name}.parquet"))
             print(f"{name}: {COPIES}x shifted copies written (fast path)")
             continue
@@ -132,6 +150,17 @@ def main() -> None:
                             F.split(F.col("text"), r"\s+"),
                             lambda w: F.concat(w, F.lit(f"_{i}")),
                         ),
+                    ),
+                )
+            if name == "embeddings":
+                # per-(copy, dim) sign flip — see the fast-path comment
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, d: F.when(
+                            F.pmod(F.xxhash64(F.lit(i), d), F.lit(2)) == 0, x
+                        ).otherwise(-x),
                     ),
                 )
             copies.append(c)
