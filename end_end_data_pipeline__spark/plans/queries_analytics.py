@@ -182,8 +182,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                         TIMESTAMP '{_RFM_ANCHOR} 00:00:00') AS INT)
                        AS recency_days,
                    CAST(COUNT(*) AS BIGINT) AS frequency,
-                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6)))
-                        AS DOUBLE) AS monetary
+                   CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS monetary
             FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
         )
@@ -352,7 +351,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH daily AS (
             SELECT event_type,
                    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-                   CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
                        AS total
             FROM events GROUP BY 1, 2
         ),
@@ -891,16 +890,28 @@ def asof_forward_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataF
 @register(
     "hierarchy_flatten_paths",
     oracle="""
-        WITH RECURSIVE walk(node, cur, depth, path, root) AS (
-            SELECT c_custkey,
-                   CASE WHEN c_custkey >= 10 THEN c_custkey // 10 END,
-                   0, CAST(c_custkey AS VARCHAR), CAST(NULL AS BIGINT)
+        WITH RECURSIVE p AS (
+            SELECT c_custkey AS node,
+                   CASE WHEN c_custkey >= 10 THEN c_custkey // 10 END
+                       AS parent
             FROM customer
+        ),
+        -- the walk steps through the parent-pointer TABLE (an ancestor
+        -- with no row is a root), exactly like the engine's left-join
+        -- rounds.  An arithmetic step (cur // 10 unconditionally)
+        -- only coincides with this on key sets closed under //10 —
+        -- true for the contiguous driver fixtures, false in general
+        -- (caught by the sf1-derived gate, whose shifted key blocks
+        -- are sparse).
+        walk(node, cur, depth, path, root) AS (
+            SELECT node, parent, 0, CAST(node AS VARCHAR),
+                   CAST(NULL AS BIGINT)
+            FROM p
             UNION ALL
-            SELECT node,
-                   CASE WHEN cur >= 10 THEN cur // 10 END,
-                   depth + 1, path || '/' || CAST(cur AS VARCHAR), cur
-            FROM walk WHERE cur IS NOT NULL
+            SELECT w.node, pp.parent, w.depth + 1,
+                   w.path || '/' || CAST(w.cur AS VARCHAR), w.cur
+            FROM walk w LEFT JOIN p pp ON w.cur = pp.node
+            WHERE w.cur IS NOT NULL
         )
         SELECT node, COALESCE(root, node) AS root,
                CAST(depth AS INT) AS depth, path
@@ -1528,7 +1539,7 @@ def retention_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
               ON e.cur = r.cur AND e.day >= r.rate_day
         )
         SELECT cur, CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value * rate AS DECIMAL(25,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(value * rate AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
                    AS usd_total
         FROM matched GROUP BY cur
     """,

@@ -1384,10 +1384,9 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg AS (
             SELECT l_returnflag,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
                        AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
-                        AS DOUBLE) AS sum_price,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_price,
                    strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S.%f')
                        AS max_shipdate
             FROM slice GROUP BY l_returnflag
@@ -1452,7 +1451,7 @@ def format_roundtrip_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT txn_type,
                CAST(COUNT(*) AS BIGINT) AS n_txns,
-               CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
                    AS total_amount,
                CAST(MIN(id) AS BIGINT) AS min_id,
                CAST(MAX(account_id) AS BIGINT) AS max_account
@@ -1540,7 +1539,7 @@ def pyds_writer_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n.n_name AS nation,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
-               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
                    AS total_acctbal
         FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
         WHERE n.n_regionkey <= 2

@@ -626,7 +626,7 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH agg AS (
             SELECT o_orderpriority,
                    CAST(COUNT(*) AS DOUBLE) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
                      AS total_value,
                    CAST(MAX(o_totalprice) AS DOUBLE) AS max_value
             FROM orders GROUP BY o_orderpriority

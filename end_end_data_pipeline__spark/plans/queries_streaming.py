@@ -408,7 +408,7 @@ def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM base WHERE o_orderkey % 7 <> 0
         )
         SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
                    AS total_value
         FROM final GROUP BY o_orderstatus
     """,

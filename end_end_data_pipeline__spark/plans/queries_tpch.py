@@ -141,8 +141,7 @@ _register_sql(
 _register_sql(
     "tpch_q6_forecast_revenue",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
-                AS DOUBLE) AS revenue
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1997-01-01'
       AND l_shipdate < DATE '1998-01-01'
@@ -179,9 +178,9 @@ _register_sql(
     "tpch_q8_national_market_share",
     f"""
     SELECT o_year,
-           CAST(SUM(CAST(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END
-                         AS DECIMAL(25,6))) AS DOUBLE)
-           / CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS mkt_share
+           CAST(CAST(SUM(CAST(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END
+                         AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS mkt_share
     FROM (
         SELECT year(o_orderdate) AS o_year,
                {_REVENUE} AS volume,
@@ -208,7 +207,7 @@ _register_sql(
     "tpch_q9_product_type_profit",
     """
     SELECT nation, o_year,
-           CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS DOUBLE) AS sum_profit
+           CAST(CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_profit
     FROM (
         SELECT n_name AS nation,
                year(o_orderdate) AS o_year,
@@ -273,14 +272,14 @@ _register_sql(
     "tpch_q11_important_stock",
     """
     SELECT l_partkey AS partkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS value
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS value
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_1'
     GROUP BY l_partkey
-    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) > (
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+    HAVING CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) > (
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
                * 0.001
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
@@ -330,9 +329,9 @@ _register_sql(
 _register_sql(
     "tpch_q14_promo_revenue",
     f"""
-    SELECT 100.00 * (CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-                          THEN {_REVENUE} ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
-                     / CAST(SUM(CAST({_REVENUE} AS DECIMAL(25,6))) AS DOUBLE))
+    SELECT 100.00 * (CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                          THEN {_REVENUE} ELSE 0 END AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+                     / CAST(CAST(SUM(CAST({_REVENUE} AS DECIMAL(25,6))) AS STRING) AS DOUBLE))
            AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= DATE '1997-03-01'
@@ -381,7 +380,7 @@ _register_sql(
 _register_sql(
     "tpch_q17_small_quantity_revenue",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / 7.0
            AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
@@ -397,7 +396,7 @@ _register_sql(
     "tpch_q18_large_volume_customers",
     """
     SELECT c_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -462,7 +461,7 @@ _register_sql(
     "tpch_q22_global_sales_opportunity",
     """
     SELECT cntrycode, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS totacctbal
     FROM (
         SELECT substring(c_name, 10, 1) AS cntrycode, c_acctbal
         FROM customer

@@ -223,7 +223,7 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH daily AS (
             SELECT user_id, CAST(ts AS DATE) AS d,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
                        AS total_value
             FROM events GROUP BY 1, 2
         ),

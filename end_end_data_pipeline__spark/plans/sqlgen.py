@@ -3,17 +3,32 @@
 Mirrors ``functions.scalar.dec_sum``/``dec_avg``: double aggregates are
 accumulated as exact decimals (order-independent) and cast back to
 double, so the oracle and the distributed Spark plan agree bit-for-bit.
+
+The final decimal→double step goes THROUGH A STRING (r08): a direct
+``CAST(decimal AS DOUBLE)`` in DuckDB divides the int128 payload by
+10^scale in double arithmetic — two roundings, up to 1 ULP off the
+correctly-rounded value (measured: the sf1-derived gate caught
+``agg_pricing_summary``'s sum_charge at ...941593 vs the true ...94159,
+which Spark — exact BigDecimal conversion — got right).  decimal→string
+is exact in both engines and string→double parsing is correctly rounded
+in both (fast_float / Double.parseDouble), so the round-trip pins BOTH
+engines to the correctly-rounded double by construction.  These
+fragments run verbatim in BOTH engines (the TPC-H tier executes one
+shared SQL text), so the pin applies to each side identically.
 """
 
 from __future__ import annotations
 
 
 def dsum(expr: str, alias: str, scale: int = 6) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,{scale}))) AS DOUBLE) AS {alias}"
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(25,{scale}))) AS STRING)"
+        f" AS DOUBLE) AS {alias}"
+    )
 
 
 def davg(expr: str, alias: str, scale: int = 6) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(25,{scale}))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(25,{scale}))) AS STRING)"
+        f" AS DOUBLE) / COUNT({expr}) AS {alias}"
     )

@@ -122,26 +122,37 @@ def stream_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFram
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     ns = _nanos_ts_cols(path, ("ts",))
+    # The streaming file source monitors a DIRECTORY.  Driver fixtures
+    # store each table as a single FILE, so those stream the parent dir
+    # with a leaf-name glob; a Spark-written table (the production
+    # shape, and the derived-decade fixtures) IS a directory of part
+    # files — stream it directly.  The glob-on-parent form silently
+    # matches nothing for a directory-shaped table (pathGlobFilter
+    # applies to leaf file names), which is how this surfaced: five
+    # streaming queries returned 0 rows at the sf1-derived gate.
+    if os.path.isdir(path):
+        def reader(schema: str):
+            return spark.readStream.schema(schema).parquet(path)
+    else:
+        def reader(schema: str):
+            return (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
     if ns:
         raw_schema = (
             "event_id long, ts long, user_id long, event_type string,"
             " value double, props string"
         )
-        return (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return reader(raw_schema).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     raw_schema = (
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string"
     )
-    return (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    return reader(raw_schema)
 
 
 def load_star(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

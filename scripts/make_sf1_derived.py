@@ -88,13 +88,20 @@ def main() -> None:
                              F.substring("c_name", 10, 9)),
                 )
             if name == "documents":
+                # LETTER salt (digits translated a-j), not "_<i>": the
+                # text tier's word scope is ^[a-z]+$, so a punctuated/
+                # digit salt would knock EVERY word out of scope and
+                # the BPE tier would see an empty corpus (found by the
+                # sf1-derived oracle gate: bpe_token_stats raised its
+                # designed too-few-merges error)
+                salt = F.translate(cc, "0123456789", "abcdefghij")
                 c = c.withColumn(
                     "text",
                     F.concat_ws(
                         " ",
                         F.transform(
                             F.split(F.col("text"), r"\s+"),
-                            lambda w: F.concat(w, F.lit("_"), cc),
+                            lambda w: F.concat(w, F.lit("x"), salt),
                         ),
                     ),
                 )
@@ -140,15 +147,20 @@ def main() -> None:
                     ),
                 )
             if name == "documents":
-                # distinct text per copy: salt every word with the copy
-                # index so shingle/minhash dfs scale, not duplicate
+                # distinct text per copy: salt every word with a LETTER
+                # form of the copy index so shingle/minhash dfs scale
+                # without duplicates AND the words stay inside the text
+                # tier's ^[a-z]+$ scope (see the fast-path comment)
+                letters = "".join(
+                    "abcdefghij"[int(ch)] for ch in str(i)
+                )
                 c = c.withColumn(
                     "text",
                     F.concat_ws(
                         " ",
                         F.transform(
                             F.split(F.col("text"), r"\s+"),
-                            lambda w: F.concat(w, F.lit(f"_{i}")),
+                            lambda w: F.concat(w, F.lit(f"x{letters}")),
                         ),
                     ),
                 )
