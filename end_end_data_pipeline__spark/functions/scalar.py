@@ -32,7 +32,16 @@ ACC = "decimal(25,6)"
 
 def dec_sum(col: Column | str, alias: str, scale: int = 6) -> Column:
     """Order-independent SUM of a double column: exact-decimal accumulate,
-    double result. Mirror SQL: ``sqlgen.dec_sum_sql``."""
+    double result. Mirror SQL: ``sqlgen.dsum``.
+
+    Asymmetry note (r08/r09): ``sqlgen.dsum`` routes its final
+    decimal→double step through a STRING because DuckDB's direct cast
+    double-rounds (int128 / 10^scale in double arithmetic — up to
+    1 ULP off).  Spark's own decimal→double is an exact
+    ``BigDecimal.doubleValue()`` (correctly rounded by construction),
+    so the direct cast here is already the value the string round-trip
+    would produce — the round-trip is a DuckDB-side pin, not a shared
+    requirement."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(25,{scale})")).cast("double").alias(alias)
 

@@ -70,28 +70,77 @@ def register(
 
 # Deterministic presentation order for the registry.  The driver
 # records correctness rows for only the FIRST 50 ``load_all()``
-# entries, so the order is a rotating evidence window.  Round-8
-# rotation (VERDICT r07 task 3): with every catalog query now holding
-# a green driver row in the r01-r07 union, the window switches to
-# ROLLING RE-VERIFICATION — each round points at the 50 queries whose
-# newest driver row is OLDEST, so no row's external verification ever
-# ages past ~4 rounds even though the code under it keeps evolving.
-# The whole catalog — window and all — is additionally swept against
-# the driver-identical sf0.01 DuckDB gate each round
-# (scripts/driver_gate.py --all → GATE_r{N}.json), the gate's
-# freshness is asserted by tests/test_gate_freshness.py, and round 8
-# adds a multi-JVM sweep (CLUSTER_r08.json, local-cluster[2,8,4096]).
-# Names not listed here sort after the listed ones in registration
-# order.
+# entries, so the order is a rotating evidence window.  Since r08 the
+# window runs ROLLING RE-VERIFICATION (VERDICT r07 task 3): each round
+# points at the 50 queries whose newest green driver row is OLDEST, so
+# no row's external verification ages past ~4 rounds even though the
+# code under it keeps evolving.  The whole catalog — window and all —
+# is additionally swept against the driver-identical sf0.01 DuckDB
+# gate each round (scripts/driver_gate.py --all → GATE_r{N}.json), the
+# gate's freshness is asserted by tests/test_gate_freshness.py, and
+# r08 added multi-JVM sweeps (CLUSTER_r08*.json).  Names not listed
+# here sort after the listed ones in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # --- r08 window: the 50 STALEST driver rows (VERDICT r07 task 3:
-    # rolling re-verification — window = catalog sorted by the round of
-    # each query's newest green driver row, oldest first).  Composition:
-    # 2×r01 (the function batteries) + 41×r03 (the TPC-H tier, streaming
-    # tier, skew/pipeline tier) + the 4 oldest r04 rows + 3 sentinels
-    # for the queries whose results changed this round.  After this
-    # window no driver row is older than 4 rounds (r04).  Ties within a
-    # round keep their previous presentation order.
+    # --- r09 window: the 50 STALEST driver rows after the r08
+    # refresh — the 43 remaining r04 rows (incl. the 3 that the r08
+    # sentinels displaced: corpus_chunk_documents,
+    # stream_custom_sessionize, multimodal_resize_batch) + the 7
+    # oldest r05 rows.  After this window every driver row is r05+
+    # (age ≤ 4 rounds).  Ties within a round keep their previous
+    # presentation order.
+    "corpus_chunk_documents",
+    "stream_custom_sessionize",
+    "multimodal_resize_batch",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
+    "embedding_ann_ivf_topk",
+    "embedding_ann_lsh_topk",
+    "text_exact_dedup",
+    "stream_daily_event_agg",
+    "asof_click_before_purchase",
+    "window_running_total_per_user",
+    "filter_time_range_flagged",
+    "semi_customers_with_open_orders",
+    "anti_customers_without_orders",
+    "selfjoin_same_day_order_pairs",
+    "range_join_price_band",
+    "rollup_status_priority",
+    "cube_returnflag_linestatus",
+    "count_distinct_parts_per_supplier",
+    "conditional_status_share",
+    "daily_event_volume",
+    "percentile_order_value",
+    "histogram_order_value",
+    "topk_expensive_orders",
+    "topk_orders_per_segment",
+    "setop_priority_slices_union",
+    "setop_except_customers",
+    "setop_intersect_customers",
+    "dedup_replayed_events",
+    "pivot_status_by_segment",
+    "grouping_sets_priority_status",
+    "window_percentile_standing",
+    "window_lag_event_gap",
+    "window_moving_avg_7d",
+    "window_rank_customers_in_segment",
+    "window_last_purchase_value",
+    "functions_math_json_battery",
+    "functions_array_battery",
+    "window_tumbling_daily",
+    "window_sliding_10m_5m",
+    "window_session_30m",
+    "text_token_stats",
+    "text_quality_language",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_count",
+    "text_pii_redaction",
+    "text_repetition_stats",
+    "corpus_train_val_split",
+    "embedding_quantize_int8",
+    # --- window boundary (50) ---
+    # --- fresher rows (r05-r08), previous presentation order; all
+    # re-swept every round by scripts/driver_gate.py --all ---
     "functions_string_battery",
     "functions_datetime_battery",
     "cdc_roundtrip_latest_state",
@@ -139,24 +188,9 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q12_late_shipment_priority",
     "tpch_q9_product_type_profit",
     "tpch_q20_potential_part_promotion",
-    # --- r08 sentinels (3): exactly the queries whose RESULTS changed
-    # this round — banking fan-out (independent-oracle rewrite over the
-    # new integer-closed-form md5 synthesis) and the two multimodal
-    # near-dup queries (verified-in-join rewires + the high-byte /
-    # bit-window fixture-family fixes that de-saturate their content
-    # class spaces) — so the driver re-verifies their hashes after the
-    # change; their r07 rows are superseded.  The three r04 rows they
-    # displace (corpus_chunk_documents, stream_custom_sessionize,
-    # multimodal_resize_batch) lead the r09 window instead.
     "banking_generator_fanout",
     "multimodal_phash_neardup",
     "multimodal_audio_fingerprint_neardup",
-    # --- window boundary (50) ---
-    # --- fresher rows (r04-r07), previous presentation order; all
-    # re-swept every round by scripts/driver_gate.py --all ---
-    "corpus_chunk_documents",
-    "stream_custom_sessionize",
-    "multimodal_resize_batch",
     "skyline_part_price_size",
     "sketch_countmin_user_counts",
     "embedding_pq_adc_topk",
@@ -250,13 +284,6 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_source_lang_chisq",
     "ab_conversion_ztest",
     "maintenance_truncate_reset",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_count",
-    "text_pii_redaction",
-    "text_repetition_stats",
-    "corpus_train_val_split",
-    "embedding_quantize_int8",
     "unpivot_priority_metrics",
     "versioned_merge_time_travel",
     "jdbc_roundtrip_live",
@@ -300,46 +327,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_learn_merges",
     "pyds_generator_source",
     "pyds_stream_source_replay",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
-    "embedding_ann_ivf_topk",
-    "embedding_ann_lsh_topk",
-    "text_exact_dedup",
-    "stream_daily_event_agg",
-    "asof_click_before_purchase",
-    "window_running_total_per_user",
-    "filter_time_range_flagged",
-    "semi_customers_with_open_orders",
-    "anti_customers_without_orders",
-    "selfjoin_same_day_order_pairs",
-    "range_join_price_band",
-    "rollup_status_priority",
-    "cube_returnflag_linestatus",
-    "count_distinct_parts_per_supplier",
-    "conditional_status_share",
-    "daily_event_volume",
-    "percentile_order_value",
-    "histogram_order_value",
-    "topk_expensive_orders",
-    "topk_orders_per_segment",
-    "setop_priority_slices_union",
-    "setop_except_customers",
-    "setop_intersect_customers",
-    "dedup_replayed_events",
-    "pivot_status_by_segment",
-    "grouping_sets_priority_status",
-    "window_percentile_standing",
-    "window_lag_event_gap",
-    "window_moving_avg_7d",
-    "window_rank_customers_in_segment",
-    "window_last_purchase_value",
-    "functions_math_json_battery",
-    "functions_array_battery",
-    "window_tumbling_daily",
-    "window_sliding_10m_5m",
-    "window_session_30m",
-    "text_token_stats",
-    "text_quality_language",
 )
 
 

@@ -15,6 +15,13 @@ in both (fast_float / Double.parseDouble), so the round-trip pins BOTH
 engines to the correctly-rounded double by construction.  These
 fragments run verbatim in BOTH engines (the TPC-H tier executes one
 shared SQL text), so the pin applies to each side identically.
+
+Asymmetry with ``functions.scalar.dec_sum`` (its DataFrame mirror):
+that helper direct-casts decimal→double WITHOUT the string round-trip
+— deliberately, because Spark's conversion is an exact
+``BigDecimal.doubleValue()`` (already correctly rounded), so both
+paths land on the same bits.  The round-trip here is the DuckDB-side
+pin only; keep the two docstrings in sync if either policy changes.
 """
 
 from __future__ import annotations

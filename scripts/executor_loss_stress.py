@@ -54,12 +54,13 @@ N_TRIALS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 OUT = sys.argv[2] if len(sys.argv) > 2 else None
 
 
-def executor_pids(driver_pid: int) -> list[int]:
-    """Executor JVMs of THIS app: CoarseGrainedExecutorBackend
-    processes (children of the local-cluster Worker JVMs, which are
-    children of the driver's JVM gateway)."""
+def executor_pids(driver_pid: int, app_id: str) -> list[int]:
+    """Executor JVMs of THIS app only: CoarseGrainedExecutorBackend
+    processes whose cmdline carries this driver's ``--app-id`` (the
+    backend is launched with it), so a concurrently-running Spark app
+    on the same host can never be hit by the SIGKILL (ADVICE r08)."""
     out = subprocess.run(
-        ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+        ["pgrep", "-f", f"CoarseGrainedExecutorBackend.*{app_id}"],
         capture_output=True, text=True,
     ).stdout.split()
     return [int(p) for p in out if int(p) != driver_pid]
@@ -118,6 +119,7 @@ def main() -> int:
         .getOrCreate()
     )
     me = os.getpid()
+    app_id = spark.sparkContext.applicationId
     subs = subjects(spark)
 
     clean = {name: df_hash(mk()) for name, mk in subs.items()}
@@ -133,7 +135,7 @@ def main() -> int:
 
         def killer():
             time.sleep(delay)
-            pids = executor_pids(me)
+            pids = executor_pids(me, app_id)
             if pids:
                 victim = pids[t % len(pids)]
                 try:

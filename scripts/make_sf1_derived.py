@@ -170,8 +170,16 @@ def main() -> None:
                     "embedding",
                     F.transform(
                         "embedding",
+                        # lit(i) cast LONG to match the fast path's
+                        # LONG __copy operand: xxhash64 is type-
+                        # sensitive, so identical operand types are
+                        # what make the two generation paths emit
+                        # identical sign patterns (ADVICE r08)
                         lambda x, d: F.when(
-                            F.pmod(F.xxhash64(F.lit(i), d), F.lit(2)) == 0, x
+                            F.pmod(
+                                F.xxhash64(F.lit(i).cast("long"), d),
+                                F.lit(2),
+                            ) == 0, x
                         ).otherwise(-x),
                     ),
                 )

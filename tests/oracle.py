@@ -30,9 +30,18 @@ def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
         path = f"{sf_dir}/{t}.parquet"
         # driver fixtures are single files; Spark-written sets (e.g. the
         # derived-decade dirs from scripts/make_sf1_derived.py) are
-        # DIRECTORIES of part files — DuckDB needs the explicit glob
+        # DIRECTORIES of part files — DuckDB needs an explicit glob.
+        # RECURSIVE (**) so a Hive-partitioned layout (key=…/part-*)
+        # still resolves, and assert the glob matched: an empty view
+        # here would surface later as a baffling row-count mismatch
+        # (ADVICE r08).
         if os.path.isdir(path):
-            path = f"{path}/*.parquet"
+            import glob as _glob
+
+            pat = f"{path}/**/*.parquet"
+            if not _glob.glob(pat, recursive=True):
+                raise FileNotFoundError(f"no parquet part files under {path}")
+            path = pat
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con.execute(sql).fetchdf()
 
