@@ -748,7 +748,9 @@ def augment_images(
     )
 
 
-def render_phash_image(c: int, v: int) -> bytes:
+def render_phash_image(
+    c: int, v: int, width: int = 9, height: int = 8
+) -> bytes:
     """Deterministic 9x8 grayscale-as-RGB test pattern for the
     perceptual-hash fixtures: pixel (x, y) has value ``((c*7 + c*x*19
     + c*y*41 + (c//256)*x*13 + (c//65536)*y*29 + (c//16777216)*x*y*31
@@ -766,10 +768,15 @@ def render_phash_image(c: int, v: int) -> bytes:
     duplicate explosion, not scale trend.  With four independent
     c-bytes the class space is 2^32: distinct content grows with the
     corpus and near-dup mass stays ~linear (planted pairs + a
-    negligible birthday term)."""
+    negligible birthday term).
+
+    ``width``/``height`` default to the 9x8 geometry of the 64-bit
+    dHash fixtures; the 256-bit path (:func:`dhash256_bands`) renders
+    the SAME formula at 17x16 — the pixel expression is
+    geometry-independent, so both oracles replay one closed form."""
     out = bytearray()
-    for y in range(8):
-        for x in range(9):
+    for y in range(height):
+        for x in range(width):
             g = (c * 7 + c * x * 19 + c * y * 41
                  + (c // 256) * x * 13 + (c // 65536) * y * 29
                  + (c // 16777216) * x * y * 31
@@ -915,4 +922,67 @@ def dhash_bands(media: DataFrame, media_col: str, id_col: str) -> DataFrame:
     media = media.filter(F.col(media_col).isNotNull())
     return media.mapInPandas(
         hash_batch, f"{id_col} long, band int, val int, h long"
+    )
+
+
+def dhash256_bands(media: DataFrame, media_col: str, id_col: str) -> DataFrame:
+    """256-bit difference-hash over 17x16 images, emitted as FOUR
+    64-bit bands — the 100 TB-scale successor that
+    :func:`dhash_bands`'s docstring names: the 64-bit hash's 2^16 band
+    space saturates around 10^6 images (~N²/2^18 false candidates per
+    band), while a 64-bit band space (2^64 values) pushes the same
+    pigeonhole plan's saturation past 10^9 images — band-collision
+    mass stays ~linear with corpus size (planted near-dups + content
+    classes + a negligible birthday term; measured side-by-side in
+    BASELINE.md's band-saturation table, scripts/phash_band_saturation.py).
+
+    Same decode path (real stdlib codecs), same bit rule
+    ``bit(x, y) = gray(x+1, y) > gray(x, y)`` over the 17x16 grayscale
+    (16x16 = 256 bits), same pigeonhole contract (Hamming <= 3 across
+    256 bits forces one of 4 bands to match exactly), same
+    verified-in-join shape: every band row carries ALL FOUR band words
+    (h0..h3, signed two's-complement longs), so a consumer evaluates
+    exact 256-bit Hamming — ``Σ bit_count(xor(h_i))`` — INSIDE the
+    band equi-join and false candidates die in the join filter, never
+    materializing.  Band layout: band = y DIV 4, bit position within
+    band = x + 16*(y MOD 4); position 63 is the sign bit.
+
+    Output: (id, band int, val long, h0..h3 long) — ``val`` equals the
+    matching band's word, duplicated out as the join key so the
+    consumer's equi-join needs no per-band CASE over h0..h3.
+    """
+    import pandas as pd
+
+    def hash_batch(it):
+        for pdf in it:
+            rows: dict[str, list] = {
+                id_col: [], "band": [], "val": [],
+                "h0": [], "h1": [], "h2": [], "h3": [],
+            }
+            for doc, raw in zip(pdf[id_col], pdf[media_col]):
+                fmt, w, h, rgb = decode_image(bytes(raw))
+                if w != 17 or h != 16:
+                    raise ValueError(
+                        f"dhash256_bands expects 17x16 images, got {w}x{h}"
+                    )
+                gray = rgb[0::3]
+                acc = [0, 0, 0, 0]
+                for y in range(16):
+                    for x in range(16):
+                        if gray[y * 17 + x + 1] > gray[y * 17 + x]:
+                            acc[y // 4] |= 1 << (x + 16 * (y % 4))
+                signed = [a - (1 << 64) if a >= 1 << 63 else a for a in acc]
+                for b in range(4):
+                    rows[id_col].append(doc)
+                    rows["band"].append(b)
+                    rows["val"].append(signed[b])
+                    for i in range(4):
+                        rows[f"h{i}"].append(signed[i])
+            yield pd.DataFrame(rows)
+
+    media = media.filter(F.col(media_col).isNotNull())
+    return media.mapInPandas(
+        hash_batch,
+        f"{id_col} long, band int, val long, "
+        "h0 long, h1 long, h2 long, h3 long",
     )

@@ -2284,6 +2284,147 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_phash256_neardup",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS v FROM documents
+        ),
+        base AS (
+            SELECT doc_id, v,
+                   CASE WHEN v = 2 THEN grp + 1000003 ELSE grp END AS c
+            FROM d
+        ),
+        px AS (
+            SELECT doc_id, x.x AS x, y.y AS y,
+              ((c*7 + c*x.x*19 + c*y.y*41
+                + (c // 256)*x.x*13 + (c // 65536)*y.y*29
+                + (c // 16777216)*x.x*y.y*31
+                + x.x*x.x*37 + y.y*y.y*59
+                + x.x*y.y*23) % 256
+               + CASE WHEN v = 1 AND x.x = 4 AND y.y = 3
+                      THEN 60 ELSE 0 END) % 256 AS g,
+              ((c*7 + c*(x.x+1)*19 + c*y.y*41
+                + (c // 256)*(x.x+1)*13 + (c // 65536)*y.y*29
+                + (c // 16777216)*(x.x+1)*y.y*31
+                + (x.x+1)*(x.x+1)*37
+                + y.y*y.y*59 + (x.x+1)*y.y*23) % 256
+               + CASE WHEN v = 1 AND x.x + 1 = 4 AND y.y = 3
+                      THEN 60 ELSE 0 END) % 256 AS gn
+            FROM base,
+                 (SELECT unnest(range(0, 16)) AS x) x,
+                 (SELECT unnest(range(0, 16)) AS y) y
+        ),
+        bits AS (
+            SELECT doc_id, y // 4 AS band, x + 16 * (y % 4) AS pos,
+                   CASE WHEN gn > g THEN 1 ELSE 0 END AS bit
+            FROM px
+        ),
+        vals AS (
+            -- 64-bit band word as a signed two's-complement BIGINT:
+            -- positions 0..62 sum in range, position 63 contributes
+            -- -2^63 (the arithmetic runs in HUGEINT, one final cast)
+            SELECT doc_id, band,
+                   CAST(SUM(CASE WHEN pos < 63
+                                 THEN CAST(bit AS BIGINT) << pos
+                                 ELSE 0 END)
+                        - CAST(MAX(CASE WHEN pos = 63 THEN bit
+                                        ELSE 0 END) AS HUGEINT)
+                          * 9223372036854775808
+                        AS BIGINT) AS val
+            FROM bits GROUP BY 1, 2
+        ),
+        hv AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN band = 0 THEN val END) AS h0,
+                   MAX(CASE WHEN band = 1 THEN val END) AS h1,
+                   MAX(CASE WHEN band = 2 THEN val END) AS h2,
+                   MAX(CASE WHEN band = 3 THEN val END) AS h3
+            FROM vals GROUP BY doc_id
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM vals a JOIN vals b
+              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count(xor(x.h0, y.h0))
+                        + bit_count(xor(x.h1, y.h1))
+                        + bit_count(xor(x.h2, y.h2))
+                        + bit_count(xor(x.h3, y.h3)) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN hv x ON x.doc_id = c.doc_a
+            JOIN hv y ON y.doc_id = c.doc_b
+        ) WHERE hamming <= 3
+    """,
+    survey_ids=("UD8", "UD6", "J9", "UD1"),
+)
+def multimodal_phash256_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """256-bit perceptual-hash near-dup — the 100 TB-scale band path
+    that ``multimodal_phash_neardup``'s 64-bit dHash names as its
+    successor (VERDICT r08 task 5): same render→real-codec
+    encode→decode→hash→pigeonhole-band→verified-in-join pipeline, but
+    at 17x16 geometry the hash is 256 bits in FOUR 64-bit bands, so
+    the band-value space is 2^64 per band instead of 2^16 — the
+    equi-join's collision mass stays ~linear in corpus size past the
+    ~10^6-image cliff where the 64-bit plan's buckets saturate
+    (measured side-by-side: scripts/phash_band_saturation.py, table in
+    BASELINE.md).
+
+    Identical contract otherwise: Hamming <= 3 across 256 bits forces
+    >= 1 exact band match (recall 100% by construction); every band
+    row carries all four hash words so exact Hamming
+    (``Σ bit_count(xor)``) evaluates INSIDE the band equi-join and
+    false candidates never materialize.  See
+    :func:`operators.multimodal.dhash256_bands`."""
+    import pandas as pd
+
+    docs = lake.load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(it):
+        encoders = (
+            multimodal.encode_png, multimodal.encode_bmp, multimodal.encode_ppm
+        )
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grp, v = d // 3, d % 3
+                c = grp + 1000003 if v == 2 else grp
+                payloads.append(
+                    encoders[v](
+                        17, 16, multimodal.render_phash_image(c, v, 17, 16)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, media binary")
+    bands = multimodal.dhash256_bands(media, "media", "doc_id")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.h0").bitwiseXOR(F.col("b.h0")))
+        + F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1")))
+        + F.bit_count(F.col("a.h2").bitwiseXOR(F.col("b.h2")))
+        + F.bit_count(F.col("a.h3").bitwiseXOR(F.col("b.h3")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (hamming <= 3),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+@register(
     "multimodal_audio_fingerprint_neardup",
     oracle="""
         WITH d AS (

@@ -850,6 +850,70 @@ def test_dhash_bands_rejects_wrong_geometry(spark):
         multimodal.dhash_bands(media, "media", "doc_id").collect()
 
 
+def test_phash256_neardup_finds_planted_pairs(spark):
+    """The 256-bit twin's pigeonhole contract: every planted pair
+    surfaces (the one-pixel bump flips <= 2 of 256 difference bits, so
+    >= 1 of the 4 bands still matches exactly), and at 256 bits the
+    hamming <= 3 filter is tight enough that NO accidental cross-group
+    pair survives on the smoke fixture (the 64-bit variant does admit
+    a birthday term there — that looseness is exactly why the wide
+    hash exists)."""
+    from end_end_data_pipeline__spark.plans import queries_llm
+
+    got = queries_llm.multimodal_phash256_neardup(spark, SF_SMOKE).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in got}
+
+    n_docs = lake.load_table(spark, "documents", SF_SMOKE).count()
+    planted = [(3 * k, 3 * k + 1) for k in range((n_docs - 1) // 3 + 1)
+               if 3 * k + 1 < n_docs]
+    for p in planted:
+        assert p in pairs, f"planted near-dup {p} missed"
+        assert pairs[p] <= 2
+    assert set(pairs) == set(planted), (
+        f"unexpected non-planted pairs: {set(pairs) - set(planted)}"
+    )
+
+
+def test_dhash256_bands_packing_and_geometry(spark):
+    """The 4x64-bit packer: band layout is band = y DIV 4, bit = x +
+    16*(y MOD 4); every band row carries all four words with ``val``
+    equal to its own band's word; sign bit (position 63 = pixel x=15,
+    y%4=3) round-trips through the signed long column.  Wrong geometry
+    refuses."""
+    import pandas as pd
+    from end_end_data_pipeline__spark.operators import multimodal
+
+    # image whose gradient sets ONLY the bit at (x=15, y=3): gray rises
+    # at x=15->16 in row 3, monotonically non-increasing elsewhere
+    rows = []
+    for y in range(16):
+        vals = [100] * 17
+        if y == 3:
+            vals[16] = 200  # gray(16,3) > gray(15,3) -> bit (15, 3)
+        rows.append(vals)
+    rgb = bytes(v for row in rows for v in row for _ in range(3))
+    raw = multimodal.encode_ppm(17, 16, rgb)
+    media = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "media": [raw]})
+    )
+    out = multimodal.dhash256_bands(media, "media", "doc_id").collect()
+    assert len(out) == 4
+    by_band = {r["band"]: r for r in out}
+    # bit (15, 3) -> band 0, position 15 + 16*3 = 63 -> sign bit
+    assert by_band[0]["val"] == -(1 << 63)
+    for b in range(1, 4):
+        assert by_band[b]["val"] == 0
+    for r in out:  # each row carries the full 256-bit hash
+        assert (r["h0"], r["h1"], r["h2"], r["h3"]) == (-(1 << 63), 0, 0, 0)
+        assert r["val"] == r[f"h{r['band']}"]
+
+    bad = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "media": [multimodal.encode_ppm(4, 4, bytes(48))]})
+    )
+    with pytest.raises(Exception, match="17x16"):
+        multimodal.dhash256_bands(bad, "media", "doc_id").collect()
+
+
 def test_hll_merge_and_both_estimate_branches(spark):
     """HLL registers must merge by per-register MAX (halves == whole),
     the small-range linear-counting branch must be accurate on the
