@@ -169,7 +169,15 @@ def run(sf_dir: str, master: str) -> dict:
     """Spark catalog query vs the accelerated oracle at ``sf_dir``."""
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.master(master).getOrCreate()
+    # session stays semantically vanilla (no engine conf that could
+    # mask an invariance bug) but the heap must fit the 100x inputs —
+    # the default 1g driver JVM OOMs on the sf1 shuffles
+    spark = (
+        SparkSession.builder.master(master)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .getOrCreate()
+    )
     from end_end_data_pipeline__spark.plans.catalog import load_all
     from tests.oracle import compare, duck_run
 
