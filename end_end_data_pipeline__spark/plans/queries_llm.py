@@ -2358,6 +2358,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE hamming <= 3
     """,
     survey_ids=("UD8", "UD6", "J9", "UD1"),
+    bench=True,
 )
 def multimodal_phash256_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """256-bit perceptual-hash near-dup — the 100 TB-scale band path
