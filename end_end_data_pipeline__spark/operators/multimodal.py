@@ -986,3 +986,80 @@ def dhash256_bands(media: DataFrame, media_col: str, id_col: str) -> DataFrame:
         f"{id_col} long, band int, val long, "
         "h0 long, h1 long, h2 long, h3 long",
     )
+
+
+def phash_fixture_media(
+    docs: DataFrame, id_col: str = "doc_id", width: int = 9, height: int = 8
+) -> DataFrame:
+    """Synthesize the deterministic perceptual-hash fixture payloads
+    for a doc-id frame — THE single definition of the fixture contract
+    (content class ``c = id DIV 3``, shifted +1000003 for variant 2;
+    variant ``v = id MOD 3``; encoder round-robin PNG/BMP/PPM by v;
+    variant 1 carries the planted one-pixel bump inside
+    :func:`render_phash_image`).  Shared by ``multimodal_phash_neardup``
+    (9x8), ``multimodal_phash256_neardup`` (17x16), and
+    ``scripts/phash_band_saturation.py`` so the three can never drift;
+    both catalog oracles replay this closed form pixel-for-pixel."""
+    import pandas as pd
+
+    def gen(it):
+        encoders = (encode_png, encode_bmp, encode_ppm)
+        for pdf in it:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                grp, v = d // 3, d % 3
+                c = grp + 1000003 if v == 2 else grp
+                payloads.append(
+                    encoders[v](
+                        width, height,
+                        render_phash_image(c, v, width, height),
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "media": payloads})
+
+    return docs.mapInPandas(gen, f"{id_col} long, media binary")
+
+
+def banded_hamming_pairs(
+    bands: DataFrame,
+    id_col: str,
+    hash_cols: tuple[str, ...],
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Verified-in-join pigeonhole near-dup pairs over a bands frame
+    (as produced by :func:`dhash_bands` — ``hash_cols=("h",)`` — or
+    :func:`dhash256_bands` — ``hash_cols=("h0","h1","h2","h3")``):
+    candidates come from the (band, val) equi-join, exact Hamming
+    (``Σ bit_count(xor)`` over the carried hash words) evaluates
+    INSIDE the join condition so false candidates die in the join
+    filter, and the post-filter DISTINCT touches only true near-dups.
+    Requires ``max_hamming < number of bands`` for total recall
+    (pigeonhole).  Output: (doc_a, doc_b, hamming), doc_a < doc_b."""
+    from functools import reduce
+
+    a, b = bands.alias("a"), bands.alias("b")
+    # reduce, not sum(): sum() seeds with integer 0 and would prepend a
+    # `0 +` node to the expression tree the plans are locked over
+    hamming = reduce(
+        lambda x, y: x + y,
+        [
+            F.bit_count(F.col(f"a.{h}").bitwiseXOR(F.col(f"b.{h}")))
+            for h in hash_cols
+        ],
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (hamming <= max_hamming),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -2240,60 +2240,32 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the codec work also runs ONCE instead of once per join side) —
     measured 2.2-3.0 s → 1.8-2.0 s at sf0.1 (the lighter 9x8 codec
     means the join/distinct dominates; the 256-bit twin gained 2.5x
-    from the same change)."""
-    import pandas as pd
+    from the same change).
 
+    verified-in-join (r08): each band row carries the FULL 64-bit
+    hash, so the exact Hamming check runs INSIDE the band equi-join
+    and false candidates die in the join filter.  The previous
+    candidate-first shape (DISTINCT pairs, then TWO joins back to
+    bands to sum per-band xors) materialized the candidate mass —
+    harmless at 60k docs (~1 row per (band, val) bucket) but
+    quadratic once the 2^16 band space saturates: at the 100x decade
+    (6M docs, ~92 rows/bucket) it spilled ~N²/2^18 candidate pairs
+    to disk until the box ran out.  A real pair collides on <= 4
+    bands with the same hamming, so DISTINCT after the filter
+    touches only true near-dups.  Fixture synthesis and the
+    verified join are the SHARED definitions
+    (:func:`operators.multimodal.phash_fixture_media` /
+    :func:`operators.multimodal.banded_hamming_pairs`) — one source
+    of truth for this query, its 256-bit twin, and the
+    band-saturation study."""
     docs = (
         lake.load_table(spark, "documents", sf_dir)
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-
-    def gen(it):
-        encoders = (
-            multimodal.encode_png, multimodal.encode_bmp, multimodal.encode_ppm
-        )
-        for pdf in it:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                grp, v = d // 3, d % 3
-                c = grp + 1000003 if v == 2 else grp
-                payloads.append(
-                    encoders[v](9, 8, multimodal.render_phash_image(c, v))
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
-
-    media = docs.mapInPandas(gen, "doc_id long, media binary")
+    media = multimodal.phash_fixture_media(docs, "doc_id", 9, 8)
     bands = multimodal.dhash_bands(media, "media", "doc_id")
-    # verified-in-join (r08): each band row carries the FULL 64-bit
-    # hash, so the exact Hamming check runs INSIDE the band equi-join
-    # and false candidates die in the join filter.  The previous
-    # candidate-first shape (DISTINCT pairs, then TWO joins back to
-    # bands to sum per-band xors) materialized the candidate mass —
-    # harmless at 60k docs (~1 row per (band, val) bucket) but
-    # quadratic once the 2^16 band space saturates: at the 100x decade
-    # (6M docs, ~92 rows/bucket) it spilled ~N²/2^18 candidate pairs
-    # to disk until the box ran out.  A real pair collides on <= 4
-    # bands with the same hamming, so DISTINCT after the filter
-    # touches only true near-dups.
-    a, b = bands.alias("a"), bands.alias("b")
-    hamming = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (hamming <= 3),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("long").alias("hamming"),
-        )
-        .distinct()
-    )
+    return multimodal.banded_hamming_pairs(bands, "doc_id", ("h",))
 
 
 @register(
@@ -2398,55 +2370,22 @@ def multimodal_phash256_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs single-threaded — measured 5.2 s → 2.0 s at sf0.1.
     The same holds on a real cluster whenever upstream produces fewer
     splits than cores; per-image CPU is the bottleneck, so CPU-count
-    parallelism is the right width for this stage."""
-    import pandas as pd
+    parallelism is the right width for this stage.
 
+    Fixture synthesis and the verified join are the SHARED definitions
+    (:func:`operators.multimodal.phash_fixture_media` /
+    :func:`operators.multimodal.banded_hamming_pairs`) — one source of
+    truth for this query, its 64-bit twin, and the band-saturation
+    study."""
     docs = (
         lake.load_table(spark, "documents", sf_dir)
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-
-    def gen(it):
-        encoders = (
-            multimodal.encode_png, multimodal.encode_bmp, multimodal.encode_ppm
-        )
-        for pdf in it:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                grp, v = d // 3, d % 3
-                c = grp + 1000003 if v == 2 else grp
-                payloads.append(
-                    encoders[v](
-                        17, 16, multimodal.render_phash_image(c, v, 17, 16)
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
-
-    media = docs.mapInPandas(gen, "doc_id long, media binary")
+    media = multimodal.phash_fixture_media(docs, "doc_id", 17, 16)
     bands = multimodal.dhash256_bands(media, "media", "doc_id")
-    a, b = bands.alias("a"), bands.alias("b")
-    hamming = (
-        F.bit_count(F.col("a.h0").bitwiseXOR(F.col("b.h0")))
-        + F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1")))
-        + F.bit_count(F.col("a.h2").bitwiseXOR(F.col("b.h2")))
-        + F.bit_count(F.col("a.h3").bitwiseXOR(F.col("b.h3")))
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (hamming <= 3),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("long").alias("hamming"),
-        )
-        .distinct()
+    return multimodal.banded_hamming_pairs(
+        bands, "doc_id", ("h0", "h1", "h2", "h3")
     )
 
 

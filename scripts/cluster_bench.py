@@ -26,17 +26,20 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-MASTER = sys.argv[1] if len(sys.argv) > 1 else "local-cluster[2,8,4096]"
-# sys.argv must not leak into bench.main()'s view (it reads env only)
-sys.argv = sys.argv[:1]
-
-
 def main() -> None:
+    # argv handling lives HERE, not at import time: importing this
+    # module must not mutate the host process's sys.argv, and stray
+    # extra arguments should error instead of silently vanishing
+    if len(sys.argv) > 2:
+        raise SystemExit(f"usage: {sys.argv[0]} [master]")
+    master = sys.argv[1] if len(sys.argv) > 1 else "local-cluster[2,8,4096]"
+    sys.argv = sys.argv[:1]
+
     from end_end_data_pipeline__spark.session import get_spark
 
     get_spark(
         "bench-cluster",
-        master=MASTER,
+        master=master,
         extra_conf={"spark.executorEnv.PYTHONPATH": REPO},
     )
     import bench

@@ -59,28 +59,13 @@ def derived_doc_ids(spark, copies: int):
 
 
 def media_for(docs, bits: int):
-    import pandas as pd
-
+    # the SHARED fixture definition — the same closed form the two
+    # catalog queries run and their oracles replay, so this study can
+    # never silently measure a different pipeline
     from end_end_data_pipeline__spark.operators import multimodal
 
     geom = (9, 8) if bits == 64 else (17, 16)
-
-    def gen(it):
-        encoders = (
-            multimodal.encode_png, multimodal.encode_bmp, multimodal.encode_ppm
-        )
-        for pdf in it:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                grp, v = d // 3, d % 3
-                c = grp + 1000003 if v == 2 else grp
-                payloads.append(
-                    encoders[v](*geom, multimodal.render_phash_image(c, v, *geom))
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
-
-    return docs.mapInPandas(gen, "doc_id long, media binary")
+    return multimodal.phash_fixture_media(docs, "doc_id", *geom)
 
 
 def bands_for(media, bits: int):
@@ -104,28 +89,11 @@ def candidate_mass(bands) -> int:
 
 
 def full_join_pairs(bands, bits: int):
-    from pyspark.sql import functions as F
+    # the SHARED verified-in-join definition the catalog queries run
+    from end_end_data_pipeline__spark.operators import multimodal
 
-    a, b = bands.alias("a"), bands.alias("b")
-    if bits == 64:
-        hamming = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
-    else:
-        hamming = sum(
-            F.bit_count(F.col(f"a.h{i}").bitwiseXOR(F.col(f"b.h{i}")))
-            for i in range(4)
-        )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (hamming <= 3),
-        )
-        .select("a.doc_id", "b.doc_id")
-        .distinct()
-        .count()
-    )
+    cols = ("h",) if bits == 64 else ("h0", "h1", "h2", "h3")
+    return multimodal.banded_hamming_pairs(bands, "doc_id", cols).count()
 
 
 def main() -> int:
@@ -163,9 +131,16 @@ def main() -> int:
                      f" join={e.get('sec_full_join')}s"
                      if "true_pairs" in e else ""),
                   flush=True)
-            bands.unpersist()
+            # localCheckpoint blocks are freed by the ContextCleaner
+            # when the plan is GC'd (DataFrame.unpersist() is a no-op
+            # for checkpoints) — drop the reference and nudge GC so a
+            # decade's blocks don't pile onto the next one
+            del bands
         report["decades"][str(copies)] = entry
-        docs.unpersist()
+        del docs
+        import gc
+
+        gc.collect()
     if args.out:
         with open(args.out, "w") as f:
             json.dump(report, f, indent=1)

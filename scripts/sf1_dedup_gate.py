@@ -196,9 +196,13 @@ def run(sf_dir: str, master: str) -> dict:
         t0s = time.time()
         probs = compare(sdf, duck)
         t_cmp = time.time() - t0s
+        # compare() returns early on a column mismatch, so the other
+        # facets were then never evaluated — report None, not True
+        schema_ok = not any("columns" in p for p in probs)
         out[name] = {
-            "rows_match": not any("row count" in p for p in probs),
-            "schema_match": not any("columns" in p for p in probs),
+            "rows_match": (None if not schema_ok
+                           else not any("row count" in p for p in probs)),
+            "schema_match": schema_ok,
             "hash_match": not probs,
             "err": probs[0] if probs else None,
             "rows_oracle": len(duck),
