@@ -29,6 +29,29 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("bench")
+
+    # Fixed-work context probe (VERDICT r09 task 6): a pinned synthetic
+    # job that touches NO engine code and NO files — 4B xxhash64 rows
+    # across 64 splits, pure whole-stage-codegen CPU.  Its wall-clock
+    # depends only on machine state (CPU contention, thermal/page-cache
+    # pressure), so round-over-round driver headline moves can be
+    # attributed: probe flat + headline up = code/plan regression;
+    # probe up proportionally = context elevation (the r07-r09 drift
+    # pattern).  Median of 3 after one untimed warm run; quiet-box
+    # reference ~0.6 s (measured at r10 calibration).
+    def _context_probe() -> float:
+        job = lambda: spark.range(0, 4_000_000_000, 1, 64).selectExpr(
+            "sum(bit_count(xxhash64(id))) as s"
+        ).collect()
+        job()  # codegen warm-up, untimed
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            job()
+            reps.append(time.perf_counter() - t0)
+        return round(sorted(reps)[1], 3)
+
+    context_probe_sec = _context_probe()
     queries = {n: q for n, q in load_all().items() if q.bench}
 
     # Fixed measurement order (the BENCH_r01 sequence) so per-query
@@ -103,6 +126,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "extras_total_sec": round(sum(timings[n] for n in extras), 3),
+        "context_probe_sec": context_probe_sec,
+        "context_probe_end_sec": _context_probe(),
         "sf": sf,
     }
     print(json.dumps(out))

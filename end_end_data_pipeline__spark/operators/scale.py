@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from end_end_data_pipeline__spark.session import session_parallelism
+
 
 def salted_join(
     big: DataFrame,
@@ -229,11 +231,7 @@ def grouped_global_rank(
             )
     spark = df.sparkSession
     if n_parts is None:
-        conf_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        try:
-            n_parts = int(conf_parts)
-        except ValueError:  # e.g. "auto" on AQE-managed deployments
-            n_parts = spark.sparkContext.defaultParallelism
+        n_parts = session_parallelism(spark)
     composite = [*group_cols, *order_cols]
     # materialized once: the count pass and the rank pass must see the
     # SAME partition ids, and the range shuffle is paid once
@@ -314,11 +312,7 @@ def _range_parted_with_offsets(
     """
     spark = df.sparkSession
     if n_parts is None:
-        conf_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        try:
-            n_parts = int(conf_parts)
-        except ValueError:
-            n_parts = spark.sparkContext.defaultParallelism
+        n_parts = session_parallelism(spark)
     parted = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("__pid", F.spark_partition_id())

@@ -81,13 +81,65 @@ def register(
 # r08 added multi-JVM sweeps (CLUSTER_r08*.json).  Names not listed
 # here sort after the listed ones in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # --- r09 window: the 50 STALEST driver rows after the r08
-    # refresh — the 43 remaining r04 rows (incl. the 3 that the r08
-    # sentinels displaced: corpus_chunk_documents,
-    # stream_custom_sessionize, multimodal_resize_batch) + the 7
-    # oldest r05 rows.  After this window every driver row is r05+
-    # (age ≤ 4 rounds).  Ties within a round keep their previous
-    # presentation order.
+    # --- r10 window: the 50 STALEST driver rows after the r09
+    # refresh — 1 never-verified sentinel (multimodal_phash256_neardup,
+    # the r09 catalog addition; ADVICE r09 asked for exactly this slot),
+    # the 43 remaining r05 rows, and the 6 oldest r06 rows.  After this
+    # window every driver row is r06+ (age <= 4 rounds).  Ties within a
+    # round keep their previous presentation order.
+    "multimodal_phash256_neardup",
+    "unpivot_priority_metrics",
+    "versioned_merge_time_travel",
+    "jdbc_roundtrip_live",
+    "approx_distinct_users_daily",
+    "gold_marts_build",
+    "multimodal_decode_image_stats",
+    "multimodal_audio_stats",
+    "corpus_decontaminate",
+    "stream_cdc_upsert_pipeline",
+    "versioned_stats_skipping",
+    "corpus_semantic_dedup",
+    "timeseries_gap_fill_daily",
+    "versioned_merge_into_upsert",
+    "sketch_rollup_distinct_users",
+    "stream_jdbc_upsert_live",
+    "corpus_sequence_packing",
+    "graph_pagerank_transfers",
+    "versioned_zorder_skipping",
+    "text_tfidf_top_terms",
+    "versioned_change_feed",
+    "versioned_incremental_mart",
+    "corpus_source_drift",
+    "multimodal_video_decode_stats",
+    "cohort_weekly_retention",
+    "funnel_view_click_purchase",
+    "rfm_customer_segments",
+    "profile_orders_columns",
+    "timeseries_zscore_anomalies",
+    "text_duplicate_spans",
+    "fuzzy_name_best_match",
+    "versioned_dml_delete_update_restore",
+    "embedding_kmeans_clusters",
+    "format_roundtrip_multi",
+    "graph_triangle_count",
+    "text_bm25_search",
+    "spatial_radius_neighbors",
+    "asof_forward_click_after_purchase",
+    "hierarchy_flatten_paths",
+    "stream_stream_left_outer",
+    "behavior_event_transitions",
+    "text_bpe_learn_merges",
+    "pyds_generator_source",
+    "pyds_stream_source_replay",
+    "pyds_writer_sink_roundtrip",
+    "lateral_top2_orders_per_customer",
+    "udtf_props_fanout",
+    "scd2_point_in_time_join",
+    "approx_percentile_error_bound",
+    "federated_jdbc_parquet_join",
+    # --- window boundary (50) ---
+    # --- fresher rows (r06-r09), previous presentation order; all
+    # re-swept every round by scripts/driver_gate.py --all ---
     "corpus_chunk_documents",
     "stream_custom_sessionize",
     "multimodal_resize_batch",
@@ -138,9 +190,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_repetition_stats",
     "corpus_train_val_split",
     "embedding_quantize_int8",
-    # --- window boundary (50) ---
-    # --- fresher rows (r05-r08), previous presentation order; all
-    # re-swept every round by scripts/driver_gate.py --all ---
     "functions_string_battery",
     "functions_datetime_battery",
     "cdc_roundtrip_latest_state",
@@ -239,12 +288,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_batch",
     "heavy_hitters_brand_lineitems",
     "tpch_q18_large_volume_customers",
-    "pyds_writer_sink_roundtrip",
-    "lateral_top2_orders_per_customer",
-    "udtf_props_fanout",
-    "scd2_point_in_time_join",
-    "approx_percentile_error_bound",
-    "federated_jdbc_parquet_join",
     "embedding_mmr_rerank",
     "governance_masked_customers",
     "integrity_table_checksums",
@@ -284,49 +327,6 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_source_lang_chisq",
     "ab_conversion_ztest",
     "maintenance_truncate_reset",
-    "unpivot_priority_metrics",
-    "versioned_merge_time_travel",
-    "jdbc_roundtrip_live",
-    "approx_distinct_users_daily",
-    "gold_marts_build",
-    "multimodal_decode_image_stats",
-    "multimodal_audio_stats",
-    "corpus_decontaminate",
-    "stream_cdc_upsert_pipeline",
-    "versioned_stats_skipping",
-    "corpus_semantic_dedup",
-    "timeseries_gap_fill_daily",
-    "versioned_merge_into_upsert",
-    "sketch_rollup_distinct_users",
-    "stream_jdbc_upsert_live",
-    "corpus_sequence_packing",
-    "graph_pagerank_transfers",
-    "versioned_zorder_skipping",
-    "text_tfidf_top_terms",
-    "versioned_change_feed",
-    "versioned_incremental_mart",
-    "corpus_source_drift",
-    "multimodal_video_decode_stats",
-    "cohort_weekly_retention",
-    "funnel_view_click_purchase",
-    "rfm_customer_segments",
-    "profile_orders_columns",
-    "timeseries_zscore_anomalies",
-    "text_duplicate_spans",
-    "fuzzy_name_best_match",
-    "versioned_dml_delete_update_restore",
-    "embedding_kmeans_clusters",
-    "format_roundtrip_multi",
-    "graph_triangle_count",
-    "text_bm25_search",
-    "spatial_radius_neighbors",
-    "asof_forward_click_after_purchase",
-    "hierarchy_flatten_paths",
-    "stream_stream_left_outer",
-    "behavior_event_transitions",
-    "text_bpe_learn_merges",
-    "pyds_generator_source",
-    "pyds_stream_source_replay",
 )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from end_end_data_pipeline__spark.operators import dedup, multimodal, similarity, text
 from end_end_data_pipeline__spark.plans.catalog import register
 from end_end_data_pipeline__spark.plans.sqlgen import davg
+from end_end_data_pipeline__spark.session import session_parallelism
 from end_end_data_pipeline__spark.sources import lake
 
 # ---------------------------------------------------------------------------
@@ -2261,7 +2262,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         lake.load_table(spark, "documents", sf_dir)
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(session_parallelism(spark), "doc_id")
     )
     media = multimodal.phash_fixture_media(docs, "doc_id", 9, 8)
     bands = multimodal.dhash_bands(media, "media", "doc_id")
@@ -2380,7 +2381,7 @@ def multimodal_phash256_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         lake.load_table(spark, "documents", sf_dir)
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(session_parallelism(spark), "doc_id")
     )
     media = multimodal.phash_fixture_media(docs, "doc_id", 17, 16)
     bands = multimodal.dhash256_bands(media, "media", "doc_id")

@@ -53,6 +53,23 @@ def bounded_stream_shuffle(spark: SparkSession, n: int = 32):
         spark.conf.set(key, old)
 
 
+def session_parallelism(spark: SparkSession) -> int:
+    """Partition width for explicit ``repartition()`` calls that exist
+    to parallelize a Python stage (e.g. the phash codec over the
+    one-split documents fixture).
+
+    Reads ``spark.sql.shuffle.partitions`` — an explicitly pinned,
+    host-portable conf — rather than ``defaultParallelism``, which
+    embeds the machine's core count into the physical plan (ADVICE
+    r09: identical code should plan identically across hosts).  Falls
+    back to ``defaultParallelism`` only when the conf is non-numeric
+    (e.g. "auto" on AQE-managed deployments)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 def get_spark(
     app_name: str = "end_end_data_pipeline__spark",
     master: str | None = None,

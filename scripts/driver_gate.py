@@ -48,6 +48,10 @@ def main() -> int:
                     help="check the whole catalog (overrides --start/--stop)")
     ap.add_argument("--names", nargs="*", default=None,
                     help="check only these query names")
+    ap.add_argument("--exclude", nargs="*", default=None,
+                    help="skip these query names (e.g. the two "
+                         "super-heavy-oracle dedup entries at sf1, which "
+                         "run via scripts/sf1_dedup_gate.py instead)")
     ap.add_argument("--out", default=None,
                     help="write a CORRECTNESS-style JSON report here")
     ap.add_argument("--master", default="local[8]",
@@ -98,6 +102,12 @@ def main() -> int:
         picked = names
     else:
         picked = names[args.start:args.stop]
+    if args.exclude:
+        unknown = set(args.exclude) - set(names)
+        if unknown:
+            print(f"unknown exclude names: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        picked = [n for n in picked if n not in set(args.exclude)]
 
     # Multi-JVM masters (local-cluster / standalone / yarn) cannot run
     # the embedded-Derby live-JDBC fixtures: Spark ships derby.jar only

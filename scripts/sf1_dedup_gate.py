@@ -125,14 +125,19 @@ def _preconditions(sf_dir: str) -> dict:
 
     bad_len = int(duck_run(FUZZY_LEN_CHECK, sf_dir)["bad"][0])
     max_df = int(duck_run(_ngram_maxdf_sql(), sf_dir)["max_df"][0])
-    assert bad_len == 0, (
-        f"fuzzy pigeonhole cover needs every c_name exactly 18 chars; "
-        f"{bad_len} rows violate that in {sf_dir}"
-    )
-    assert max_df <= 128, (
-        f"engine df cap (128) would drop candidates: max shingle df "
-        f"{max_df} in {sf_dir}"
-    )
+    # hard RuntimeErrors, not asserts: these guards carry the whole
+    # evidence chain (pigeonhole cover / inert df cap) and must survive
+    # `python -O` (ADVICE r09)
+    if bad_len != 0:
+        raise RuntimeError(
+            f"fuzzy pigeonhole cover needs every c_name exactly 18 chars; "
+            f"{bad_len} rows violate that in {sf_dir}"
+        )
+    if max_df > 128:
+        raise RuntimeError(
+            f"engine df cap (128) would drop candidates: max shingle df "
+            f"{max_df} in {sf_dir}"
+        )
     return {"c_name_len_violations": bad_len, "max_shingle_df": max_df}
 
 
@@ -179,7 +184,7 @@ def run(sf_dir: str, master: str) -> dict:
         .getOrCreate()
     )
     from end_end_data_pipeline__spark.plans.catalog import load_all
-    from tests.oracle import compare, duck_run
+    from tests.oracle import _canon, duck_run
 
     cat = load_all()
     out: dict = {"mode": "run", "sf_dir": sf_dir, "master": master,
@@ -193,24 +198,37 @@ def run(sf_dir: str, master: str) -> dict:
         t0s = time.time()
         duck = duck_run(fast, sf_dir)
         t_duck = time.time() - t0s
+        # facets computed structurally from the two frames (same
+        # _canon canonicalization compare() uses) instead of substring-
+        # matching compare()'s human-readable messages, which a future
+        # rewording would silently break (ADVICE r09)
         t0s = time.time()
-        probs = compare(sdf, duck)
+        sp = sdf.toPandas()
+        schema_ok = sorted(sp.columns) == sorted(duck.columns)
+        rows_ok = None if not schema_ok else len(sp) == len(duck)
+        hash_ok = bool(schema_ok and rows_ok
+                       and _canon(sp) == _canon(duck))
         t_cmp = time.time() - t0s
-        # compare() returns early on a column mismatch, so the other
-        # facets were then never evaluated — report None, not True
-        schema_ok = not any("columns" in p for p in probs)
+        if not schema_ok:
+            err = (f"columns: spark={sorted(sp.columns)} "
+                   f"duck={sorted(duck.columns)}")
+        elif not rows_ok:
+            err = f"row count: spark={len(sp)} duck={len(duck)}"
+        elif not hash_ok:
+            err = "values differ"
+        else:
+            err = None
         out[name] = {
-            "rows_match": (None if not schema_ok
-                           else not any("row count" in p for p in probs)),
+            "rows_match": rows_ok,
             "schema_match": schema_ok,
-            "hash_match": not probs,
-            "err": probs[0] if probs else None,
+            "hash_match": hash_ok,
+            "err": err,
             "rows_oracle": len(duck),
             "sec_total": round(time.time() - t0, 2),
             "sec_oracle": round(t_duck, 2),
             "sec_compare": round(t_cmp, 2),
         }
-        print(f"{name}: {'MATCH' if not probs else probs[:1]} "
+        print(f"{name}: {'MATCH' if hash_ok else err} "
               f"({len(duck)} rows, {out[name]['sec_total']}s)", flush=True)
     return out
 
