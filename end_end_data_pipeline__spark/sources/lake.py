@@ -113,12 +113,22 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return df
 
 
-def stream_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    *,
+    reader_options: dict[str, str] | None = None,
+) -> DataFrame:
     """File-source streaming replay of the events table, with the same
     footer-probed TIMESTAMP(NANOS)/(MICROS) handling as
     :func:`load_table` — every streaming query must come through here
     rather than ``readStream.parquet`` directly, or a fixture
-    regeneration that changes the stored unit corrupts event times."""
+    regeneration that changes the stored unit corrupts event times.
+
+    ``reader_options`` pass through to the streaming READER (rate
+    limits like ``maxFilesPerTrigger`` live there, not on the writer —
+    used by scripts/streaming_state_scale.py to force real multi-batch
+    runs)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     ns = _nanos_ts_cols(path, ("ts",))
@@ -132,12 +142,17 @@ def stream_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFram
     # streaming queries returned 0 rows at the sf1-derived gate.
     if os.path.isdir(path):
         def reader(schema: str):
-            return spark.readStream.schema(schema).parquet(path)
+            return (
+                spark.readStream.schema(schema)
+                .options(**(reader_options or {}))
+                .parquet(path)
+            )
     else:
         def reader(schema: str):
             return (
                 spark.readStream.schema(schema)
                 .option("pathGlobFilter", "events.parquet")
+                .options(**(reader_options or {}))
                 .parquet(sf_dir)
             )
     if ns:
