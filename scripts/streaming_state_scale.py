@@ -42,6 +42,10 @@ Usage:
     python scripts/streaming_state_scale.py [--tiers 10 100]
         [--shuffle-partitions 32] [--out STREAM_STATE.json]
 
+    --tiers 1000 adds the third decade (100M events / 100M dedup state
+    keys): dedup-only, RocksDB-only (the HDFS store projects ~31 GB of
+    executor heap there — measured 3.12 GB at 10M keys).
+
 Both tiers derive time-ordered events-only decades into
 /tmp/events-stream-{10,100}x (see ensure_tier; other tables symlink to
 /tmp/sf1-derived — run scripts/make_sf1_derived.py first — so the
@@ -140,7 +144,7 @@ def ensure_tier(copies: int) -> str:
                        "TIMESTAMP_MICROS")
         base = lake.load_table(spark, "events", "/root/testdata/sf0.1")
         idx = spark.range(copies).withColumnRenamed("id", "__copy")
-        n_files = 20 if copies <= 10 else 40
+        n_files = {10: 20, 100: 40}.get(copies, 80)
         (
             base.crossJoin(F.broadcast(idx))
             .select(
@@ -335,7 +339,7 @@ def main() -> int:
     report: dict = {"tiers": {}}
     ok = True
     for tier in args.tiers:
-        if tier not in (10, 100):
+        if tier not in (10, 100, 1000):
             raise SystemExit(f"unsupported tier {tier}")
         sf_dir = ensure_tier(tier)
         n_files = len([f for f in os.listdir(
@@ -343,11 +347,27 @@ def main() -> int:
         fpt = args.files_per_trigger or max(1, n_files // 5)
         tier_out: dict = {"sf_dir": sf_dir, "n_part_files": n_files,
                           "files_per_trigger": fpt, "queries": {}}
-        for qname in ("user_stats", "dedup", "sessionize"):
+        if tier >= 1000:
+            # third decade: 100M state keys.  Dedup-only (the Python
+            # state machines are row-bound, not store-bound — measured
+            # at the decades below) and RocksDB-only: the in-memory
+            # HDFS store measured 3.12 GB at 10M keys, so ~31 GB at
+            # 100M exceeds any sane executor heap — that projection IS
+            # the finding, recorded here instead of an OOM.
+            queries_for_tier = ("dedup",)
+            providers_for_tier = (ROCKS,)
+            tier_out["hdfs_skipped_reason"] = (
+                "projected ~31 GB heap state at 100M keys "
+                "(3.12 GB measured at 10M) — RocksDB is the only "
+                "viable provider at this decade")
+        else:
+            queries_for_tier = ("user_stats", "dedup", "sessionize")
+            providers_for_tier = (HDFS, ROCKS)
+        for qname in queries_for_tier:
             oracle_pdf = duck_run(ORACLES[qname], sf_dir)
             o_hash, o_rows = _canon_hash(oracle_pdf)
             row: dict = {"oracle_rows": o_rows}
-            for provider in (HDFS, ROCKS):
+            for provider in providers_for_tier:
                 r = run_one(spark, sf_dir, qname, provider, fpt)
                 pdf = r.pop("pdf")
                 h, _ = _canon_hash(pdf)
@@ -359,11 +379,12 @@ def main() -> int:
                       f"rows={r['rows']} state_rows={r['state_rows']} "
                       f"wall={r['wall_sec']}s batches={r['n_batches']}",
                       flush=True)
-            row["providers_agree"] = bool(
-                row["HDFSBackedStateStoreProvider"]["hash"]
-                == row["RocksDBStateStoreProvider"]["hash"]
-            )
-            ok &= row["providers_agree"]
+            if len(providers_for_tier) == 2:
+                row["providers_agree"] = bool(
+                    row["HDFSBackedStateStoreProvider"]["hash"]
+                    == row["RocksDBStateStoreProvider"]["hash"]
+                )
+                ok &= row["providers_agree"]
             tier_out["queries"][qname] = row
         # kill/resume replay on the millions-of-keys query, RocksDB
         r = run_one(spark, sf_dir, "dedup", ROCKS,
