@@ -87,7 +87,7 @@ def main() -> int:
     spark = builder.getOrCreate()
 
     import __spark_entry__ as entry
-    from tests.oracle import compare, duck_run
+    from tests.oracle import compare_structured, duck_run
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
@@ -138,12 +138,14 @@ def main() -> int:
         try:
             sdf = queries[name](spark, args.sf)
             if name in oracles:
-                problems = compare(sdf, duck_run(oracles[name], args.sf))
-                row["rows_match"] = not any(p.startswith("row count") for p in problems)
-                row["schema_match"] = not any(p.startswith("columns") for p in problems)
-                row["hash_match"] = not problems
-                if problems:
-                    row["err"] = problems[0][:300]
+                facets = compare_structured(
+                    sdf.toPandas(), duck_run(oracles[name], args.sf)
+                )
+                row["rows_match"] = facets["rows_match"]
+                row["schema_match"] = facets["schema_match"]
+                row["hash_match"] = facets["hash_match"]
+                if facets["err"]:
+                    row["err"] = facets["err"][:300]
                     n_fail += 1
             else:
                 pdf = sdf.toPandas()

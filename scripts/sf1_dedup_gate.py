@@ -184,7 +184,7 @@ def run(sf_dir: str, master: str) -> dict:
         .getOrCreate()
     )
     from end_end_data_pipeline__spark.plans.catalog import load_all
-    from tests.oracle import _canon, duck_run
+    from tests.oracle import compare_structured, duck_run
 
     cat = load_all()
     out: dict = {"mode": "run", "sf_dir": sf_dir, "master": master,
@@ -198,37 +198,24 @@ def run(sf_dir: str, master: str) -> dict:
         t0s = time.time()
         duck = duck_run(fast, sf_dir)
         t_duck = time.time() - t0s
-        # facets computed structurally from the two frames (same
-        # _canon canonicalization compare() uses) instead of substring-
-        # matching compare()'s human-readable messages, which a future
-        # rewording would silently break (ADVICE r09)
+        # structured facets from tests.oracle.compare_structured — ONE
+        # shared definition of the oracle match (ADVICE r09: no
+        # substring-matching of human-readable messages, and no second
+        # implementation that could drift from the driver gate's)
         t0s = time.time()
-        sp = sdf.toPandas()
-        schema_ok = sorted(sp.columns) == sorted(duck.columns)
-        rows_ok = None if not schema_ok else len(sp) == len(duck)
-        hash_ok = bool(schema_ok and rows_ok
-                       and _canon(sp) == _canon(duck))
+        facets = compare_structured(sdf.toPandas(), duck)
         t_cmp = time.time() - t0s
-        if not schema_ok:
-            err = (f"columns: spark={sorted(sp.columns)} "
-                   f"duck={sorted(duck.columns)}")
-        elif not rows_ok:
-            err = f"row count: spark={len(sp)} duck={len(duck)}"
-        elif not hash_ok:
-            err = "values differ"
-        else:
-            err = None
         out[name] = {
-            "rows_match": rows_ok,
-            "schema_match": schema_ok,
-            "hash_match": hash_ok,
-            "err": err,
+            "rows_match": facets["rows_match"],
+            "schema_match": facets["schema_match"],
+            "hash_match": facets["hash_match"],
+            "err": facets["err"],
             "rows_oracle": len(duck),
             "sec_total": round(time.time() - t0, 2),
             "sec_oracle": round(t_duck, 2),
             "sec_compare": round(t_cmp, 2),
         }
-        print(f"{name}: {'MATCH' if hash_ok else err} "
+        print(f"{name}: {'MATCH' if facets['hash_match'] else facets['err']} "
               f"({len(duck)} rows, {out[name]['sec_total']}s)", flush=True)
     return out
 

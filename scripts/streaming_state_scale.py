@@ -132,6 +132,12 @@ def ensure_tier(copies: int) -> str:
     still register all ten views."""
     out_dir = f"/tmp/events-stream-{copies}x"
     events = os.path.join(out_dir, "events.parquet")
+    if (os.path.isdir(events)
+            and not os.path.exists(os.path.join(events, "_SUCCESS"))):
+        # interrupted derivation: a partial part-file set would make
+        # stream and oracle agree on a TRUNCATED corpus — every facet
+        # green, every recorded capacity number silently wrong
+        shutil.rmtree(out_dir)
     if not os.path.isdir(events):
         from pyspark.sql import functions as F
 
@@ -277,8 +283,12 @@ def run_one(spark, sf_dir: str, qname: str, provider: str,
                 if kill_resume and attempt == 0:
                     # wait for >= 2 committed micro-batches, then kill
                     while True:
+                        # committed DATA batches only (> 0): a no-data
+                        # finalization batch must not count toward the
+                        # >=2-committed-batches precondition the
+                        # resume evidence claims
                         progress = [p for p in q.recentProgress
-                                    if p.get("numInputRows", 0) >= 0]
+                                    if p.get("numInputRows", 0) > 0]
                         if len(progress) >= 2 or not q.isActive:
                             break
                         time.sleep(0.5)

@@ -197,11 +197,7 @@ def main() -> int:
             m = minhash_mass(spark, docs, **cfg)
             m["candidates_per_doc"] = round(m["candidate_mass"] / n_docs, 3)
             if d <= args.join_cap:
-                m.update(full_join_wall(
-                    spark, docs,
-                    dict(num_hashes=cfg["num_hashes"], bands=cfg["bands"],
-                         hash_family=cfg["hash_family"]),
-                ))
+                m.update(full_join_wall(spark, docs, cfg))
             dec["minhash"][label] = m
             print(f"[{d}x] minhash {label}: mass={m['candidate_mass']} "
                   f"({m['candidates_per_doc']}/doc, max bucket "

@@ -74,18 +74,36 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
-def compare(spark_df, duck_df: pd.DataFrame) -> list[str]:
-    """Return list of mismatch descriptions (empty = match)."""
-    problems: list[str] = []
-    sp = spark_df.toPandas()
+def compare_structured(sp: pd.DataFrame, duck_df: pd.DataFrame) -> dict:
+    """Structured facets of the oracle match over two PANDAS frames —
+    the single definition of "matches" shared by :func:`compare` (the
+    driver-shaped message list) and structured consumers like
+    ``scripts/sf1_dedup_gate.py`` (ADVICE r09: no substring-matching of
+    human-readable messages, no drift between parallel
+    implementations).  ``rows_match``/``hash_match`` are None when an
+    earlier facet already failed (the driver's convention: a facet
+    that was never evaluated is not True)."""
+    out: dict = {"schema_match": None, "rows_match": None,
+                 "hash_match": None, "err": None}
     if sorted(sp.columns) != sorted(duck_df.columns):
-        problems.append(f"columns: spark={sorted(sp.columns)} duck={sorted(duck_df.columns)}")
-        return problems
-    if len(sp) != len(duck_df):
-        problems.append(f"row count: spark={len(sp)} duck={len(duck_df)}")
+        out["schema_match"] = False
+        out["err"] = (f"columns: spark={sorted(sp.columns)} "
+                      f"duck={sorted(duck_df.columns)}")
+        return out
+    out["schema_match"] = True
+    out["rows_match"] = len(sp) == len(duck_df)
+    if not out["rows_match"]:
+        out["err"] = f"row count: spark={len(sp)} duck={len(duck_df)}"
     a, b = _canon(sp), _canon(duck_df)
-    if a != b:
+    out["hash_match"] = bool(out["rows_match"] and a == b)
+    if out["rows_match"] and not out["hash_match"]:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
         extra = abs(len(a) - len(b))
-        problems.append(f"values differ; first diffs={diffs} len_delta={extra}")
-    return problems
+        out["err"] = f"values differ; first diffs={diffs} len_delta={extra}"
+    return out
+
+
+def compare(spark_df, duck_df: pd.DataFrame) -> list[str]:
+    """Return list of mismatch descriptions (empty = match)."""
+    facets = compare_structured(spark_df.toPandas(), duck_df)
+    return [facets["err"]] if facets["err"] else []
