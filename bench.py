@@ -51,7 +51,20 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         return round(sorted(reps)[1], 3)
 
-    context_probe_sec = _context_probe()
+    # Probe-FIRST admission (VERDICT r10 task 2): an elevated context
+    # must never again be the number of record.  Measure the probe
+    # BEFORE committing to the run; while it reads above the admission
+    # line (1.25x the 0.60 s quiet reference), wait out the documented
+    # post-load decay and re-probe.  The wait is bounded (~6 min) so an
+    # unattended driver run still completes on a busy box — in that
+    # case probe_attempts in the output records that admission failed
+    # and the reading must be interpreted per the round-10 table.
+    PROBE_ADMIT_SEC = 0.75
+    probe_attempts = [_context_probe()]
+    while probe_attempts[-1] > PROBE_ADMIT_SEC and len(probe_attempts) < 6:
+        time.sleep(75)
+        probe_attempts.append(_context_probe())
+    context_probe_sec = probe_attempts[-1]
     queries = {n: q for n, q in load_all().items() if q.bench}
 
     # Fixed measurement order (the BENCH_r01 sequence) so per-query
@@ -128,6 +141,8 @@ def main() -> None:
         "extras_total_sec": round(sum(timings[n] for n in extras), 3),
         "context_probe_sec": context_probe_sec,
         "context_probe_end_sec": _context_probe(),
+        "probe_attempts": probe_attempts,
+        "probe_admitted": context_probe_sec <= PROBE_ADMIT_SEC,
         "sf": sf,
     }
     print(json.dumps(out))

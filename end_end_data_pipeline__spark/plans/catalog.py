@@ -81,12 +81,65 @@ def register(
 # r08 added multi-JVM sweeps (CLUSTER_r08*.json).  Names not listed
 # here sort after the listed ones in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # --- r10 window: the 50 STALEST driver rows after the r09
-    # refresh — 1 never-verified sentinel (multimodal_phash256_neardup,
-    # the r09 catalog addition; ADVICE r09 asked for exactly this slot),
-    # the 43 remaining r05 rows, and the 6 oldest r06 rows.  After this
-    # window every driver row is r06+ (age <= 4 rounds).  Ties within a
-    # round keep their previous presentation order.
+    # --- r11 window: the 50 STALEST driver rows after the r10
+    # refresh — the 39 remaining r06-vintage rows plus the 11 oldest
+    # r07 rows (VERDICT r10 task 5; staleness ledger = per-query max
+    # round over CORRECTNESS_r01..r10).  After this window every driver
+    # row is r07+ (age <= 4 rounds).  Ties within a round keep their
+    # previous presentation order.
+    "embedding_mmr_rerank",
+    "governance_masked_customers",
+    "integrity_table_checksums",
+    "retention_dau_wau_stickiness",
+    "setop_except_all_multiset",
+    "join_null_safe_equality",
+    "multimodal_augment_images",
+    "currency_asof_conversion",
+    "fulfillment_latency_percentiles",
+    "quality_event_disorder_rate",
+    "fraud_benford_digit_audit",
+    "market_hhi_concentration",
+    "timeseries_seasonal_decompose",
+    "timeseries_cusum_changepoint",
+    "text_token_frequency_quality",
+    "assoc_rules_brand_confidence",
+    "robust_median_mad_by_priority",
+    "inequality_gini_by_nation",
+    "robust_trimmed_mean_order_value",
+    "robust_iqr_fence_outliers",
+    "corpus_weighted_sample_priority",
+    "integrity_sequence_gaps",
+    "fraud_duplicate_payments",
+    "fraud_round_number_bias",
+    "text_bpe_tokenize_stats",
+    "supplier_lead_time_stats",
+    "clv_by_segment",
+    "attribution_linear_credit",
+    "supplier_return_rate",
+    "stats_linear_trend_by_segment",
+    "market_basket_brand_pairs",
+    "graph_bfs_transfer_hops",
+    "timeseries_ewma_daily_volume",
+    "embedding_covariance_matrix",
+    "pareto_abc_revenue",
+    "embedding_dim_feature_stats",
+    "corpus_source_lang_chisq",
+    "ab_conversion_ztest",
+    "maintenance_truncate_reset",
+    "skyline_part_price_size",
+    "sketch_countmin_user_counts",
+    "embedding_pq_adc_topk",
+    "text_bigram_lm_quality",
+    "sketch_bloom_membership",
+    "sketch_hll_distinct_by_type",
+    "graph_cheapest_transfer_4hop",
+    "stats_bootstrap_ci_order_value",
+    "sketch_hll_rolling_distinct",
+    "stats_ks_two_sample",
+    "corpus_per_source_sample",
+    # --- window boundary (50) ---
+    # --- fresher rows (r07-r10), previous presentation order; all
+    # re-swept every round by scripts/driver_gate.py --all ---
     "multimodal_phash256_neardup",
     "unpivot_priority_metrics",
     "versioned_merge_time_travel",
@@ -137,9 +190,6 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_point_in_time_join",
     "approx_percentile_error_bound",
     "federated_jdbc_parquet_join",
-    # --- window boundary (50) ---
-    # --- fresher rows (r06-r09), previous presentation order; all
-    # re-swept every round by scripts/driver_gate.py --all ---
     "corpus_chunk_documents",
     "stream_custom_sessionize",
     "multimodal_resize_batch",
@@ -240,17 +290,6 @@ _PRIORITY: tuple[str, ...] = (
     "banking_generator_fanout",
     "multimodal_phash_neardup",
     "multimodal_audio_fingerprint_neardup",
-    "skyline_part_price_size",
-    "sketch_countmin_user_counts",
-    "embedding_pq_adc_topk",
-    "text_bigram_lm_quality",
-    "sketch_bloom_membership",
-    "sketch_hll_distinct_by_type",
-    "graph_cheapest_transfer_4hop",
-    "stats_bootstrap_ci_order_value",
-    "sketch_hll_rolling_distinct",
-    "stats_ks_two_sample",
-    "corpus_per_source_sample",
     "stream_hll_incremental",
     "fuzzy_deletion_pairs",
     "stats_mannwhitney_auc",
@@ -288,45 +327,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_batch",
     "heavy_hitters_brand_lineitems",
     "tpch_q18_large_volume_customers",
-    "embedding_mmr_rerank",
-    "governance_masked_customers",
-    "integrity_table_checksums",
-    "retention_dau_wau_stickiness",
-    "setop_except_all_multiset",
-    "join_null_safe_equality",
-    "multimodal_augment_images",
-    "currency_asof_conversion",
-    "fulfillment_latency_percentiles",
-    "quality_event_disorder_rate",
-    "fraud_benford_digit_audit",
-    "market_hhi_concentration",
-    "timeseries_seasonal_decompose",
-    "timeseries_cusum_changepoint",
-    "text_token_frequency_quality",
-    "assoc_rules_brand_confidence",
-    "robust_median_mad_by_priority",
-    "inequality_gini_by_nation",
-    "robust_trimmed_mean_order_value",
-    "robust_iqr_fence_outliers",
-    "corpus_weighted_sample_priority",
-    "integrity_sequence_gaps",
-    "fraud_duplicate_payments",
-    "fraud_round_number_bias",
-    "text_bpe_tokenize_stats",
-    "supplier_lead_time_stats",
-    "clv_by_segment",
-    "attribution_linear_credit",
-    "supplier_return_rate",
-    "stats_linear_trend_by_segment",
-    "market_basket_brand_pairs",
-    "graph_bfs_transfer_hops",
-    "timeseries_ewma_daily_volume",
-    "embedding_covariance_matrix",
-    "pareto_abc_revenue",
-    "embedding_dim_feature_stats",
-    "corpus_source_lang_chisq",
-    "ab_conversion_ztest",
-    "maintenance_truncate_reset",
 )
 
 

@@ -165,12 +165,17 @@ def ensure_tier(copies: int) -> str:
             .sortWithinPartitions("ts")
             .write.parquet(events)
         )
-        for t in ("region nation customer supplier part orders lineitem "
-                  "documents embeddings").split():
-            link = os.path.join(out_dir, f"{t}.parquet")
-            if not os.path.exists(link):
-                os.symlink(os.path.join(SF1, f"{t}.parquet"), link)
         print("derived", out_dir, flush=True)
+    # sibling-table symlinks OUTSIDE the derivation branch (ADVICE r10):
+    # a death between events._SUCCESS and the symlink loop would
+    # otherwise skip derivation forever while duck_run FileNotFoundErrors
+    # until the tier dir is hand-deleted; the exists() guard keeps this
+    # idempotent
+    for t in ("region nation customer supplier part orders lineitem "
+              "documents embeddings").split():
+        link = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SF1, f"{t}.parquet"), link)
     # pin mtimes in range order (part-file name order == range order)
     # on every run: the file source sorts its listing by mtime
     parts = sorted(f for f in os.listdir(events) if f.endswith(".parquet"))
@@ -298,7 +303,14 @@ def run_one(spark, sf_dir: str, qname: str, provider: str,
                         interrupted = True
                         # memory sink of the resumed run starts empty;
                         # only complete-mode output is restart-safe
-                        assert mode == "complete", "kill_resume needs complete"
+                        # (RuntimeError, not assert: survives python -O —
+                        # ADVICE r10, matching sf1_dedup_gate.py)
+                        if mode != "complete":
+                            raise RuntimeError(
+                                "kill_resume needs complete mode; a "
+                                f"{mode!r} resume would report a partial "
+                                "memory-sink result as a match"
+                            )
                         continue
                 q.awaitTermination()
                 for p in q.recentProgress:

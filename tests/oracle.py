@@ -92,14 +92,19 @@ def compare_structured(sp: pd.DataFrame, duck_df: pd.DataFrame) -> dict:
         return out
     out["schema_match"] = True
     out["rows_match"] = len(sp) == len(duck_df)
-    if not out["rows_match"]:
-        out["err"] = f"row count: spark={len(sp)} duck={len(duck_df)}"
     a, b = _canon(sp), _canon(duck_df)
     out["hash_match"] = bool(out["rows_match"] and a == b)
-    if out["rows_match"] and not out["hash_match"]:
-        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
-        extra = abs(len(a) - len(b))
-        out["err"] = f"values differ; first diffs={diffs} len_delta={extra}"
+    diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+    if not out["rows_match"]:
+        # keep the value-diff detail alongside the count mismatch
+        # (ADVICE r10: the structured rewrite had dropped it)
+        out["err"] = f"row count: spark={len(sp)} duck={len(duck_df)}"
+        if diffs:
+            out["err"] += (f"; first diffs={diffs} "
+                           f"len_delta={abs(len(a) - len(b))}")
+    elif not out["hash_match"]:
+        out["err"] = (f"values differ; first diffs={diffs} "
+                      f"len_delta={abs(len(a) - len(b))}")
     return out
 
 

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import functions as F
 
@@ -56,10 +57,11 @@ def test_phash_repartition_width_is_conf_driven(spark):
         assert "hashpartitioning(doc_id#" in plan.replace("\n", " ") or (
             "hashpartitioning" in plan
         )
-        # the explicit width appears in the optimized logical plan
+        # the explicit width appears ON the repartition node itself
+        # (ADVICE r10: a bare ", 5" substring could match an unrelated
+        # expression-id list elsewhere in the plan string)
         logical = df._jdf.queryExecution().optimizedPlan().toString()
-        assert "Repartition" in logical or "RepartitionByExpression" in logical
-        assert ", 5" in logical
+        assert re.search(r"RepartitionByExpression \[[^\]]*\], 5\b", logical), logical
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
