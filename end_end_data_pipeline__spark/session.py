@@ -101,6 +101,19 @@ def get_spark(
         # a 1000-executor cluster with AQE coalescing)
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # RocksDB state commits default to FULL-snapshot checkpointing:
+        # flush + SST copy + fsync of every store file per micro-batch
+        # commit.  Measured at the 100x sessionize tier
+        # (SESSIONIZE_PROFILE_r11.json): that fsync storm is the whole
+        # RocksDB anomaly — 150-165 s summed rocksdbCommitFileSyncLatency
+        # in stalled batches (intermittent, IO-contention-sensitive,
+        # 2-3x batch-time spikes) vs 5-13 s with changelog checkpointing,
+        # which appends the batch delta and snapshots in the background
+        # maintenance thread instead.  Output hash-identical; recovery
+        # replays changelog over the last snapshot.
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
     if master.startswith("local"):
