@@ -62,7 +62,16 @@ def main() -> None:
     PROBE_ADMIT_SEC = 0.75
     probe_attempts = [_context_probe()]
     while probe_attempts[-1] > PROBE_ADMIT_SEC and len(probe_attempts) < 6:
-        time.sleep(75)
+        # plateau early-exit: post-load elevation DECAYS between
+        # probes (the documented r10 pattern); three consecutive
+        # readings within 10% mean the box's ambient baseline is
+        # simply above the admission line today, and more waiting
+        # cannot improve it — proceed, self-labelled unadmitted.
+        if (len(probe_attempts) >= 3
+                and max(probe_attempts[-3:])
+                <= 1.10 * min(probe_attempts[-3:])):
+            break
+        time.sleep(60)
         probe_attempts.append(_context_probe())
     context_probe_sec = probe_attempts[-1]
     queries = {n: q for n, q in load_all().items() if q.bench}

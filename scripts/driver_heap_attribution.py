@@ -51,6 +51,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # children run by absolute script path
 SF1 = "/tmp/sf1-derived"
 
 # Heavy sf1-gate queries chosen to span the failure surfaces: a huge
