@@ -42,6 +42,18 @@ def test_session_parallelism_falls_back_on_non_numeric():
     assert session_parallelism(_Spark()) == 7
 
 
+def test_changelog_checkpointing_is_the_session_default(spark):
+    """`get_spark` must pin RocksDB changelog checkpointing ON: the
+    full-snapshot default costs intermittent 2-3x commit fsync storms
+    on every-key-rewrite state machines (SESSIONIZE_PROFILE_r11.json).
+    Asserted on the session conf so a builder refactor can't silently
+    drop it back to full snapshots."""
+    assert spark.conf.get(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    ) == "true"
+
+
 def test_phash_repartition_width_is_conf_driven(spark):
     """The phash queries' explicit repartition must follow the pinned
     SQL conf (portable across hosts), not the machine's core count
