@@ -34,7 +34,14 @@ the time-ordered 10x tier — 2 M input rows, 1 M dedup state keys,
                   rewritten every batch; the changelog-checkpointing
                   fix's primary beneficiary).
 
-Usage:  python scripts/stream_executor_loss.py [n_trials] [out.json]
+Usage:  python scripts/stream_executor_loss.py [n_trials] [out.json] [tier]
+
+``tier`` (default 10) selects the events decade: 10 → 2 M rows / 1 M
+dedup keys, 100 → 20 M rows / 10 M dedup keys (the capacity tier of
+STREAM_STATE_r10 — state reload after the kill then replays a 10 M-key
+store).  At tier 100 only the dedup subject runs: the sessionize
+memory sink holds ~9.4 M rows there (the harness cost measured in
+SESSIONIZE_PROFILE_r11) and adds nothing to the loss axis.
 
 Prints one JSON line:
 {"clean": {...}, "trials": [...], "corrupt": 0, "connected_kills": N,
@@ -60,6 +67,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 MASTER = "local-cluster[2,4,3072]"
 N_TRIALS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 OUT = sys.argv[2] if len(sys.argv) > 2 else None
+TIER = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 ROCKSDB = ("org.apache.spark.sql.execution.streaming."
            "state.RocksDBStateStoreProvider")
 FILES_PER_TRIGGER = 4
@@ -104,7 +112,7 @@ def main() -> int:
     import streaming_state_scale as sss
     from executor_loss_stress import executor_pids
 
-    sf_dir = sss.ensure_tier(10)
+    sf_dir = sss.ensure_tier(TIER)
     spark = (
         SparkSession.builder.master(MASTER)
         .config("spark.executorEnv.PYTHONPATH", REPO)
@@ -117,7 +125,7 @@ def main() -> int:
     )
     me = os.getpid()
     app_id = spark.sparkContext.applicationId
-    subjects = ["dedup", "sessionize"]
+    subjects = ["dedup"] if TIER >= 100 else ["dedup", "sessionize"]
 
     clean = {}
     for name in subjects:
