@@ -95,7 +95,11 @@ def run_phase(phase: str, query: str, heap: str, cores: int) -> int:
 
         q = load_all()[query]
         pdf = duck_run(q.oracle, SF1)
-        pdf.sort_values(list(pdf.columns))
+        # exists only to reproduce the gate's peak-memory profile (the
+        # sorted-copy allocation); the value itself is unused — the
+        # real comparison canonicalizes via tests.oracle._canon
+        # (ADVICE r11: assign so the intent is unambiguous)
+        _sorted = pdf.sort_values(list(pdf.columns))
         out["rows"] = len(pdf)
     else:
         from pyspark.sql import SparkSession
@@ -114,7 +118,8 @@ def run_phase(phase: str, query: str, heap: str, cores: int) -> int:
             df.write.format("noop").mode("overwrite").save()
         else:  # gate: the comparison path driver_gate.py actually runs
             pdf = df.toPandas()
-            pdf.sort_values(list(pdf.columns))
+            # peak-memory stand-in only, value unused (see oracle phase)
+            _sorted = pdf.sort_values(list(pdf.columns))
             out["rows"] = len(pdf)
         out.update(_jvm_heap_peaks(spark))
         spark.stop()

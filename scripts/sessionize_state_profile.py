@@ -63,15 +63,22 @@ import streaming_state_scale as sss  # noqa: E402  (sibling script)
 HDFS = sss.HDFS
 ROCKS = sss.ROCKS
 
+_CHANGELOG_KEY = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+
+# Since the r11 fix, ``session.get_spark`` pins changelog checkpointing
+# ON at the session level (session.py) — so the "default" control arms
+# must now pin it OFF explicitly or they silently measure the same
+# configuration as the changelog arm and the A/B that attributed the
+# fsync-storm anomaly can no longer reproduce its baseline (ADVICE r11).
 CONFIGS: list[tuple[str, str, dict[str, str]]] = [
     ("hdfs", HDFS, {}),
-    ("rocksdb_default", ROCKS, {}),
-    ("rocksdb_default_rep2", ROCKS, {}),
-    ("rocksdb_changelog", ROCKS, {
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
-            "true",
-    }),
+    ("rocksdb_default", ROCKS, {_CHANGELOG_KEY: "false"}),
+    ("rocksdb_default_rep2", ROCKS, {_CHANGELOG_KEY: "false"}),
+    ("rocksdb_changelog", ROCKS, {_CHANGELOG_KEY: "true"}),
     ("rocksdb_bounded", ROCKS, {
+        _CHANGELOG_KEY: "false",
         "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
         "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB": "2000",
     }),
@@ -92,6 +99,18 @@ def profile_one(spark, sf_dir: str, files_per_trigger: int,
     stream_df, mode, finalize = builder()
     ckpt = tempfile.mkdtemp(prefix="sess_profile_")
     sink = f"sess_profile_{abs(hash((provider, tuple(sorted(extra_conf))))) % 10**8}"
+    # Save the pre-arm value of every conf this arm touches so the
+    # finally block can RESTORE (not just unset) it — unconditional
+    # unset would strip session-pinned defaults (e.g. the changelog
+    # conf get_spark sets) and make later arms depend on CONFIGS
+    # ordering (ADVICE r11).
+    touched = ["spark.sql.streaming.stateStore.providerClass", *extra_conf]
+    prior: dict[str, str | None] = {}
+    for k in touched:
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     for k, v in extra_conf.items():
         spark.conf.set(k, v)
@@ -148,9 +167,11 @@ def profile_one(spark, sf_dir: str, files_per_trigger: int,
         except Exception:
             pass
         shutil.rmtree(ckpt, ignore_errors=True)
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        for k in extra_conf:
-            spark.conf.unset(k)
+        for k in touched:
+            if prior[k] is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prior[k])
     return res
 
 

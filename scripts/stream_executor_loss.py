@@ -73,9 +73,14 @@ ROCKSDB = ("org.apache.spark.sql.execution.streaming."
 FILES_PER_TRIGGER = 4
 
 
-def run_stream(spark, sf_dir: str, qname: str, sink: str) -> tuple[str, int]:
+def run_stream(spark, sf_dir: str, qname: str, sink: str,
+               marks: dict | None = None) -> tuple[str, int]:
     """One availableNow run of ``qname`` into a fresh memory sink and
-    checkpoint; returns (canonical hash, rows) of the finalized sink."""
+    checkpoint; returns (canonical hash, rows) of the finalized sink.
+
+    ``marks`` (if given) receives ``stream_end``: the wall-clock instant
+    the stream finished — a kill that fires AFTER this cannot have been
+    mid-micro-batch and must not count as connected (ADVICE r11)."""
     import streaming_state_scale as sss
 
     from end_end_data_pipeline__spark.session import bounded_stream_shuffle
@@ -96,6 +101,8 @@ def run_stream(spark, sf_dir: str, qname: str, sink: str) -> tuple[str, int]:
                 .start()
             )
             q.awaitTermination()
+        if marks is not None:
+            marks["stream_end"] = time.time()
         pdf = finalize(spark.table(sink)).toPandas()
         return sss._canon_hash(pdf)
     finally:
@@ -150,15 +157,18 @@ def main() -> int:
                 try:
                     os.kill(victim, signal.SIGKILL)
                     killed["pid"] = victim
+                    killed["time"] = time.time()
                 except ProcessLookupError:
                     killed["pid"] = None
 
         th = threading.Thread(target=killer)
         th.start()
         outcome: dict = {"subject": name, "kill_delay_s": round(delay, 1)}
+        marks: dict = {}
         t0 = time.time()
         try:
-            h, rows = run_stream(spark, sf_dir, name, f"trial_{t}_{name}")
+            h, rows = run_stream(spark, sf_dir, name, f"trial_{t}_{name}",
+                                 marks=marks)
             if h == clean[name]:
                 outcome["outcome"] = "identical"
             else:
@@ -170,7 +180,20 @@ def main() -> int:
             outcome["err"] = f"{type(exc).__name__}: {exc}"[:200]
         th.join()
         outcome["killed_pid"] = killed.get("pid")
-        if killed.get("pid"):
+        # A kill is CONNECTED only if it landed while the stream was
+        # still running (kill time < stream end).  A missing stream_end
+        # means the stream never finished cleanly — the kill was
+        # necessarily in-flight.  Without this check a kill that fires
+        # after the stream already completed would still count and the
+        # anti-vacuous-pass gate could be satisfied vacuously
+        # (ADVICE r11).
+        in_flight = bool(
+            killed.get("pid")
+            and ("stream_end" not in marks
+                 or killed["time"] < marks["stream_end"])
+        )
+        outcome["kill_in_flight"] = in_flight
+        if in_flight:
             connected += 1
         outcome["sec"] = round(time.time() - t0, 2)
         trials.append(outcome)
@@ -180,7 +203,7 @@ def main() -> int:
 
     recovered = sum(
         1 for x in trials
-        if x["outcome"] == "identical" and x["killed_pid"]
+        if x["outcome"] == "identical" and x["kill_in_flight"]
     )
     ok = corrupt == 0 and connected > 0 and recovered > 0
     result = {
