@@ -54,12 +54,60 @@ def main() -> None:
     # Probe-FIRST admission (VERDICT r10 task 2): an elevated context
     # must never again be the number of record.  Measure the probe
     # BEFORE committing to the run; while it reads above the admission
-    # line (1.25x the 0.60 s quiet reference), wait out the documented
-    # post-load decay and re-probe.  The wait is bounded (~6 min) so an
-    # unattended driver run still completes on a busy box — in that
-    # case probe_attempts in the output records that admission failed
-    # and the reading must be interpreted per the round-10 table.
-    PROBE_ADMIT_SEC = 0.75
+    # line, wait out the documented post-load decay and re-probe.  The
+    # wait is bounded (~6 min) so an unattended driver run still
+    # completes on a busy box — in that case probe_attempts in the
+    # output records that admission failed and the reading must be
+    # interpreted per the round-10 table.
+    #
+    # ADAPTIVE admission line (VERDICT r11 task 1): the original
+    # constant (1.25x a 0.60 s quiet reference measured at r10
+    # calibration) went vacuous when the box's ambient probe floor
+    # shifted to 0.75-1.34 s for all of r11 — a gate that can never
+    # admit discriminates nothing.  The line now tracks the box: 1.25x
+    # the rolling minimum of committed probe_attempts over the most
+    # recent bench artifacts (the box's demonstrated recent ambient
+    # floor), floored at the calibration constant so a genuinely quiet
+    # era restores the original line.  The reference used is reported
+    # in the output so every reading stays self-describing.
+    PROBE_ADMIT_FLOOR = 0.75  # 1.25 x the 0.60 s r10 quiet calibration
+
+    def _admit_line() -> tuple[float, float | None]:
+        """(admit_line_sec, rolling_min_or_None) from the 3 most recent
+        committed BENCH_r*.json probe_attempts histories."""
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        hist: list[tuple[int, list[float]]] = []
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m_ = re.search(r"BENCH_r(\d+)\.json$", f)
+            if not m_:
+                continue
+            try:
+                with open(f) as fh:
+                    d = json.load(fh)
+            except Exception:
+                continue
+            # the driver wraps bench stdout: the JSON line lives inside
+            # a "tail" text field — unwrap it if present
+            if "probe_attempts" not in d and isinstance(d.get("tail"), str):
+                i = d["tail"].rfind('{"metric"')
+                if i >= 0:
+                    try:
+                        d = json.loads(d["tail"][i:])
+                    except Exception:
+                        continue
+            vals = [v for v in d.get("probe_attempts", [])
+                    if isinstance(v, (int, float))]
+            if vals:
+                hist.append((int(m_.group(1)), vals))
+        recent = sorted(hist, key=lambda t: -t[0])[:3]
+        if not recent:
+            return PROBE_ADMIT_FLOOR, None
+        rolling_min = min(v for _, vals in recent for v in vals)
+        return max(PROBE_ADMIT_FLOOR, round(1.25 * rolling_min, 3)), rolling_min
+
+    PROBE_ADMIT_SEC, probe_rolling_min = _admit_line()
     probe_attempts = [_context_probe()]
     while probe_attempts[-1] > PROBE_ADMIT_SEC and len(probe_attempts) < 6:
         # plateau early-exit: post-load elevation DECAYS between
@@ -151,6 +199,8 @@ def main() -> None:
         "context_probe_sec": context_probe_sec,
         "context_probe_end_sec": _context_probe(),
         "probe_attempts": probe_attempts,
+        "probe_admit_line_sec": PROBE_ADMIT_SEC,
+        "probe_rolling_min_sec": probe_rolling_min,
         "probe_admitted": context_probe_sec <= PROBE_ADMIT_SEC,
         "sf": sf,
     }

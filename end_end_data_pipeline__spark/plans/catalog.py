@@ -81,12 +81,66 @@ def register(
 # r08 added multi-JVM sweeps (CLUSTER_r08*.json).  Names not listed
 # here sort after the listed ones in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # --- r11 window: the 50 STALEST driver rows after the r10
-    # refresh — the 39 remaining r06-vintage rows plus the 11 oldest
-    # r07 rows (VERDICT r10 task 5; staleness ledger = per-query max
-    # round over CORRECTNESS_r01..r10).  After this window every driver
-    # row is r07+ (age <= 4 rounds).  Ties within a round keep their
-    # previous presentation order.
+    # --- r12 window: the 50 STALEST driver rows after the r11
+    # refresh — the 37 remaining r07-vintage rows plus the 13 oldest
+    # r08 rows (VERDICT r11 task 3; staleness ledger = per-query max
+    # green round over CORRECTNESS_r01..r11; zero overlap with the r11
+    # window).  After this window every driver row is r08+ (age <= 4
+    # rounds).  Ties within a round keep their previous presentation
+    # order.
+    "stream_hll_incremental",
+    "fuzzy_deletion_pairs",
+    "stats_mannwhitney_auc",
+    "ml_decile_lift",
+    "interval_peak_concurrency",
+    "forecast_seasonal_naive_error",
+    "timeseries_acf_lags",
+    "text_pmi_collocations",
+    "search_reciprocal_rank_fusion",
+    "sketch_kmv_jaccard",
+    "control_chart_xmr_signals",
+    "embedding_centroid_classifier_eval",
+    "streaks_longest_active_run",
+    "timeseries_rolling_median_7d",
+    "features_hashing_trick",
+    "features_target_encoding_loo",
+    "corpus_groupwise_split",
+    "interval_overlap_concurrent_shipments",
+    "interval_union_coverage_days",
+    "ml_conformal_threshold",
+    "robust_weighted_median_value",
+    "growth_mom_yoy_revenue",
+    "corpus_vocab_growth_curve",
+    "privacy_k_anonymity_audit",
+    "graph_link_prediction_jaccard",
+    "text_rake_keyphrases",
+    "cohort_ltv_curve",
+    "behavior_interarrival_burstiness",
+    "multimodal_video_shot_boundaries",
+    "flagship_monthly_segment_volume",
+    "histogram_equidepth_order_value",
+    "agg_pricing_summary",
+    "dedup_minhash_lsh_pairs",
+    "dedup_canonical_corpus",
+    "dedup_incremental_batch",
+    "heavy_hitters_brand_lineitems",
+    "tpch_q18_large_volume_customers",
+    "functions_string_battery",
+    "functions_datetime_battery",
+    "cdc_roundtrip_latest_state",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    # --- window boundary (50) ---
+    # --- fresher rows (r08-r11), previous presentation order; all
+    # re-swept every round by scripts/driver_gate.py --all ---
     "embedding_mmr_rerank",
     "governance_masked_customers",
     "integrity_table_checksums",
@@ -137,9 +191,6 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_hll_rolling_distinct",
     "stats_ks_two_sample",
     "corpus_per_source_sample",
-    # --- window boundary (50) ---
-    # --- fresher rows (r07-r10), previous presentation order; all
-    # re-swept every round by scripts/driver_gate.py --all ---
     "multimodal_phash256_neardup",
     "unpivot_priority_metrics",
     "versioned_merge_time_travel",
@@ -240,19 +291,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_repetition_stats",
     "corpus_train_val_split",
     "embedding_quantize_int8",
-    "functions_string_battery",
-    "functions_datetime_battery",
-    "cdc_roundtrip_latest_state",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
     "tpch_q8_national_market_share",
     "tpch_q15_top_supplier",
     "tpch_q21_waiting_supplier",
@@ -290,43 +328,6 @@ _PRIORITY: tuple[str, ...] = (
     "banking_generator_fanout",
     "multimodal_phash_neardup",
     "multimodal_audio_fingerprint_neardup",
-    "stream_hll_incremental",
-    "fuzzy_deletion_pairs",
-    "stats_mannwhitney_auc",
-    "ml_decile_lift",
-    "interval_peak_concurrency",
-    "forecast_seasonal_naive_error",
-    "timeseries_acf_lags",
-    "text_pmi_collocations",
-    "search_reciprocal_rank_fusion",
-    "sketch_kmv_jaccard",
-    "control_chart_xmr_signals",
-    "embedding_centroid_classifier_eval",
-    "streaks_longest_active_run",
-    "timeseries_rolling_median_7d",
-    "features_hashing_trick",
-    "features_target_encoding_loo",
-    "corpus_groupwise_split",
-    "interval_overlap_concurrent_shipments",
-    "interval_union_coverage_days",
-    "ml_conformal_threshold",
-    "robust_weighted_median_value",
-    "growth_mom_yoy_revenue",
-    "corpus_vocab_growth_curve",
-    "privacy_k_anonymity_audit",
-    "graph_link_prediction_jaccard",
-    "text_rake_keyphrases",
-    "cohort_ltv_curve",
-    "behavior_interarrival_burstiness",
-    "multimodal_video_shot_boundaries",
-    "flagship_monthly_segment_volume",
-    "histogram_equidepth_order_value",
-    "agg_pricing_summary",
-    "dedup_minhash_lsh_pairs",
-    "dedup_canonical_corpus",
-    "dedup_incremental_batch",
-    "heavy_hitters_brand_lineitems",
-    "tpch_q18_large_volume_customers",
 )
 
 
