@@ -50,8 +50,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SF_DIR = "/root/testdata/sf0.1"
 MASTER = "local-cluster[2,4,3072]"
-N_TRIALS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-OUT = sys.argv[2] if len(sys.argv) > 2 else None
+# argv parsing only when run as a script: sibling harnesses
+# (stream_executor_loss, stream_soak) import executor_pids from this
+# module under their OWN argv conventions
+if __name__ == "__main__":
+    N_TRIALS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    OUT = sys.argv[2] if len(sys.argv) > 2 else None
 
 
 def executor_pids(driver_pid: int, app_id: str) -> list[int]:
