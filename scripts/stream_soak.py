@@ -256,6 +256,13 @@ def main() -> int:
     from tests.oracle import duck_run
 
     sf_dir = ensure_soak_fixture(args.tier, args.batches)
+    # fixture derivation may have created a local[32] session;
+    # getOrCreate would silently REUSE it (ignoring .master), the soak
+    # would run single-JVM with no executor processes, and both kills
+    # would no-op — stop it so the cluster session actually builds
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        existing.stop()
     spark = (
         SparkSession.builder.master(MASTER)
         .config("spark.executorEnv.PYTHONPATH", REPO)
@@ -271,6 +278,10 @@ def main() -> int:
                 str(args.batches * 2 + 20))
         .getOrCreate()
     )
+    if spark.sparkContext.master != MASTER:
+        raise RuntimeError(
+            f"soak needs {MASTER}, got {spark.sparkContext.master} — "
+            "a pre-existing session leaked into getOrCreate")
     me = os.getpid()
     app_id = spark.sparkContext.applicationId
 
