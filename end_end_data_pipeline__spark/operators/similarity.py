@@ -582,14 +582,19 @@ def kmeans_fixed_point_with_centroids(
             entries.append(
                 F.struct(dist.alias("d"), F.lit(int(cid)).cast("long").alias("cid"))
             )
+        # carry q through the assignment: the centroid update reads the
+        # member vectors, and projecting them here (same scan) saves the
+        # assigned⋈q self-join per Lloyd round the r11 plan paid — one
+        # Exchange and one re-read of the checkpoint per iteration
+        # (guide §2.4: remove shuffles outright).
         return q.select(
-            "__id", F.array_min(F.array(*entries)).getField("cid").alias("cid")
+            "__id", "q", F.array_min(F.array(*entries)).getField("cid").alias("cid")
         )
 
     assigned = assign(cent)
     for _ in range(iterations - 1):
         cm = (
-            assigned.join(q, "__id")
+            assigned
             .select("cid", F.posexplode("q").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(
@@ -705,11 +710,19 @@ def pq_encode(
     index stores and scans — see :func:`pq_adc_topk` for the matching
     search side.
 
-    Scale shape: training is m SMALL k-means runs (each one scan per
-    Lloyd round over a dim/m-wide slice); encoding reuses the final
-    assignments directly, so no extra pass over the data.  The m
-    per-subspace memberships join back on id — m broadcast-sized
-    equi-joins of (id, cid) frames.
+    Scale shape (r12 joint-training rewrite, guide §1.2 step 1 /
+    §2.4): the m per-subspace Lloyd runs are trained TOGETHER — the
+    corpus is quantized and checkpointed ONCE (the r11 plan paid one
+    localCheckpoint per subspace), every Lloyd round is ONE scan that
+    assigns all m subspaces and one (m·k·w)-group hash agg for all m
+    codebook updates (vs m scans + m assigned⋈q joins), and the final
+    codes are ONE projection computing code_0..code_{m-1} from the
+    trained codebook literals (vs an m-way id equi-join of m
+    single-code frames — 3 BroadcastExchanges gone from the sf0.1
+    plan).  Arithmetic is unchanged: per-subspace fixed-point slices,
+    distances, floor means and tie-breaks are the exact expressions
+    the per-subspace runs evaluated, so codes and codebooks are
+    bit-identical to the r11 output.
 
     Returns ``(codes, codebooks)``: codes = (id, code_0..code_{m-1}),
     codebooks = {subspace: [(cid, [int centroid components]), ...]}.
@@ -717,22 +730,98 @@ def pq_encode(
     if dim % m != 0:
         raise ValueError(f"pq_encode: dim={dim} not divisible by m={m}")
     w = dim // m
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    codes: DataFrame | None = None
-    books: dict[int, list] = {}
-    for s in range(m):
-        sub = emb.select(
-            F.col(id_col), F.slice(v, s * w + 1, w).alias("__sub")
+    # quantize the FULL vector once — floor(x·scale) commutes with the
+    # subspace slicing, so slicing the quantized longs is bit-identical
+    # to quantizing per-subspace double slices
+    q = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * scale).cast("long")
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+
+    # seeds: subspace s's centroid j = slice s of the vector with id j
+    # (identical to the per-subspace kmeans init)
+    seeds = sorted(
+        (r["__id"], list(r["q"]))
+        for r in q.filter(F.col("__id") < k).collect()  # k rows, bounded
+    )
+    if {cid for cid, _ in seeds} != set(range(k)):
+        raise ValueError(
+            f"k={k} seeds require ids 0..{k - 1} to exist exactly once; "
+            f"found ids {sorted(c for c, _ in seeds)} — pass a frame "
+            "containing the seed ids (no duplicates) or re-key it"
         )
-        assigned, cent = kmeans_fixed_point_with_centroids(
-            sub, k=k, iterations=iterations, scale=scale,
-            id_col=id_col, vec_col="__sub",
+    books: dict[int, list] = {
+        s: [(cid, vec[s * w:(s + 1) * w]) for cid, vec in seeds]
+        for s in range(m)
+    }
+
+    def code_col(s: int, cent: list) -> Column:
+        """argmin centroid for subspace ``s`` — the same array-fold
+        distance + (d, cid) struct-min tie-break as kmeans' assign."""
+        entries = []
+        for cid, vec in cent:
+            lit_vec = F.array(*[F.lit(int(c)).cast("long") for c in vec])
+            dist = F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("q"), s * w + 1, w),
+                    lit_vec,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            entries.append(
+                F.struct(dist.alias("d"), F.lit(int(cid)).cast("long").alias("cid"))
+            )
+        return F.array_min(F.array(*entries)).getField("cid")
+
+    def all_codes() -> DataFrame:
+        return q.select(
+            "__id", "q",
+            *[code_col(s, books[s]).alias(f"code_{s}") for s in range(m)],
         )
-        part = assigned.select(
-            F.col("__id").alias(id_col), F.col("cid").alias(f"code_{s}")
+
+    for _ in range(iterations - 1):
+        # joint centroid update: explode the full vector once; position
+        # pos belongs to subspace pos div w at in-subspace offset
+        # pos mod w and groups under that subspace's assignment — the
+        # same (cid, pos, sum, count) cells the m per-subspace aggs
+        # produced, collected in one job (m·k·w rows, bounded)
+        cs = F.array(*[F.col(f"code_{s}") for s in range(m)])
+        cm = (
+            all_codes()
+            .select(F.posexplode("q").alias("pos", "val"), cs.alias("cs"))
+            .select(
+                (F.col("pos") / w).cast("int").alias("s"),
+                F.element_at(F.col("cs"), (F.col("pos") / w).cast("int") + 1).alias("cid"),
+                (F.col("pos") % w).alias("p"),
+                "val",
+            )
+            .groupBy("s", "cid", "p")
+            .agg(
+                F.expr(
+                    f"(sum(val) + count(1) * {scale}L) div count(1)"
+                    f" - {scale}L"
+                ).alias("cval")
+            )
         )
-        codes = part if codes is None else codes.join(part, id_col)
-        books[s] = cent
+        by_s: dict[int, dict[int, dict[int, int]]] = {}
+        for r in cm.collect():  # m × k × w rows, bounded
+            by_s.setdefault(r["s"], {}).setdefault(r["cid"], {})[r["p"]] = r["cval"]
+        books = {
+            s: sorted(
+                (cid, [comps[p] for p in sorted(comps)])
+                for cid, comps in by_s.get(s, {}).items()
+            )
+            for s in range(m)
+        }
+
+    codes = all_codes().select(
+        F.col("__id").alias(id_col),
+        *[F.col(f"code_{s}") for s in range(m)],
+    )
     return codes, books
 
 

@@ -186,22 +186,39 @@ def market_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lineitem = lake.load_table(spark, "lineitem", sf_dir)
     part = lake.load_table(spark, "part", sf_dir)
-    ob = (
+    # r12 rewrite (guide §2.3 "aggregate before you shuffle" / §2.4):
+    # ONE hash agg collapses the fact join straight to per-order sorted
+    # brand sets — collect_set partially aggregates map-side, so the
+    # only fact-sized shuffle carries partial sets, replacing the r11
+    # distinct exchange + two self-join exchanges of the same rows.
+    # Pairs are the in-row 2-combinations of each (sorted) set — the
+    # same (a < b per order) multiset the self-join produced, fan-out
+    # still bounded by m² per order — and per-brand totals / the order
+    # count read the same checkpointed frame.
+    obs = (
         lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
-        .distinct()
-        # materialized once: the (order, brand) frame feeds FOUR
-        # consumers (N count, per-brand totals, both self-join sides) —
-        # without the checkpoint each re-runs the fact join + distinct
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("b")).alias("bs"))
         .localCheckpoint(eager=True)
     )
-    n_orders = ob.select("o").distinct().count()
-    bc = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
-    a, c = ob.alias("a"), ob.alias("c")
+    n_orders = obs.count()
+    bc = obs.select(F.explode("bs").alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("bs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("bs"), i + 2, F.size("bs")),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") < F.col("c.b")))
+        obs.select(F.explode(combos).alias("p"))
         .groupBy(
-            F.col("a.b").alias("brand_a"), F.col("c.b").alias("brand_b")
+            F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b")
         )
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= _MIN_PAIR_SUPPORT)
@@ -2230,11 +2247,21 @@ def interval_overlap_rollup(iv: DataFrame, salt_factor: int = 1) -> DataFrame:
     ``spark.sql.session.timeZone``; a timestamp input still joins
     correctly (both sides bucket identically) but the rollup's day
     counts move with the zone."""
+    # r12 (guide §1.2 step 1, measured via the executed adaptive plan):
+    # the compressed interval table g feeds four subplans, and AQE's
+    # exchange reuse only deduplicated ONE of them at runtime — the
+    # fact scan + partial agg ran 3×.  Two fixes: (1) side A's
+    # (month, month+1) keys come from ONE explode instead of a two-leg
+    # union (one consumer fewer), and (2) g is lazily checkpointed, so
+    # the remaining three consumers read the materialized compressed
+    # rows instead of re-running the fact scan — exactly one pass over
+    # the fact table at any scale.  Join/bucket arithmetic unchanged.
     g = iv.groupBy(
         "sk", "s", "e", (F.year("s") * 12 + F.month("s")).alias("m")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    a2 = g.select("sk", "s", "e", "m", "c", F.col("m").alias("k")).unionByName(
-        g.select("sk", "s", "e", "m", "c", (F.col("m") + 1).alias("k"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=False)
+    a2 = g.select(
+        "sk", "s", "e", "m", "c",
+        F.explode(F.array(F.col("m"), F.col("m") + 1)).alias("k"),
     )
     b = g.select(
         F.col("sk").alias("bsk"),

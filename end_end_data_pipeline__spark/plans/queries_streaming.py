@@ -46,21 +46,44 @@ def cdc_roundtrip_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``from_json``), tombstone-filtered, and collapsed latest-wins —
     the reference's pipeline with the merge it never had
     (reference ``consumer/consumer.py:66-75`` is append-only).
-    The oracle states the expected final table directly."""
+    The oracle states the expected final table directly.
+
+    r12: the change log is synthesized in ONE scan — each order row
+    explodes to its (op, ts_ms) legs (insert always, update when
+    key%3==0, delete when key%7==0) instead of a union of three
+    filtered scans of the fact table (guide §1.2 step 1: don't pay
+    three passes for one pass's information).  Leg rows, including the
+    update leg's +100 price, are value-identical to the union form
+    (A/B exceptAll-verified), so the envelope wire bytes and the final
+    state are unchanged."""
     orders = lake.load_table(spark, "orders", sf_dir)
 
-    inserts = orders.select(
-        "*", F.lit("c").alias("op"), F.lit(1).cast("long").alias("ts_ms")
+    legs = F.filter(
+        F.array(
+            F.struct(F.lit("c").alias("op"), F.lit(1).cast("long").alias("ts_ms")),
+            F.when(
+                F.col("o_orderkey") % 3 == 0,
+                F.struct(F.lit("u").alias("op"), F.lit(2).cast("long").alias("ts_ms")),
+            ),
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.struct(F.lit("d").alias("op"), F.lit(3).cast("long").alias("ts_ms")),
+            ),
+        ),
+        lambda x: x.isNotNull(),
     )
-    updates = (
-        orders.filter(F.col("o_orderkey") % 3 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
-        .select("*", F.lit("u").alias("op"), F.lit(2).cast("long").alias("ts_ms"))
+    changes_raw = orders.select("*", F.explode(legs).alias("__l")).select(
+        *[
+            F.when(F.col("__l.op") == "u", F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice")
+            if c == "o_totalprice"
+            else F.col(c)
+            for c in orders.columns
+        ],
+        F.col("__l.op").alias("op"),
+        F.col("__l.ts_ms").alias("ts_ms"),
     )
-    deletes = orders.filter(F.col("o_orderkey") % 7 == 0).select(
-        "*", F.lit("d").alias("op"), F.lit(3).cast("long").alias("ts_ms")
-    )
-    changes_raw = inserts.unionByName(updates).unionByName(deletes)
 
     wire = cdc.encode_envelope(changes_raw, "op", "ts_ms", "orders")
     parsed = cdc.parse_envelope(wire, orders.schema)
