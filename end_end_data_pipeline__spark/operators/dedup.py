@@ -268,6 +268,7 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
     hash_family: str = "xxhash64",
+    doc_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
     hash_i(shingle).  One explode + one hash-agg with ``num_hashes``
@@ -292,10 +293,18 @@ def minhash_signatures(
     shingle agreed on whole bands.  Measured at sf0.1: 15,190 LSH
     candidates (K-M) / 7,890 (affine trial) for 249 true pairs vs 256
     with the XOR family — the candidate excess collapsed 61× → ~1×
-    (scripts/minhash_retune.py tracks it per round)."""
-    inv = explode_safe(
-        _doc_shingles(df, text_col, id_col, n), ["doc"], F.col("sh"), "shingle"
+    (scripts/minhash_retune.py tracks it per round).
+
+    ``doc_shingles`` (r12): pass a precomputed/materialized (doc, sh)
+    frame to share the tokenize+shingle pass with another consumer
+    (the LSH paths verify candidates against the same sets — without
+    this the corpus is tokenized twice per query)."""
+    ds = (
+        doc_shingles
+        if doc_shingles is not None
+        else _doc_shingles(df, text_col, id_col, n)
     )
+    inv = explode_safe(ds, ["doc"], F.col("sh"), "shingle")
     if hash_family == "md5":
         if num_hashes > 128:
             raise ValueError("md5 family caps num_hashes at 128")
@@ -393,7 +402,15 @@ def minhash_lsh_pairs(
 
     Output: (doc_a, doc_b, jaccard ≥ verify_threshold).
     """
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_family)
+    # tokenize+shingle ONCE (r12, guide §1.2 step 1): the same (doc, sh)
+    # sets feed both the signature explode and the exact-verify tail;
+    # the lazy checkpoint materializes them at first use so the second
+    # consumer reads rows instead of re-running the tokenizer over the
+    # corpus.
+    ds = _doc_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    sig = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, hash_family, doc_shingles=ds
+    )
     unpivot = _banded(sig, num_hashes, bands, hash_family)
     a, b_ = unpivot.alias("a"), unpivot.alias("b")
     candidates = (
@@ -406,10 +423,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # exact verification of candidates only
-    return _verify_exact_jaccard(
-        candidates, _doc_shingles(df, text_col, id_col, n), verify_threshold
-    )
+    # exact verification of candidates only — against the SAME
+    # materialized shingle sets the signatures were built from
+    return _verify_exact_jaccard(candidates, ds, verify_threshold)
 
 
 def simhash_bits(hash_family: str) -> int:
@@ -596,12 +612,22 @@ def minhash_lsh_pairs_incremental(
     Output: (doc_new, doc_old, jaccard ≥ verify_threshold) — every
     batch document with a near-duplicate already in the corpus.
     """
+    # tokenize+shingle each side ONCE (r12): corpus sets feed the corpus
+    # signatures (when not precomputed) AND the verify tail; batch sets
+    # likewise — lazy checkpoints share the tokenizer pass.
+    ds_c = _doc_shingles(corpus, text_col, id_col, n).localCheckpoint(eager=False)
+    ds_b = _doc_shingles(batch, text_col, id_col, n).localCheckpoint(eager=False)
     sig_c = (
         corpus_sig
         if corpus_sig is not None
-        else minhash_signatures(corpus, text_col, id_col, n, num_hashes, hash_family)
+        else minhash_signatures(
+            corpus, text_col, id_col, n, num_hashes, hash_family,
+            doc_shingles=ds_c,
+        )
     )
-    sig_b = minhash_signatures(batch, text_col, id_col, n, num_hashes, hash_family)
+    sig_b = minhash_signatures(
+        batch, text_col, id_col, n, num_hashes, hash_family, doc_shingles=ds_b
+    )
     bands_c = _banded(sig_c, num_hashes, bands, hash_family)
     bands_b = _banded(sig_b, num_hashes, bands, hash_family)
     candidates = (
@@ -613,9 +639,7 @@ def minhash_lsh_pairs_incremental(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    shingles_both = _doc_shingles(batch, text_col, id_col, n).unionByName(
-        _doc_shingles(corpus, text_col, id_col, n)
-    )
+    shingles_both = ds_b.unionByName(ds_c)
     return _verify_exact_jaccard(
         candidates, shingles_both, verify_threshold
     ).select(
