@@ -84,6 +84,17 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     )
 
 
+def doc_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Public (doc, sh) shingle-set frame — the sharable tokenize+
+    shingle pass.  Callers that feed several dedup operators from one
+    source table materialize THIS once (``localCheckpoint``) and pass
+    slices of it via the operators' ``*_shingles`` parameters, so the
+    source is scanned and tokenized a single time (guide §1.2 step 1)."""
+    return _doc_shingles(df, text_col, id_col, n)
+
+
 def _verify_exact_jaccard(
     candidates: DataFrame, doc_shingle_sets: DataFrame, threshold: float
 ) -> DataFrame:
@@ -130,17 +141,19 @@ def ngram_jaccard_pairs(
     # explode re-evaluates the shingle expression per exploded row (the
     # Generate's child projection gets collapsed) — set sizes are instead
     # recovered from the index itself, since shingles are distinct per doc
-    inv = explode_safe(
-        _doc_shingles(df, text_col, id_col, n), ["doc"], F.col("sh"), "shingle"
-    )
+    ds = _doc_shingles(df, text_col, id_col, n)
     if max_shingle_df is not None:
-        # the capped path reads the index five times (sizes, df-count,
-        # anti-join both sides, hot-sets) — materialize it once instead
-        # of re-running tokenize+shingle+explode per consumer.  This is
-        # the classic "build the inverted index" stage of a dedup
-        # pipeline: linear in corpus size, spills to local disk.
-        inv = inv.localCheckpoint(eager=False)
-    sizes = inv.groupBy("doc").agg(F.count("*").alias("n_sh"))
+        # the capped path reads the shingle sets five ways (sizes,
+        # df-count, anti-join both sides, hot-sets) — materialize the
+        # (doc, sh) ARRAYS once (r13; r12 materialized the exploded
+        # index) so set sizes come from ``size(sh)`` with NO
+        # full-index groupBy shuffle, and every exploded consumer
+        # re-reads materialized arrays instead of re-running the
+        # tokenizer.  This is the classic "build the inverted index"
+        # stage of a dedup pipeline: linear in corpus size, spills to
+        # local disk.
+        ds = ds.localCheckpoint(eager=False)
+    inv = explode_safe(ds, ["doc"], F.col("sh"), "shingle")
     if max_shingle_df is not None:
         # df per shingle via groupBy (map-side combinable, so hot shingles
         # cost one partial count per mapper, not a single giant partition);
@@ -150,6 +163,11 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("__df"))
             .filter(F.col("__df") > max_shingle_df)
             .select("shingle")
+            # consumed twice (anti-join + hot-set join) and tiny by
+            # construction (shingles hotter than the cap) — materialize
+            # so the full-index df-count shuffle runs ONCE, not once
+            # per consumer subtree (r13; the r12 dry plan built it 4×)
+            .localCheckpoint(eager=False)
         )
         capped = inv.join(hot, "shingle", "left_anti")
         a, b = capped.alias("a"), capped.alias("b")
@@ -164,41 +182,48 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
             .agg(F.count("*").alias("rare_common"))
         )
-        # each doc's (small) set of hot shingles, joined back per pair so
-        # the reported jaccard still counts hot shingles — values stay
-        # EXACT; only pairs sharing no rare shingle are skipped.
+        # ONE per-doc info row — set size (free from the materialized
+        # arrays) plus the doc's (small) set of hot shingles, so the
+        # reported jaccard still counts hot shingles and values stay
+        # EXACT; only pairs sharing no rare shingle are skipped.  The
+        # pair verify then joins info twice (r12 joined sizes AND
+        # hotsets per side — 4 pair-sized joins; r13: 2).
+        no_hot = F.array().cast("array<string>")
         doc_hot = (
             inv.join(hot, "shingle")
             .groupBy("doc")
             .agg(F.collect_set("shingle").alias("hotset"))
         )
-        no_hot = F.array().cast("array<string>")
+        info = (
+            ds.select("doc", F.size("sh").alias("n_sh"))
+            .join(doc_hot, "doc", "left")
+            .select(
+                "doc", "n_sh", F.coalesce("hotset", no_hot).alias("hotset")
+            )
+            # one row per doc, consumed by both pair sides
+            .localCheckpoint(eager=False)
+        )
         paired = (
             rare_common.join(
-                sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a"
-            )
-            .join(
-                sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b"
-            )
-            .join(
-                doc_hot.select(F.col("doc").alias("doc_a"), F.col("hotset").alias("hot_a")),
+                info.select(
+                    F.col("doc").alias("doc_a"),
+                    F.col("n_sh").alias("na"),
+                    F.col("hotset").alias("hot_a"),
+                ),
                 "doc_a",
-                "left",
             )
             .join(
-                doc_hot.select(F.col("doc").alias("doc_b"), F.col("hotset").alias("hot_b")),
+                info.select(
+                    F.col("doc").alias("doc_b"),
+                    F.col("n_sh").alias("nb"),
+                    F.col("hotset").alias("hot_b"),
+                ),
                 "doc_b",
-                "left",
             )
             .withColumn(
                 "common",
                 F.col("rare_common")
-                + F.size(
-                    F.array_intersect(
-                        F.coalesce(F.col("hot_a"), no_hot),
-                        F.coalesce(F.col("hot_b"), no_hot),
-                    )
-                ),
+                + F.size(F.array_intersect(F.col("hot_a"), F.col("hot_b"))),
             )
         )
         jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
@@ -207,6 +232,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard")
         )
+    sizes = inv.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(
@@ -600,6 +626,8 @@ def minhash_lsh_pairs_incremental(
     verify_threshold: float = 0.5,
     hash_family: str = "xxhash64",
     corpus_sig: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
+    batch_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dedup: a new ingest batch checked against the
     historical corpus — the production shape (daily ingest vs index)
@@ -609,14 +637,29 @@ def minhash_lsh_pairs_incremental(
     bands probe corpus bands, so cost is O(batch × collisions), never
     corpus².  Doc ids must be disjoint across the two frames.
 
+    ``corpus_shingles`` / ``batch_shingles`` (r13): precomputed
+    (doc, sh) set frames (:func:`doc_shingle_sets`).  When corpus and
+    batch are two filters of ONE source table, materializing the
+    shingle sets of the whole table once and passing the filtered
+    halves here means the source is scanned/tokenized a single time
+    instead of once per side (guide §1.2 step 1).
+
     Output: (doc_new, doc_old, jaccard ≥ verify_threshold) — every
     batch document with a near-duplicate already in the corpus.
     """
     # tokenize+shingle each side ONCE (r12): corpus sets feed the corpus
     # signatures (when not precomputed) AND the verify tail; batch sets
     # likewise — lazy checkpoints share the tokenizer pass.
-    ds_c = _doc_shingles(corpus, text_col, id_col, n).localCheckpoint(eager=False)
-    ds_b = _doc_shingles(batch, text_col, id_col, n).localCheckpoint(eager=False)
+    ds_c = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else _doc_shingles(corpus, text_col, id_col, n).localCheckpoint(eager=False)
+    )
+    ds_b = (
+        batch_shingles
+        if batch_shingles is not None
+        else _doc_shingles(batch, text_col, id_col, n).localCheckpoint(eager=False)
+    )
     sig_c = (
         corpus_sig
         if corpus_sig is not None

@@ -539,6 +539,26 @@ def kmeans_fixed_point(
     )
 
 
+def _collect_seed_centroids(q: DataFrame, k: int) -> list[tuple[int, list[int]]]:
+    """Collect the k seed rows (ids 0..k-1) from a quantized (__id, q)
+    frame and validate them — shared by the kmeans and PQ trainers
+    (ADVICE r12: the validation lived in two verbatim copies, and a
+    set-equality check could not see duplicate ids).  Sorted-list
+    comparison enforces 'exactly once' for real: k rows, ids 0..k-1,
+    no duplicates."""
+    cent = sorted(
+        (r["__id"], list(r["q"]))
+        for r in q.filter(F.col("__id") < k).collect()  # k rows, bounded
+    )
+    if [cid for cid, _ in cent] != list(range(k)):
+        raise ValueError(
+            f"k={k} seeds require ids 0..{k - 1} to exist exactly once; "
+            f"found ids {sorted(c for c, _ in cent)} — pass a frame "
+            "containing the seed ids (no duplicates) or re-key it"
+        )
+    return cent
+
+
 def kmeans_fixed_point_with_centroids(
     emb: DataFrame,
     k: int = 4,
@@ -559,16 +579,7 @@ def kmeans_fixed_point_with_centroids(
         ).alias("q"),
     ).localCheckpoint(eager=True)  # quantize once; reused every iteration
 
-    cent = sorted(
-        (r["__id"], list(r["q"]))
-        for r in q.filter(F.col("__id") < k).collect()  # k rows, bounded
-    )
-    if {cid for cid, _ in cent} != set(range(k)):
-        raise ValueError(
-            f"k={k} seeds require ids 0..{k - 1} to exist exactly once; "
-            f"found ids {sorted(c for c, _ in cent)} — pass a frame "
-            "containing the seed ids (no duplicates) or re-key it"
-        )
+    cent = _collect_seed_centroids(q, k)
 
     def assign(centroids):
         entries = []
@@ -612,7 +623,11 @@ def kmeans_fixed_point_with_centroids(
             for cid, comps in by_cid.items()
         )
         assigned = assign(cent)
-    return assigned, cent
+    # the internal quantized column ``q`` stays inside the Lloyd loop —
+    # the advertised contract is (assignments = (__id, cid), centroids)
+    # (ADVICE r12: returning ``q`` leaked a schema change to consumers
+    # doing select('*')/unionByName on the assignments)
+    return assigned.select("__id", "cid"), cent
 
 
 def mmr_rerank(
@@ -742,16 +757,7 @@ def pq_encode(
 
     # seeds: subspace s's centroid j = slice s of the vector with id j
     # (identical to the per-subspace kmeans init)
-    seeds = sorted(
-        (r["__id"], list(r["q"]))
-        for r in q.filter(F.col("__id") < k).collect()  # k rows, bounded
-    )
-    if {cid for cid, _ in seeds} != set(range(k)):
-        raise ValueError(
-            f"k={k} seeds require ids 0..{k - 1} to exist exactly once; "
-            f"found ids {sorted(c for c, _ in seeds)} — pass a frame "
-            "containing the seed ids (no duplicates) or re-key it"
-        )
+    seeds = _collect_seed_centroids(q, k)
     books: dict[int, list] = {
         s: [(cid, vec[s * w:(s + 1) * w]) for cid, vec in seeds]
         for s in range(m)

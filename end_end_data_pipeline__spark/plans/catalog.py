@@ -81,13 +81,65 @@ def register(
 # r08 added multi-JVM sweeps (CLUSTER_r08*.json).  Names not listed
 # here sort after the listed ones in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # --- r12 window: the 50 STALEST driver rows after the r11
-    # refresh — the 37 remaining r07-vintage rows plus the 13 oldest
-    # r08 rows (VERDICT r11 task 3; staleness ledger = per-query max
-    # green round over CORRECTNESS_r01..r11; zero overlap with the r11
-    # window).  After this window every driver row is r08+ (age <= 4
-    # rounds).  Ties within a round keep their previous presentation
-    # order.
+    # --- r13 window: the 50 STALEST driver rows after the r12
+    # refresh — the 37 remaining r08-vintage rows plus the 13 oldest
+    # r09 rows (VERDICT r12 task 8; staleness ledger = per-query max
+    # green round over CORRECTNESS_r01..r12; zero overlap with the r12
+    # window).  After this window every driver row is r09+.  Ties
+    # within a round keep their previous presentation order.
+    "tpch_q8_national_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_supplier",
+    "scd2_order_history",
+    "transfer_network_components",
+    "skew_salted_join_segment_counts",
+    "skew_salted_two_phase_agg",
+    "nested_address_country_rollup",
+    "curation_pipeline_end_to_end",
+    "embedding_neardup_pairs",
+    "text_winnow_fingerprints",
+    "corpus_shard_packing",
+    "corpus_vocabulary_topk",
+    "corpus_stratified_sample",
+    "cdc_topic_routing",
+    "connector_config_surface",
+    "quality_constraint_audit",
+    "sort_events_user_sequence",
+    "stream_static_enrichment",
+    "stream_watermark_late_drop",
+    "stream_dedup_within_watermark",
+    "stream_stateful_user_stats",
+    "stream_stream_click_purchase",
+    "pandas_grouped_minmax_scale",
+    "pandas_grouped_agg_money_sum",
+    "join_order_lineitem_detail",
+    "join_geo_rollup",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_neardup",
+    "embedding_cosine_topk",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q9_product_type_profit",
+    "tpch_q20_potential_part_promotion",
+    "banking_generator_fanout",
+    "multimodal_phash_neardup",
+    "multimodal_audio_fingerprint_neardup",
+    "corpus_chunk_documents",
+    "stream_custom_sessionize",
+    "multimodal_resize_batch",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
+    "embedding_ann_ivf_topk",
+    "embedding_ann_lsh_topk",
+    "text_exact_dedup",
+    "stream_daily_event_agg",
+    "asof_click_before_purchase",
+    "window_running_total_per_user",
+    "filter_time_range_flagged",
+    "semi_customers_with_open_orders",
+    # --- window boundary (50) ---
+    # --- fresher rows (r09-r12), previous presentation order; all
+    # re-swept every round by scripts/driver_gate.py --all ---
     "stream_hll_incremental",
     "fuzzy_deletion_pairs",
     "stats_mannwhitney_auc",
@@ -138,9 +190,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_discounted_revenue",
     "tpch_q22_global_sales_opportunity",
-    # --- window boundary (50) ---
-    # --- fresher rows (r08-r11), previous presentation order; all
-    # re-swept every round by scripts/driver_gate.py --all ---
     "embedding_mmr_rerank",
     "governance_masked_customers",
     "integrity_table_checksums",
@@ -241,19 +290,6 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_point_in_time_join",
     "approx_percentile_error_bound",
     "federated_jdbc_parquet_join",
-    "corpus_chunk_documents",
-    "stream_custom_sessionize",
-    "multimodal_resize_batch",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
-    "embedding_ann_ivf_topk",
-    "embedding_ann_lsh_topk",
-    "text_exact_dedup",
-    "stream_daily_event_agg",
-    "asof_click_before_purchase",
-    "window_running_total_per_user",
-    "filter_time_range_flagged",
-    "semi_customers_with_open_orders",
     "anti_customers_without_orders",
     "selfjoin_same_day_order_pairs",
     "range_join_price_band",
@@ -291,43 +327,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_repetition_stats",
     "corpus_train_val_split",
     "embedding_quantize_int8",
-    "tpch_q8_national_market_share",
-    "tpch_q15_top_supplier",
-    "tpch_q21_waiting_supplier",
-    "scd2_order_history",
-    "transfer_network_components",
-    "skew_salted_join_segment_counts",
-    "skew_salted_two_phase_agg",
-    "nested_address_country_rollup",
-    "curation_pipeline_end_to_end",
-    "embedding_neardup_pairs",
-    "text_winnow_fingerprints",
-    "corpus_shard_packing",
-    "corpus_vocabulary_topk",
-    "corpus_stratified_sample",
-    "cdc_topic_routing",
-    "connector_config_surface",
-    "quality_constraint_audit",
-    "sort_events_user_sequence",
-    "stream_static_enrichment",
-    "stream_watermark_late_drop",
-    "stream_dedup_within_watermark",
-    "stream_stateful_user_stats",
-    "stream_stream_click_purchase",
-    "pandas_grouped_minmax_scale",
-    "pandas_grouped_agg_money_sum",
-    "join_order_lineitem_detail",
-    "join_geo_rollup",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_simhash_neardup",
-    "embedding_cosine_topk",
-    "tpch_q6_forecast_revenue",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q9_product_type_profit",
-    "tpch_q20_potential_part_promotion",
-    "banking_generator_fanout",
-    "multimodal_phash_neardup",
-    "multimodal_audio_fingerprint_neardup",
 )
 
 

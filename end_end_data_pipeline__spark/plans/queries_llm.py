@@ -1961,14 +1961,25 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is O(batch × collisions), never corpus²; corpus signatures
     are computed once and reusable across batches
     (``dedup.minhash_lsh_pairs_incremental``).  md5 family → the full
-    probabilistic pipeline is bit-replicated by the oracle."""
+    probabilistic pipeline is bit-replicated by the oracle.
+
+    r13: corpus and batch are two filters of ONE table, so the shingle
+    sets of the whole table are materialized once and the filtered
+    halves passed in — one documents scan + tokenizer pass instead of
+    two (guide §1.2 step 1; the r12 shape checkpointed each side
+    separately, scanning the parquet text column twice)."""
     docs = lake.load_table(spark, "documents", sf_dir)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
+    ds_all = dedup.doc_shingle_sets(docs, "text", "doc_id", n=3).localCheckpoint(
+        eager=False
+    )
     return dedup.minhash_lsh_pairs_incremental(
         corpus, batch, "text", "doc_id",
         n=3, num_hashes=32, bands=8,
         verify_threshold=0.5, hash_family="md5",
+        corpus_shingles=ds_all.filter(F.col("doc") % 5 != 0),
+        batch_shingles=ds_all.filter(F.col("doc") % 5 == 0),
     )
 
 

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
-"""Dump ``.explain("formatted")`` for bench queries into plans/r12/.
+"""Dump ``.explain("formatted")`` for bench queries into plans/r13/
+(override with $PLANS_DIR).
 
-    python scripts/plan_dump.py before            # plans/r12/<q>_before.txt
+    python scripts/plan_dump.py before            # plans/r13/<q>_before.txt
     python scripts/plan_dump.py after q1 q2 ...   # only the named queries
 
 The dump is the DRY (pre-execution) plan at the bench fixture
@@ -26,7 +27,9 @@ def main() -> int:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get(
+        "PLANS_DIR", "r13"
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark("plan_dump")

@@ -73,6 +73,57 @@ def digest(plan: str) -> dict[str, int]:
     }
 
 
+def capture_checkpoint_children():
+    """Context manager recording the PRE-checkpoint executed-plan digest
+    of every ``DataFrame.localCheckpoint()`` call made while active.
+
+    ADVICE r12: a (lazy) localCheckpoint plans downstream as an opaque
+    ``Scan ExistingRDD`` — file_scans drop to 0 in the consumer digest
+    and scan-count / join-shape regressions hidden *inside* the barrier
+    became invisible to the lock.  Fingerprinting the checkpointed
+    child plans restores that guard."""
+    from contextlib import contextmanager
+
+    # Spark 4: concrete sessions build pyspark.sql.classic.dataframe.
+    # DataFrame, which OVERRIDES the abstract base's method — patching
+    # the base class would never be reached.
+    try:
+        import pyspark.sql.classic.dataframe as pdf
+    except ImportError:  # pre-4.0 layout
+        import pyspark.sql.dataframe as pdf
+
+    @contextmanager
+    def _cm():
+        children: list[dict[str, int]] = []
+        orig = pdf.DataFrame.localCheckpoint
+
+        def patched(self, *a, **k):
+            children.append(
+                digest(self._jdf.queryExecution().executedPlan().toString())
+            )
+            return orig(self, *a, **k)
+
+        pdf.DataFrame.localCheckpoint = patched
+        try:
+            yield children
+        finally:
+            pdf.DataFrame.localCheckpoint = orig
+
+    return _cm()
+
+
+def plan_entry(fn, spark, sf_dir: str) -> dict:
+    """Lock entry for one query: the result plan digest plus (when the
+    query materializes intermediates) the pre-checkpoint child plan
+    digests, in call order."""
+    with capture_checkpoint_children() as kids:
+        df = fn(spark, sf_dir)
+    entry: dict = digest(df._jdf.queryExecution().executedPlan().toString())
+    if kids:
+        entry["ckpt_children"] = kids
+    return entry
+
+
 def fixture_fingerprint() -> dict[str, int]:
     """Byte sizes of the sf0.001 fixture files.  The driver REGENERATES
     fixtures between rounds (r04 precedent: the events timestamp unit
@@ -98,8 +149,7 @@ def collect() -> dict[str, dict[str, int]]:
     for name, q in load_all().items():
         if name in SKIP:
             continue
-        df = q.fn(spark, SF_DIR)
-        out[name] = digest(df._jdf.queryExecution().executedPlan().toString())
+        out[name] = plan_entry(q.fn, spark, SF_DIR)
     return out
 
 

@@ -578,6 +578,22 @@ def test_incremental_minhash_reuses_corpus_signatures(spark):
         ).collect()
     }
     assert cached == fresh
+    # r13: precomputed shingle-set halves of ONE source table (the
+    # single-scan shape dedup_incremental_batch uses) must also equal
+    # the from-scratch run
+    both = corpus.unionByName(batch)
+    ds_all = dedup.doc_shingle_sets(both, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
+    shared = {
+        (r["doc_new"], r["doc_old"])
+        for r in dedup.minhash_lsh_pairs_incremental(
+            corpus, batch, "text", "doc_id", verify_threshold=0.5,
+            corpus_shingles=ds_all.filter("doc < 100"),
+            batch_shingles=ds_all.filter("doc >= 100"),
+        ).collect()
+    }
+    assert shared == fresh
 
 
 def test_augment_images_pixel_exact(spark):

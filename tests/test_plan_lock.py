@@ -16,7 +16,13 @@ from pathlib import Path
 
 import pytest
 
-from scripts.plan_lock import LOCK_PATH, SKIP, digest, fixture_fingerprint
+from scripts.plan_lock import (
+    LOCK_PATH,
+    SKIP,
+    digest,
+    fixture_fingerprint,
+    plan_entry,
+)
 from end_end_data_pipeline__spark.plans.catalog import load_all
 from tests.conftest import SF_SMOKE
 
@@ -66,8 +72,7 @@ def test_lock_covers_catalog():
 @pytest.mark.parametrize("name", NAMES)
 def test_plan_matches_lock(spark, name):
     q = load_all()[name]
-    df = q.fn(spark, SF_SMOKE)
-    got = digest(df._jdf.queryExecution().executedPlan().toString())
+    got = plan_entry(q.fn, spark, SF_SMOKE)
     assert got == LOCK.get(name), (
         f"{name}: plan digest drifted from PLANS_LOCK.json "
         f"(got {got}, locked {LOCK.get(name)}) — if intentional, "

@@ -56,23 +56,29 @@ EXPENSIVE_IN_SCAN = re.compile(
 )
 
 
-def _plans(spark):
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    """Dry-plan the whole catalog ONCE per module run — the four
+    whole-catalog audits below each consumed their own full planning
+    pass (~200 s apiece, half the suite's wall clock) before r13."""
+    out = []
     for name, q in load_all().items():
         if name in SKIP:
             continue
         df = q.fn(spark, SF_SMOKE)
-        yield name, df._jdf.queryExecution().executedPlan().toString()
+        out.append((name, df._jdf.queryExecution().executedPlan().toString()))
+    return out
 
 
-def test_no_cartesian_products(spark):
-    bad = [n for n, p in _plans(spark) if "CartesianProduct" in p]
+def test_no_cartesian_products(all_plans):
+    bad = [n for n, p in all_plans if "CartesianProduct" in p]
     assert not bad, bad
 
 
-def test_bnlj_only_by_design(spark):
+def test_bnlj_only_by_design(all_plans):
     bad = [
         n
-        for n, p in _plans(spark)
+        for n, p in all_plans
         if "BroadcastNestedLoopJoin" in p and n not in BNLJ_OK
     ]
     assert not bad, bad
@@ -107,7 +113,7 @@ GLOBAL_SP_OK = {
 }
 
 
-def test_global_single_partition_only_by_design(spark):
+def test_global_single_partition_only_by_design(all_plans):
     """No Sort/Window may consume an ``Exchange SinglePartition``
     unless the query is allowlisted with a boundedness argument above.
     This is the guard that keeps the exact-rank family on the
@@ -126,7 +132,7 @@ def test_global_single_partition_only_by_design(spark):
         return re.sub(r"^\*?\(\d+\)\s*", "", ln.lstrip(":+- "))
 
     bad = []
-    for n, p in _plans(spark):
+    for n, p in all_plans:
         lines = p.splitlines()
         for i, ln in enumerate(lines):
             if "Exchange SinglePartition" not in ln:
@@ -148,10 +154,10 @@ def test_global_single_partition_only_by_design(spark):
     assert not bad, bad
 
 
-def test_no_expensive_exprs_in_scan_filters(spark):
+def test_no_expensive_exprs_in_scan_filters(all_plans):
     bad = [
         n
-        for n, p in _plans(spark)
+        for n, p in all_plans
         if any(EXPENSIVE_IN_SCAN.search(line) for line in p.splitlines())
     ]
     assert not bad, bad
