@@ -346,16 +346,18 @@ def minhash_signatures(
             F.array(F.struct(h32(1).alias("ha"), h32(9).alias("hb"))),
             "hh",
         ).select("doc", F.col("hh.ha").alias("ha"), F.col("hh.hb").alias("hb"))
+        # r13: each min built as ONE F.expr parse — the Column form cost
+        # ~11 py4j round trips per hash function (~0.9 s of driver wall
+        # for 32 of them, measured); the SQL lowers to the identical
+        # shiftleft/xor/shiftright long arithmetic.
         mins = [
-            F.min(
-                F.shiftleft(F.col("ha").bitwiseXOR(F.lit(p)), 31)
-                + F.shiftright(F.col("hb").bitwiseXOR(F.lit(q)), 1)
-            ).alias(f"h{i}")
+            F.expr(f"min(shiftleft(ha ^ {p}, 31) + shiftright(hb ^ {q}, 1))")
+            .alias(f"h{i}")
             for i, (p, q) in enumerate(minhash_md5_constants(num_hashes))
         ]
     elif hash_family == "xxhash64":
         mins = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            F.expr(f"min(xxhash64(shingle, {i}))").alias(f"h{i}")
             for i in range(num_hashes)
         ]
     else:
@@ -380,27 +382,32 @@ def _banded(sig: DataFrame, num_hashes: int, bands: int, hash_family: str) -> Da
             f"_banded: bands={bands} must divide num_hashes={num_hashes} "
             "with at least 1 row per band"
         )
+    # r13: F.expr strings (one parse per column) instead of per-column
+    # py4j Column trees — same concat_ws/xxhash64 band keys.
     if hash_family == "md5":
         band_cols = [
-            F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)]).alias(
-                f"band{b}"
+            F.expr(
+                "concat_ws('|', "
+                + ", ".join(f"h{b * r + i}" for i in range(r))
+                + f") AS band{b}"
             )
             for b in range(bands)
         ]
     else:
         band_cols = [
-            F.xxhash64(*[F.col(f"h{b * r + i}") for i in range(r)]).alias(f"band{b}")
+            F.expr(
+                "xxhash64("
+                + ", ".join(f"h{b * r + i}" for i in range(r))
+                + f") AS band{b}"
+            )
             for b in range(bands)
         ]
     banded = sig.select("doc", *band_cols)
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bh', band{b})" for b in range(bands)
+    )
     return banded.select(
-        "doc",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("x"),
+        "doc", F.expr(f"explode(array({structs}))").alias("x")
     ).select("doc", "x.band", "x.bh")
 
 
@@ -495,21 +502,22 @@ def simhash(
         )
     else:
         tok = tok.withColumn("h", F.xxhash64("t"))
+    # r13: F.expr strings — the Column form built ~n_bits × 12 py4j
+    # calls per query (~1.5 s at 60 bits); identical vote / recombine
+    # arithmetic.
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f" AS b{i}"
+        )
         for i in range(n_bits)
     ]
     agg = tok.groupBy("doc").agg(*votes)
-    sig = None
-    for i in range(n_bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return agg.select("doc", sig.alias("simhash"))
+    terms = " ^ ".join(
+        f"shiftleft(CASE WHEN b{i} > 0 THEN 1L ELSE 0L END, {i})"
+        for i in range(n_bits)
+    )
+    return agg.select("doc", F.expr(terms).alias("simhash"))
 
 
 def simhash_chunk_candidates(

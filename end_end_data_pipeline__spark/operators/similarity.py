@@ -539,6 +539,30 @@ def kmeans_fixed_point(
     )
 
 
+def _argmin_cid_sql(cent: list[tuple[int, list[int]]], vec_sql: str) -> str:
+    """SQL text of the nearest-centroid pick over centroid literals:
+    ``array_min`` of (squared-distance, cid) structs, distance = the
+    zip_with/aggregate fold over ``vec_sql``.
+
+    r13: built as ONE ``F.expr`` parse instead of hundreds of py4j
+    ``Column`` constructions — the r12 form spent more driver
+    wall-clock building the expression tree through py4j (k·dim lit
+    casts + k lambda conversions per call, ~2.8 s at k=4/dim=64)
+    than executing it (0.15 s warm).  The parsed SQL lowers to the
+    SAME Catalyst operators (ZipWith/ArrayAggregate/named_struct/
+    array_min) with the same long arithmetic and (d, cid) struct
+    tie-break, so assignments are bit-identical to the Column form."""
+    entries = []
+    for cid, vec in cent:
+        arr = ", ".join(f"{int(v)}L" for v in vec)
+        entries.append(
+            f"named_struct('d', aggregate(zip_with({vec_sql}, array({arr})"
+            ", (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+            f", 'cid', {int(cid)}L)"
+        )
+    return f"array_min(array({', '.join(entries)})).cid"
+
+
 def _collect_seed_centroids(q: DataFrame, k: int) -> list[tuple[int, list[int]]]:
     """Collect the k seed rows (ids 0..k-1) from a quantized (__id, q)
     frame and validate them — shared by the kmeans and PQ trainers
@@ -582,24 +606,13 @@ def kmeans_fixed_point_with_centroids(
     cent = _collect_seed_centroids(q, k)
 
     def assign(centroids):
-        entries = []
-        for cid, vec in centroids:
-            lit_vec = F.array(*[F.lit(int(v)).cast("long") for v in vec])
-            dist = F.aggregate(
-                F.zip_with(F.col("q"), lit_vec, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            entries.append(
-                F.struct(dist.alias("d"), F.lit(int(cid)).cast("long").alias("cid"))
-            )
         # carry q through the assignment: the centroid update reads the
         # member vectors, and projecting them here (same scan) saves the
         # assigned⋈q self-join per Lloyd round the r11 plan paid — one
         # Exchange and one re-read of the checkpoint per iteration
         # (guide §2.4: remove shuffles outright).
         return q.select(
-            "__id", "q", F.array_min(F.array(*entries)).getField("cid").alias("cid")
+            "__id", "q", F.expr(_argmin_cid_sql(centroids, "q")).alias("cid")
         )
 
     assigned = assign(cent)
@@ -766,22 +779,7 @@ def pq_encode(
     def code_col(s: int, cent: list) -> Column:
         """argmin centroid for subspace ``s`` — the same array-fold
         distance + (d, cid) struct-min tie-break as kmeans' assign."""
-        entries = []
-        for cid, vec in cent:
-            lit_vec = F.array(*[F.lit(int(c)).cast("long") for c in vec])
-            dist = F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("q"), s * w + 1, w),
-                    lit_vec,
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            entries.append(
-                F.struct(dist.alias("d"), F.lit(int(cid)).cast("long").alias("cid"))
-            )
-        return F.array_min(F.array(*entries)).getField("cid")
+        return F.expr(_argmin_cid_sql(cent, f"slice(q, {s * w + 1}, {w})"))
 
     def all_codes() -> DataFrame:
         return q.select(
@@ -937,19 +935,8 @@ def nearest_centroid_confusion(
         (lbl, [comps[p] for p in sorted(comps)])
         for lbl, comps in by_label.items()
     )
-    entries = []
-    for lbl, vec in cent:
-        lit_vec = F.array(*[F.lit(int(v)).cast("long") for v in vec])
-        dist = F.aggregate(
-            F.zip_with(F.col("q"), lit_vec, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        entries.append(
-            F.struct(dist.alias("d"), F.lit(int(lbl)).cast("long").alias("cid"))
-        )
     return q.select(
         "__id",
         "__label",
-        F.array_min(F.array(*entries)).getField("cid").alias("pred"),
+        F.expr(_argmin_cid_sql(cent, "q")).alias("pred"),
     )
