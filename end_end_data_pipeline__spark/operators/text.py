@@ -546,7 +546,10 @@ def _bpe_vocab(scoped_words):
             ).alias("sym"),
             "n",
         )
-        .localCheckpoint(eager=True)
+        # r13: LAZY — materialization fuses into round 1's pair-count
+        # job instead of a separate driver-blocking job; consumers
+        # after that read the materialized rows as before.
+        .localCheckpoint(eager=False)
     )
 
 
@@ -632,7 +635,7 @@ def _bpe_merge_rounds(vocab, n_merges: int):
                 "sym", f" {a} {b} ", f" {a}{b} "
             ).alias("sym"),
             "n",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # r13: fuse into next round's job
     return merges, vocab
 
 
@@ -666,7 +669,7 @@ def bpe_token_stats(
     rewrite the learn step performed; chars_per_token is one double
     division.
     """
-    scoped = _scoped_word_tokens(docs, text_col).localCheckpoint(eager=True)
+    scoped = _scoped_word_tokens(docs, text_col).localCheckpoint(eager=False)
     merges, vocab = _bpe_merge_rounds(_bpe_vocab(scoped), n_merges)
     if len(merges) < n_merges:
         raise ValueError(
