@@ -107,7 +107,26 @@ def subjects(spark):
             F.sum("__cum_q").alias("s"), F.count(F.lit(1)).alias("n")
         )
 
-    return {"lineage": lineage, "checkpointed": checkpointed}
+    def lazy_ckpt_dedup():
+        # r13 (ADVICE r12): the dedup/interval queries now hold LAZY
+        # executor-local localCheckpoints (shingle sets, hot frame,
+        # per-doc info) — exercise one end-to-end under executor loss.
+        # Expected outcomes: identical (blocks survived / recomputed
+        # before materialization) or failed_loudly (lost materialized
+        # blocks cannot recompute) — never a silent wrong answer.
+        from end_end_data_pipeline__spark.operators import dedup
+
+        docs = lake.load_table(spark, "documents", SF_DIR)
+        return dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, num_hashes=32, bands=8,
+            verify_threshold=0.5, hash_family="xxhash64",
+        )
+
+    return {
+        "lineage": lineage,
+        "checkpointed": checkpointed,
+        "lazy_ckpt_dedup": lazy_ckpt_dedup,
+    }
 
 
 def main() -> int:
@@ -132,7 +151,8 @@ def main() -> int:
     trials = []
     corrupt = 0
     for t in range(N_TRIALS):
-        name = ["lineage", "checkpointed"][t % 2]
+        names = list(subs)
+        name = names[t % len(names)]
         # stagger the kill through the job's life: 0.2s..1.6s after start
         delay = 0.2 + 0.2 * t
         killed: dict = {}
